@@ -1,0 +1,159 @@
+"""Convolution / pooling layers: ConvLayer, PoolLayer, MeanLayer.
+
+Capability parity with reference theanet/layer/convpool.py, built on
+``lax.conv_general_dilated`` / ``lax.reduce_window`` so XLA tiles them onto
+the MXU / VPU directly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..activations import activation_by_name
+from ..inits import init_wb
+from .base import Layer
+
+__all__ = ["ConvLayer", "PoolLayer", "MeanLayer"]
+
+
+class ConvLayer(Layer):
+    """2-D convolution with static shapes (reference convpool.py:14-95).
+
+    Modes: 'valid', 'full', 'same' (same = full conv then center crop; stride
+    must be 1). Note the reference's 'full'-mode size bookkeeping is
+    out = in + filter + 1 (convpool.py:64) even though the tensor produced is
+    in + filter - 1; we reproduce the bookkeeping as-is so configs behave
+    identically (a 'full' net that shape-errors there shape-errors here).
+    """
+
+    def __init__(
+        self,
+        wts,
+        rand_gen,
+        batch_sz,
+        num_prev_maps,
+        in_sz,
+        num_maps,
+        filter_sz,
+        stride,
+        mode="valid",
+        actvn="relu50",
+        reg=(),
+    ):
+        super().__init__()
+        assert wts is not None or rand_gen is not None
+        assert mode in ("valid", "full", "same")
+
+        filter_shape = (num_maps, num_prev_maps, filter_sz, filter_sz)
+        fan_in = num_prev_maps * filter_sz * filter_sz
+        fan_out = num_maps * filter_sz * filter_sz
+        w, b = init_wb(
+            wts, rand_gen, filter_shape, (num_maps,), fan_in, fan_out, actvn
+        )
+        self.params_init = [w, b]
+
+        if mode == "same":
+            assert stride == 1, "For Same mode stride should be 1"
+            self.out_sz = in_sz
+        elif mode == "full":
+            self.out_sz = in_sz + filter_sz + 1  # reference convpool.py:64
+        else:
+            self.out_sz = in_sz - filter_sz + 1
+        self.out_sz //= stride
+
+        self.in_sz = in_sz
+        self.num_maps = num_maps
+        self.num_prev_maps = num_prev_maps
+        self.filter_sz = filter_sz
+        self.stride = stride
+        self.mode = mode
+        self.actvn = actvn
+        self.n_out = num_maps * self.out_sz**2
+        self.reg = self.make_reg(reg)
+        self.representation = (
+            "Conv Maps:{:2d} Filter:{} Stride:{} Mode:{} Output:{:2d} "
+            "Act:{}\n\t  L1:{L1} L2:{L2} Momentum:{momentum} Rate:{rate} "
+            "Max Norm:{maxnorm}".format(
+                num_maps, filter_sz, stride, mode, self.out_sz, actvn,
+                **self.reg,
+            )
+        )
+
+    def apply(self, wts, x, *, key, train, aux=None):
+        w, b = wts
+        f = self.filter_sz
+        if self.mode == "valid":
+            padding = [(0, 0), (0, 0)]
+        else:  # 'full' and 'same' both run a full conv (convpool.py:53-56)
+            padding = [(f - 1, f - 1), (f - 1, f - 1)]
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(self.stride, self.stride),
+            padding=padding,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.mode == "same":
+            shift = (f - 1) // 2
+            out = out[:, :, shift : self.in_sz + shift, shift : self.in_sz + shift]
+        act = activation_by_name(self.actvn)
+        return act(out + b[None, :, None, None])
+
+
+class PoolLayer(Layer):
+    """Max pooling (reference convpool.py:97-127). ignore_border=False keeps
+    partial edge windows (output size = ceil(in/p)); True floors."""
+
+    def __init__(self, num_maps, in_sz, pool_sz, ignore_border=False):
+        super().__init__()
+        self.pool_sz = pool_sz
+        self.ignore_border = ignore_border
+        self.num_maps = num_maps
+        self.in_sz = in_sz
+        if ignore_border:
+            self.out_sz = in_sz // pool_sz
+        else:
+            self.out_sz = math.ceil(in_sz / pool_sz)
+        self.n_out = num_maps * self.out_sz**2
+        self.representation = "Pool Maps:{:2d} Pool_sz:{} Border:{} Output:{:2d}".format(
+            num_maps, pool_sz, "Ignore" if ignore_border else "Keep", self.out_sz
+        )
+
+    def apply(self, wts, x, *, key, train, aux=None):
+        p = self.pool_sz
+        in_sz = x.shape[2]
+        if self.ignore_border:
+            pad = (0, 0)
+        else:
+            padded = self.out_sz * p
+            pad = (0, padded - in_sz)
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, 1, p, p),
+            window_strides=(1, 1, p, p),
+            padding=[(0, 0), (0, 0), pad, pad],
+        )
+
+
+class MeanLayer(Layer):
+    """Global average pool over spatial dims (reference convpool.py:129-144)."""
+
+    def __init__(self, num_maps, in_sz):
+        super().__init__()
+        self.num_maps = num_maps
+        self.in_sz = in_sz
+        self.out_sz = 1
+        self.n_out = num_maps
+        self.representation = "Mean Maps:{:2d} Output:{:2d}".format(
+            num_maps, self.out_sz
+        )
+
+    def apply(self, wts, x, *, key, train, aux=None):
+        return jnp.mean(x, axis=(2, 3))

@@ -1,0 +1,166 @@
+"""Trainer: device-resident data + compiled step/epoch functions.
+
+The reference keeps the whole dataset in device memory via theano.shared and
+slices batches with ``givens`` so only a batch index crosses the host boundary
+per step (train.py:126-129, neuralnet.py:222-226). The TPU-native version goes
+one step further: the *entire epoch* is a single ``lax.scan`` under jit — one
+device dispatch per epoch instead of one per batch — with (params, momentum)
+buffers donated so XLA updates them in place in HBM. Per-batch cost and the
+min true-class feature are returned as scanned outputs so the reference's
+watchdogs (NaN abort, Exp-head divergence diagnostics, train.py:214-226) still
+fire on the host.
+
+Batch order is the reference's: fixed sequential batches, no shuffling
+(train.py:210), with randomness coming from the in-graph augmentation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .model import NeuralNet
+
+__all__ = ["Trainer", "get_test_indices"]
+
+
+def get_test_indices(tot_samps, batch_sz, bth_samps):
+    """Rotating-window eval batch-id generator (reference train.py:170-176)."""
+    n_bths_each = int(bth_samps / batch_sz)
+    n_bths_all = int(tot_samps / batch_sz)
+    cur = 0
+    while True:
+        yield [i % n_bths_all for i in range(cur, cur + n_bths_each)]
+        cur = (cur + n_bths_each) % n_bths_all
+
+
+class Trainer:
+    def __init__(
+        self,
+        net: NeuralNet,
+        train_x,
+        train_y,
+        test_x,
+        test_y,
+        train_aux=None,
+        test_aux=None,
+    ):
+        self.net = net
+        self.batch_sz = net.batch_sz
+        self.n_train_batches = train_x.shape[0] // self.batch_sz
+        self.n_test_batches = test_x.shape[0] // self.batch_sz
+
+        # Whole-dataset upload to HBM, once (the host->device boundary).
+        self.d_train_x = jnp.asarray(train_x, dtype=jnp.float32)
+        self.d_train_y = jnp.asarray(train_y, dtype=jnp.int32)
+        self.d_test_x = jnp.asarray(test_x, dtype=jnp.float32)
+        self.d_test_y = jnp.asarray(test_y, dtype=jnp.int32)
+        self.d_train_aux = (
+            jnp.asarray(train_aux, dtype=jnp.float32) if train_aux is not None else None
+        )
+        self.d_test_aux = (
+            jnp.asarray(test_aux, dtype=jnp.float32) if test_aux is not None else None
+        )
+
+        self.params, self.moms = net.init_params()
+
+        bsz = self.batch_sz
+        nb = self.n_train_batches
+        base_key = net.base_key
+
+        def slice_batch(arr, ibatch):
+            return jax.lax.dynamic_slice_in_dim(arr, ibatch * bsz, bsz, axis=0)
+
+        def train_batch(params, moms, ibatch, step, lr):
+            x = slice_batch(self.d_train_x, ibatch)
+            y = slice_batch(self.d_train_y, ibatch)
+            aux = (
+                slice_batch(self.d_train_aux, ibatch)
+                if self.d_train_aux is not None
+                else None
+            )
+            key = jax.random.fold_in(base_key, step)
+            return net.train_step(params, moms, x, y, key=key, lr=lr, aux=aux)
+
+        self._train_batch = jax.jit(train_batch, donate_argnums=(0, 1))
+
+        def train_epoch(params, moms, epoch_no, lr):
+            def body(carry, ibatch):
+                params, moms = carry
+                step = epoch_no * nb + ibatch
+                params, moms, cost, feats, _ = train_batch(
+                    params, moms, ibatch, step, lr
+                )
+                y = slice_batch(self.d_train_y, ibatch)
+                true_f = feats[jnp.arange(bsz), y]
+                return (params, moms), (cost, jnp.min(true_f))
+
+            (params, moms), (costs, min_true_f) = jax.lax.scan(
+                body, (params, moms), jnp.arange(nb)
+            )
+            return params, moms, costs, min_true_f
+
+        self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+
+        def eval_window(params, x_all, y_all, aux_all, idx):
+            x = x_all[idx]
+            y = y_all[idx]
+            aux = aux_all[idx] if aux_all is not None else None
+            return net.eval_step(params, x, y, aux=aux)
+
+        self._eval_window = jax.jit(eval_window, static_argnums=())
+
+    # -- public API ----------------------------------------------------------
+
+    def run_epoch(self, lr: Optional[float] = None):
+        """Train one full epoch on-device. Returns (total_cost, per-batch
+        costs, per-batch min true-class feature) as numpy."""
+        lr = self.net.get_rate() if lr is None else lr
+        epoch_no = self.net.get_epoch()
+        self.params, self.moms, costs, min_true_f = self._train_epoch(
+            self.params, self.moms, jnp.int32(epoch_no), jnp.float32(lr)
+        )
+        costs = np.asarray(costs)
+        return float(costs.sum()), costs, np.asarray(min_true_f)
+
+    def run_batch(self, ibatch: int, step: int, lr: Optional[float] = None):
+        """Single-batch step (the reference's granularity), for debugging and
+        watchdog-exact parity."""
+        lr = self.net.get_rate() if lr is None else lr
+        self.params, self.moms, cost, feats, logp = self._train_batch(
+            self.params, self.moms, jnp.int32(ibatch), jnp.int32(step), jnp.float32(lr)
+        )
+        return float(cost), np.asarray(feats), np.asarray(logp)
+
+    def _window_sample_idx(self, batch_ids):
+        bsz = self.batch_sz
+        return jnp.asarray(
+            np.concatenate([np.arange(b * bsz, (b + 1) * bsz) for b in batch_ids]),
+            dtype=jnp.int32,
+        )
+
+    def evaluate(self, which: str, batch_ids):
+        """Evaluate a window of batches; returns (err%, second_stat%) matching
+        the reference's test_wrapper scaling (train.py:155-161)."""
+        idx = self._window_sample_idx(batch_ids)
+        if which == "test":
+            sym, oth = self._eval_window(
+                self.params, self.d_test_x, self.d_test_y, self.d_test_aux, idx
+            )
+        else:
+            sym, oth = self._eval_window(
+                self.params, self.d_train_x, self.d_train_y, self.d_train_aux, idx
+            )
+        return 100.0 * float(sym), 100.0 * float(oth)
+
+    def evaluate_full(self, which: str):
+        n = self.n_test_batches if which == "test" else self.n_train_batches
+        return self.evaluate(which, list(range(n)))
+
+    def checkpoint_dict(self):
+        self.net.snapshot_params([[np.asarray(p) for p in lp] for lp in self.params])
+        return self.net.get_init_params()
