@@ -1,0 +1,180 @@
+"""Layer-level unit tests: conv modes/shapes, pooling border semantics,
+dropout scale-at-test, hidden activations, color jitter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from theanet_tpu.layers import (
+    ColorLayer,
+    ConvLayer,
+    DropOutLayer,
+    HiddenLayer,
+    MeanLayer,
+    PoolLayer,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def apply(layer, x, train=True, wts=None):
+    w = wts if wts is not None else [jnp.asarray(p) for p in layer.params_init]
+    return np.asarray(layer.apply(w, jnp.asarray(x), key=KEY, train=train))
+
+
+# ------------------------------ conv ----------------------------------------
+
+
+def test_conv_valid_matches_manual_correlation():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 1, 5, 5).astype(np.float32)
+    lyr = ConvLayer(None, rng, 1, 1, 5, num_maps=1, filter_sz=3, stride=1,
+                    mode="valid", actvn="linear")
+    w, b = lyr.params_init
+    out = apply(lyr, x)
+    manual = np.zeros((3, 3), np.float32)
+    for i in range(3):
+        for j in range(3):
+            manual[i, j] = (x[0, 0, i : i + 3, j : j + 3] * w[0, 0]).sum() + b[0]
+    np.testing.assert_allclose(out[0, 0], manual, rtol=1e-4)
+    assert lyr.out_sz == 3 and lyr.n_out == 9
+
+
+def test_conv_same_mode_preserves_size():
+    rng = np.random.RandomState(1)
+    lyr = ConvLayer(None, rng, 2, 3, 8, num_maps=4, filter_sz=3, stride=1,
+                    mode="same", actvn="linear")
+    x = rng.rand(2, 3, 8, 8).astype(np.float32)
+    out = apply(lyr, x)
+    assert out.shape == (2, 4, 8, 8)
+    assert lyr.out_sz == 8
+
+
+def test_conv_same_crop_matches_full_center():
+    """'same' = full conv then center crop with shift=(f-1)//2
+    (reference convpool.py:57-61)."""
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 1, 6, 6).astype(np.float32)
+    same = ConvLayer(None, np.random.RandomState(7), 1, 1, 6, num_maps=1,
+                     filter_sz=3, stride=1, mode="same", actvn="linear")
+    w, b = same.params_init
+    out_same = apply(same, x)
+    full = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), [(2, 2), (2, 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    shift = 1
+    np.testing.assert_allclose(
+        out_same[0, 0], np.asarray(full)[0, 0, shift : 6 + shift, shift : 6 + shift] + b[0],
+        rtol=1e-4,
+    )
+
+
+def test_conv_stride_and_activation():
+    rng = np.random.RandomState(3)
+    lyr = ConvLayer(None, rng, 1, 1, 9, num_maps=2, filter_sz=3, stride=2,
+                    mode="valid", actvn="relu")
+    x = rng.rand(1, 1, 9, 9).astype(np.float32)
+    out = apply(lyr, x)
+    assert lyr.out_sz == (9 - 3 + 1) // 2  # == 3
+    assert out.shape == (1, 2, 4, 4) or out.shape == (1, 2, 3, 3)
+    assert (out >= 0).all()
+
+
+def test_conv_default_reg():
+    lyr = ConvLayer(None, np.random.RandomState(0), 1, 1, 5, num_maps=1,
+                    filter_sz=3, stride=1)
+    assert lyr.reg == {"L1": 0, "L2": 0, "momentum": 0.95, "rate": 1, "maxnorm": 0}
+    assert lyr.actvn == "relu50"
+
+
+# ------------------------------ pool ----------------------------------------
+
+
+def test_pool_keep_border_ceil():
+    lyr = PoolLayer(num_maps=1, in_sz=5, pool_sz=2, ignore_border=False)
+    assert lyr.out_sz == 3
+    x = np.arange(25, dtype=np.float32).reshape(1, 1, 5, 5)
+    out = apply(lyr, x)
+    assert out.shape == (1, 1, 3, 3)
+    np.testing.assert_allclose(out[0, 0], [[6, 8, 9], [16, 18, 19], [21, 23, 24]])
+
+
+def test_pool_ignore_border_floor():
+    lyr = PoolLayer(num_maps=1, in_sz=5, pool_sz=2, ignore_border=True)
+    assert lyr.out_sz == 2
+    x = np.arange(25, dtype=np.float32).reshape(1, 1, 5, 5)
+    out = apply(lyr, x)
+    assert out.shape == (1, 1, 2, 2)
+    np.testing.assert_allclose(out[0, 0], [[6, 8], [16, 18]])
+
+
+def test_mean_layer_global_average():
+    lyr = MeanLayer(num_maps=3, in_sz=4)
+    x = np.random.RandomState(0).rand(2, 3, 4, 4).astype(np.float32)
+    out = apply(lyr, x)
+    np.testing.assert_allclose(out, x.mean(axis=(2, 3)), rtol=1e-5)
+    assert lyr.n_out == 3
+
+
+# ------------------------------ dropout -------------------------------------
+
+
+def test_dropout_scale_at_test():
+    lyr = DropOutLayer(np.random.RandomState(0), n_in=1000, pdrop=0.4)
+    x = np.ones((8, 1000), np.float32)
+    out_te = apply(lyr, x, train=False)
+    np.testing.assert_allclose(out_te, 0.6 * x, rtol=1e-6)
+    out_tr = apply(lyr, x, train=True)
+    kept = (out_tr != 0).mean()
+    assert 0.55 < kept < 0.65  # ~1-p kept
+    assert set(np.unique(out_tr)) <= {0.0, 1.0}
+
+
+def test_dropout_zero_p_is_identity():
+    lyr = DropOutLayer(np.random.RandomState(0), n_in=10, pdrop=0)
+    x = np.random.rand(4, 10).astype(np.float32)
+    np.testing.assert_array_equal(apply(lyr, x, train=True), x)
+    np.testing.assert_array_equal(apply(lyr, x, train=False), x)
+
+
+# ------------------------------ hidden --------------------------------------
+
+
+def test_hidden_forward_and_test_scaling():
+    rng = np.random.RandomState(0)
+    lyr = HiddenLayer(None, rng, n_in=6, n_out=4, pdrop=0.5, actvn="linear")
+    w, b = lyr.params_init
+    x = rng.rand(3, 6).astype(np.float32)
+    out_te = apply(lyr, x, train=False)
+    np.testing.assert_allclose(out_te, (x @ w + b) * 0.5, rtol=1e-4)
+
+
+def test_hidden_flattens_4d_input():
+    rng = np.random.RandomState(0)
+    lyr = HiddenLayer(None, rng, n_in=2 * 3 * 3, n_out=5, actvn="linear")
+    x = rng.rand(4, 2, 3, 3).astype(np.float32)
+    out = apply(lyr, x)
+    w, b = lyr.params_init
+    np.testing.assert_allclose(out, x.reshape(4, -1) @ w + b, rtol=1e-4)
+
+
+# ------------------------------ color ---------------------------------------
+
+
+def test_color_identity_when_unit_params():
+    lyr = ColorLayer(img_sz=8, num_maps=3, rand_gen=np.random.RandomState(0))
+    x = np.random.RandomState(0).rand(2, 3, 8, 8).astype(np.float32)
+    np.testing.assert_array_equal(apply(lyr, x, train=True), x)
+
+
+def test_color_eval_identity_train_jitters_within_range():
+    lyr = ColorLayer(
+        img_sz=8, num_maps=3, rand_gen=np.random.RandomState(0),
+        balance=1.5, gamma=1.5, maxval=1,
+    )
+    x = np.random.RandomState(1).rand(4, 3, 8, 8).astype(np.float32)
+    np.testing.assert_array_equal(apply(lyr, x, train=False), x)
+    out = apply(lyr, x, train=True)
+    assert not np.allclose(out, x)
+    assert out.min() >= 0 and out.max() <= 1 + 1e-5

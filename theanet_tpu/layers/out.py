@@ -100,8 +100,12 @@ class SoftmaxLayer(HiddenLayer, OutputMixin):
         )
 
     def apply_head(self, wts, x, *, key, train, aux=None):
-        probs = jax.nn.softmax(self.linear(wts, x), axis=-1)
-        logprob = jnp.log(probs)
+        z = self.linear(wts, x)
+        probs = jax.nn.softmax(z, axis=-1)
+        # log_softmax, not log(softmax): Theano's stabilization pass rewrites
+        # log(softmax(x)) into the stable form automatically, so this IS the
+        # reference numeric behavior.
+        logprob = jax.nn.log_softmax(z, axis=-1)
         return {
             "output": probs,
             "probs": probs,
@@ -137,7 +141,7 @@ class ExpLossLayer(HiddenLayer, OutputMixin):
         return {
             "output": centered,
             "probs": probs,
-            "logprob": jnp.log(probs),
+            "logprob": jax.nn.log_softmax(centered, axis=-1),
             "features": centered,
             # argmax of the raw output == argmax of the centered one
             "y_preds": jnp.argmax(raw, axis=1),
@@ -280,7 +284,7 @@ class CenteredOutLayer(HiddenLayer, OutputMixin):
             dists = jnp.concatenate([dists, junk], axis=1)
             probs = jax.nn.softmax(-dists, axis=-1)  # (B, nC+1)
             hs.update(
-                logprob=jnp.log(probs),
+                logprob=jax.nn.log_softmax(-dists, axis=-1),
                 probs=probs,
                 y_preds=jnp.argmax(probs, axis=1),
             )

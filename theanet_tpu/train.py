@@ -1,0 +1,209 @@
+"""Training CLI: ``python -m theanet_tpu.train <dataset> <prms-or-pkl> [redirect]``
+
+Protocol parity with the reference driver (reference train.py:59-245):
+
+  * args: dataset module name, .prms config or .pkl resume checkpoint,
+    optional trailing '1' to tee stdout to <head>_<SEED>.txt;
+  * prints the env banner, layer/param/weight info, then the epoch table
+    ``Epoch Cost Tr_Error Tr_X Te_Error Te_X`` with the second statistic
+    named BitErr for LOGIT heads and P(MLE) otherwise;
+  * rotating-window eval every EPOCHS_TO_TEST epochs, checkpoint written as
+    <head>_<SEED>_<testerr>.pkl with the previous checkpoint deleted;
+  * NaN-cost abort with weight dump, Exp-head divergence diagnostics, and the
+    high-cost weight dump;
+  * final full-dataset evaluation row.
+
+TPU-native difference: an epoch is one fused device program (lax.scan), so
+the watchdogs consume the scanned per-batch outputs after the epoch returns
+instead of intercepting each host-side batch call.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import sys
+from datetime import datetime
+
+import numpy as np
+
+import jax
+
+
+class WrapOut:
+    """Stdout tee with a forceflush reopen (reference train.py:37-55)."""
+
+    def __init__(self, use_file, name=""):
+        self.name = name
+        self.use_file = use_file
+        if use_file:
+            self.stream = open(name, "w", 1)
+        else:
+            self.stream = sys.stdout
+
+    def write(self, data):
+        self.stream.write(data)
+
+    def forceflush(self):
+        if self.use_file:
+            self.stream.close()
+            self.stream = open(self.name, "a", 1)
+
+    def __getattr__(self, attr):
+        return getattr(self.stream, attr)
+
+
+def main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 3:
+        print(
+            "Usage:",
+            argv[0],
+            """ <dataset> <params_file(s)> [redirect=0]
+    dataset:
+        Name of a data module (searched as data.<name>, then
+        theanet_tpu.data.<name>). Like "mnist", "synth" etc.
+    params_file(s):
+        - name.prms : initialization config (Python literal dict)
+        - name.pkl  : pickled checkpoint from a previous run (resumes)
+    redirect:
+        1 - tee stdout to a params_<SEED>.txt file
+    """,
+        )
+        sys.exit(1)
+
+    dataset_name = argv[1]
+    prms_file_name = argv[2]
+
+    from .model import NeuralNet, get_layers_info, get_training_params_info
+    from .prms import fixdim, load_params, save_checkpoint
+    from .trainer import Trainer, get_test_indices
+    from .data import load_dataset
+
+    layers, tr_prms, allwts = load_params(prms_file_name)
+
+    out_file_head = os.path.basename(prms_file_name).replace(
+        os.path.splitext(prms_file_name)[1], "_{:06d}".format(tr_prms["SEED"])
+    )
+
+    if argv[-1] == "1":
+        print("Printing output to {}.txt".format(out_file_head), file=sys.stderr)
+        sys.stdout = WrapOut(True, out_file_head + ".txt")
+    else:
+        sys.stdout = WrapOut(False)
+
+    print(" ".join(argv), file=sys.stderr)
+    print(" ".join(argv))
+    print("Time   :" + datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
+    print(
+        "Device : {} ({})".format(
+            jax.devices()[0].platform, jax.devices()[0].device_kind
+        )
+    )
+    print("Host   :", socket.gethostname())
+    print(get_layers_info(layers))
+    print(get_training_params_info(tr_prms))
+
+    # ------------------------------------------------------ data
+    data = load_dataset(dataset_name)
+    training_x = fixdim(data.training_x)
+    testing_x = fixdim(data.testing_x)
+    tr_corpus_sz, n_maps, _, img_sz = training_x.shape
+    te_corpus_sz = testing_x.shape[0]
+    layers[0][1]["img_sz"] = img_sz
+    if "num_maps" not in layers[0][1] and n_maps != 1:
+        layers[0][1]["num_maps"] = n_maps
+
+    training_aux = getattr(data, "training_aux", None)
+    testing_aux = getattr(data, "testing_aux", None)
+
+    print("\nInitializing the net ... ")
+    net = NeuralNet(layers, tr_prms, allwts)
+    print(net)
+    print(net.get_wts_info(detailed=True).replace("\n\t", ""))
+
+    print("\nCompiling ... ")
+    trainer = Trainer(
+        net,
+        training_x,
+        data.training_y,
+        testing_x,
+        data.testing_y,
+        train_aux=training_aux,
+        test_aux=testing_aux,
+    )
+
+    batch_sz = tr_prms["BATCH_SZ"]
+    n_epochs = tr_prms["NUM_EPOCHS"]
+
+    if net.head.kind == "LOGIT":
+        aux_err_name = "BitErr"
+    else:
+        aux_err_name = "P(MLE)"
+
+    test_indices = get_test_indices(te_corpus_sz, batch_sz, tr_prms["TEST_SAMP_SZ"])
+    trin_indices = get_test_indices(tr_corpus_sz, batch_sz, tr_prms["TEST_SAMP_SZ"])
+    pickle_file_name = out_file_head + "_{:02.0f}.pkl"
+    saved_file_name = None
+
+    def do_test():
+        nonlocal saved_file_name
+        test_err, aux_test_err = trainer.evaluate("test", next(test_indices))
+        trin_err, aux_trin_err = trainer.evaluate("train", next(trin_indices))
+        print(
+            "{:5.2f}%  ({:5.2f}%)      {:5.2f}%  ({:5.2f}%)".format(
+                trin_err, aux_trin_err, test_err, aux_test_err
+            )
+        )
+        sys.stdout.forceflush()
+
+        if saved_file_name:
+            os.remove(saved_file_name)
+        saved_file_name = pickle_file_name.format(test_err)
+        save_checkpoint(saved_file_name, trainer.checkpoint_dict())
+
+    np.set_printoptions(precision=2)
+    print("Training ...")
+    print("Epoch   Cost  Tr_Error Tr_{0}    Te_Error Te_{0}".format(aux_err_name))
+
+    is_exp_head = layers[-1][0][:3] == "Exp"
+    for epoch in range(n_epochs):
+        total_cost, costs, min_true_f = trainer.run_epoch()
+
+        # Watchdogs (reference train.py:214-226), applied to scanned outputs.
+        if is_exp_head and float(min_true_f.min()) < -6:
+            ibatch = int(min_true_f.argmin())
+            print("Epoch:{} Iteration:{}".format(epoch, ibatch))
+            print("min true-class feature:", float(min_true_f.min()))
+            print(net.get_wts_info(detailed=True))
+
+        if np.isnan(total_cost):
+            ibatch = int(np.argmax(np.isnan(costs)))
+            print("Epoch:{} Iteration:{}".format(epoch, ibatch))
+            print(net.get_wts_info(detailed=True))
+            raise ZeroDivisionError(
+                "Nan cost at Epoch:{} Iteration:{}".format(epoch, ibatch)
+            )
+
+        if epoch % tr_prms["EPOCHS_TO_TEST"] == 0:
+            print("{:3d} {:>8.2f}".format(net.get_epoch(), total_cost), end="    ")
+            do_test()
+            if total_cost > 1e6:
+                print(net.get_wts_info(detailed=True))
+
+        net.inc_epoch_set_rate()
+
+    # ---------------------------------------------- final full-set eval
+    test_err, aux_test_err = trainer.evaluate_full("test")
+    trin_err, aux_trin_err = trainer.evaluate_full("train")
+    print("{:3d} {:>8.2f}".format(net.get_epoch(), 0), end="    ")
+    print(
+        "{:5.2f}%  ({:5.2f}%)      {:5.2f}%  ({:5.2f}%)".format(
+            trin_err, aux_trin_err, test_err, aux_test_err
+        )
+    )
+    return trainer
+
+
+if __name__ == "__main__":
+    main()
