@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark: MNIST-CNN training throughput (aug + fwd + bwd + update).
+
+Measures the reference's headline config (params/mnist.prms architecture:
+full elastic augmentation -> conv4@3x3 -> pool2 -> conv20@3x3 -> pool2 ->
+hidden500(drop .5) -> softmax10, batch 20) as images/sec on the default
+accelerator, and the same program on the in-process CPU backend as the
+baseline proxy (the reference is a Theano CPU/era-GPU trainer with no
+published numbers — BASELINE.md mandates measuring; a jitted XLA-CPU run of
+the identical program is a *generous* stand-in for Theano CPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <accel images/sec>, "unit": "images/sec",
+   "vs_baseline": <accel/cpu speedup>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def flagship_net(batch_sz):
+    from theanet_tpu.model import NeuralNet
+
+    layers = [
+        ["ElasticLayer", {"img_sz": 28, "translation": 2, "zoom": 1.1,
+                          "magnitude": 60, "sigma": 15, "pflip": 0.03,
+                          "angle": 5, "nearest": True, "invert_image": True}],
+        ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1, "actvn": "relu10"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 20, "filter_sz": 3, "stride": 1, "actvn": "relu05"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 500, "pdrop": 0.5, "reg": {"L2": 0.0, "maxnorm": 0}}],
+        ["SoftmaxLayer", {"n_out": 10, "reg": {"L2": 0.0, "maxnorm": 0}}],
+    ]
+    tr_prms = {"SEED": 555, "BATCH_SZ": batch_sz, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 100,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 1}
+    return NeuralNet(layers, tr_prms)
+
+
+def measure(device, batch_sz, n_batches, reps):
+    import jax
+    from theanet_tpu.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+    n = n_batches * batch_sz
+    x = rng.rand(n, 1, 28, 28).astype(np.float32)
+    y = rng.randint(0, 10, n).astype(np.int32)
+
+    with jax.default_device(device):
+        net = flagship_net(batch_sz)
+        tr = Trainer(net, x, y, x[: 5 * batch_sz], y[: 5 * batch_sz])
+        t0 = time.time()
+        tr.run_epoch()  # compile + warmup
+        log(f"[{device.platform}] compile+first epoch: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for _ in range(reps):
+            tr.run_epoch()
+        dt = time.time() - t0
+    return reps * n / dt
+
+
+def main():
+    import jax
+
+    accel = jax.devices()[0]
+    batch_sz = 20
+
+    accel_batches = 1000 if accel.platform != "cpu" else 300
+    ips_accel = measure(accel, batch_sz, accel_batches, reps=3)
+    log(f"accelerator ({accel.device_kind}): {ips_accel:,.0f} images/sec")
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and accel.platform != "cpu":
+        ips_cpu = measure(cpu, batch_sz, 200, reps=1)
+        log(f"cpu baseline proxy: {ips_cpu:,.0f} images/sec")
+        vs = ips_accel / ips_cpu
+    else:
+        vs = 1.0
+
+    print(json.dumps({
+        "metric": "MNIST-CNN train images/sec/chip (elastic aug + fwd + bwd, batch 20)",
+        "value": round(ips_accel, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

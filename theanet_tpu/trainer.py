@@ -48,8 +48,10 @@ class Trainer:
         test_y,
         train_aux=None,
         test_aux=None,
+        mesh=None,
     ):
         self.net = net
+        self.mesh = mesh
         self.batch_sz = net.batch_sz
         self.n_train_batches = train_x.shape[0] // self.batch_sz
         self.n_test_batches = test_x.shape[0] // self.batch_sz
@@ -68,6 +70,34 @@ class Trainer:
 
         self.params, self.moms = net.init_params()
 
+        if mesh is not None:
+            # Distribute parameters per the DP+TP sharding rules; momentum
+            # buffers shard identically to their parameters.
+            from jax.sharding import NamedSharding
+            from .parallel.mesh import batch_pspec, param_pspecs, shard_params
+
+            self._pspecs = param_pspecs(net, mesh)
+            self.params = shard_params(self.params, self._pspecs, mesh)
+            self.moms = shard_params(
+                self.moms,
+                [s[: len(m)] for s, m in zip(self._pspecs, self.moms)],
+                mesh,
+            )
+
+            def constrain(arr):
+                if arr is None:
+                    return None
+                return jax.lax.with_sharding_constraint(
+                    arr, NamedSharding(mesh, batch_pspec(arr.ndim))
+                )
+
+        else:
+
+            def constrain(arr):
+                return arr
+
+        self._constrain_batch = constrain
+
         bsz = self.batch_sz
         nb = self.n_train_batches
         base_key = net.base_key
@@ -76,10 +106,10 @@ class Trainer:
             return jax.lax.dynamic_slice_in_dim(arr, ibatch * bsz, bsz, axis=0)
 
         def train_batch(params, moms, ibatch, step, lr):
-            x = slice_batch(self.d_train_x, ibatch)
-            y = slice_batch(self.d_train_y, ibatch)
+            x = constrain(slice_batch(self.d_train_x, ibatch))
+            y = constrain(slice_batch(self.d_train_y, ibatch))
             aux = (
-                slice_batch(self.d_train_aux, ibatch)
+                constrain(slice_batch(self.d_train_aux, ibatch))
                 if self.d_train_aux is not None
                 else None
             )
@@ -107,9 +137,9 @@ class Trainer:
         self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
 
         def eval_window(params, x_all, y_all, aux_all, idx):
-            x = x_all[idx]
-            y = y_all[idx]
-            aux = aux_all[idx] if aux_all is not None else None
+            x = constrain(x_all[idx])
+            y = constrain(y_all[idx])
+            aux = constrain(aux_all[idx]) if aux_all is not None else None
             return net.eval_step(params, x, y, aux=aux)
 
         self._eval_window = jax.jit(eval_window, static_argnums=())
