@@ -73,7 +73,7 @@ def main():
     accel = jax.devices()[0]
     batch_sz = 20
 
-    accel_batches = 1000 if accel.platform != "cpu" else 300
+    accel_batches = 500 if accel.platform != "cpu" else 300
     ips_accel = measure(accel, batch_sz, accel_batches, reps=3)
     log(f"accelerator ({accel.device_kind}): {ips_accel:,.0f} images/sec")
 
@@ -87,6 +87,14 @@ def main():
         vs = ips_accel / ips_cpu
     else:
         vs = 1.0
+
+    if accel.platform != "cpu":
+        for big in (256, 1024):
+            try:
+                ips_big = measure(accel, big, 40, reps=2)
+                log(f"batch {big}: {ips_big:,.0f} images/sec (tuned, same config)")
+            except Exception as e:
+                log(f"batch {big} measurement failed: {e}")
 
     print(json.dumps({
         "metric": "MNIST-CNN train images/sec/chip (elastic aug + fwd + bwd, batch 20)",

@@ -153,8 +153,14 @@ class NeuralNet:
 
         # Initial parameter pytree in checkpoint ('allwts') structure.
         self.allwts0 = [lyr.get_wts() for lyr in self.net_layers]
-        # Base PRNG for per-batch randomness (augmentation, dropout).
-        self.base_key = jax.random.PRNGKey(int(training_params.get("SEED", 0)))
+        # Base PRNG for per-batch randomness (augmentation, dropout). The
+        # hardware 'rbg' generator is ~300x faster than threefry on TPU and
+        # turns in-graph augmentation into a near-free op; augmentation
+        # randomness is statistical (not bit-matched to the reference's
+        # Theano RandomStreams), so the generator choice is free.
+        self.base_key = jax.random.key(
+            int(training_params.get("SEED", 0)), impl="rbg"
+        )
 
     # -- builder (mirrors neuralnet.py:113-201) -----------------------------
 

@@ -225,6 +225,10 @@ def resample(x, target, *, nearest: bool = False, method: str = "auto"):
         method = "matmul" if h * w <= 4096 else "gather"
     if method == "gather":
         return _resample_gather(x, ty, tx, nearest)
+    if method == "pallas":
+        from .elastic_pallas import elastic_resample_pallas
+
+        return elastic_resample_pallas(x, ty, tx, nearest=nearest)
     if method == "matmul":
         s = _resample_matrix(ty, tx, h, w, nearest)
         flat = x.reshape(b * c, h * w)
@@ -233,6 +237,7 @@ def resample(x, target, *, nearest: bool = False, method: str = "auto"):
             s,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out.reshape(b, c, h, w)
     raise ValueError(f"unknown resample method: {method}")
@@ -266,9 +271,21 @@ def elastic_augment(
 
     k_warp, k_flip = jax.random.split(key)
     target, debug = sample_warp(k_warp, cfg, x.shape[2], x.shape[3], with_debug)
-    out = resample(x, target, nearest=cfg.nearest, method=method)
-    if cfg.pflip:
-        out = pixel_flip(k_flip, out, cfg.pflip)
+    if method == "pallas":
+        # Fully fused kernel: resample + pflip in one VMEM-resident program
+        # (x is already inverted above).
+        from .elastic_pallas import elastic_resample_pallas
+
+        h, w = x.shape[2], x.shape[3]
+        ty, tx = _clip_warp(target, h, w)
+        seed = jax.random.randint(k_flip, (), 0, 2**31 - 1, dtype=jnp.int32)
+        out = elastic_resample_pallas(
+            x, ty, tx, nearest=cfg.nearest, pflip=cfg.pflip, seed=seed
+        )
+    else:
+        out = resample(x, target, nearest=cfg.nearest, method=method)
+        if cfg.pflip:
+            out = pixel_flip(k_flip, out, cfg.pflip)
     if with_debug:
         idg = np.indices((x.shape[2], x.shape[3]))
         debug["displacement"] = target - jnp.asarray(idg, dtype=jnp.float32)
