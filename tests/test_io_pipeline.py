@@ -1,0 +1,72 @@
+"""Host-side native input pipeline tests: threaded gather, C++ deformer vs
+the numpy oracle, double-buffered pipeline iteration."""
+
+import numpy as np
+import pytest
+
+import theanet_tpu.io.pipeline as P
+from theanet_tpu.io.pipeline import (
+    HostPipeline,
+    deform_batch_host,
+    gather_rows_host,
+    make_warp_host,
+)
+
+
+def test_gather_rows_matches_fancy_indexing():
+    src = np.random.RandomState(0).rand(50, 2, 6, 6).astype(np.float32)
+    idx = np.array([3, 3, 49, 0, 17], np.int64)
+    np.testing.assert_array_equal(gather_rows_host(src, idx), src[idx])
+
+
+def test_warp_shape_and_determinism():
+    w1 = make_warp_host(16, 16, translation=2, magnitude=10, sigma=3, seed=5)
+    w2 = make_warp_host(16, 16, translation=2, magnitude=10, sigma=3, seed=5)
+    assert w1.shape == (2, 16, 16)
+    np.testing.assert_array_equal(w1, w2)
+    w3 = make_warp_host(16, 16, translation=2, magnitude=10, sigma=3, seed=6)
+    assert not np.array_equal(w1, w3)
+
+
+@pytest.mark.skipif(P.native_lib() is None, reason="no native toolchain")
+def test_native_deform_matches_numpy_oracle():
+    x = np.random.RandomState(1).rand(4, 2, 16, 16).astype(np.float32)
+    warp = make_warp_host(16, 16, translation=2, zoom=1.1, magnitude=10,
+                          sigma=3, angle=5, seed=7)
+    for nearest in (False, True):
+        x_native = x.copy()
+        deform_batch_host(x_native, warp, nearest=nearest, pflip=0)
+        saved = P._lib
+        P._lib = None
+        try:
+            x_np = x.copy()
+            deform_batch_host(x_np, warp, nearest=nearest, pflip=0)
+        finally:
+            P._lib = saved
+        np.testing.assert_allclose(x_native, x_np, atol=1e-5)
+
+
+def test_pipeline_yields_all_batches_shuffled_and_deformed():
+    n = 60
+    src = np.random.RandomState(0).rand(n, 1, 12, 12).astype(np.float32)
+    labels = np.arange(n, dtype=np.int32)
+    pipe = HostPipeline(
+        src, labels, 10,
+        deform={"translation": 1, "magnitude": 5, "sigma": 2, "pflip": 0.02},
+        to_device=False, seed=3,
+    )
+    batches = list(pipe)
+    assert len(batches) == 6
+    ys = np.concatenate([y for _, y in batches])
+    assert sorted(ys.tolist()) == list(range(n))  # every sample exactly once
+    assert ys.tolist() != list(range(n))  # and shuffled
+
+
+def test_pipeline_no_deform_no_shuffle_roundtrip():
+    src = np.random.RandomState(0).rand(20, 1, 8, 8).astype(np.float32)
+    labels = np.arange(20, dtype=np.int32)
+    pipe = HostPipeline(src, labels, 5, shuffle=False, to_device=False)
+    batches = list(pipe)
+    np.testing.assert_array_equal(
+        np.concatenate([x for x, _ in batches]), src
+    )

@@ -166,9 +166,31 @@ def main(argv=None):
     print("Training ...")
     print("Epoch   Cost  Tr_Error Tr_{0}    Te_Error Te_{0}".format(aux_err_name))
 
+    # Observability: per-epoch wall-clock/throughput on stderr (stdout keeps
+    # the reference's exact table), optional jax.profiler trace of epoch 0
+    # into $THEANET_PROFILE_DIR (SURVEY.md §5.1: the reference has no
+    # tracing; this is its TPU-native replacement).
+    import time as _time
+
+    profile_dir = os.environ.get("THEANET_PROFILE_DIR")
+    n_train_imgs = trainer.n_train_batches * batch_sz
+
     is_exp_head = layers[-1][0][:3] == "Exp"
     for epoch in range(n_epochs):
+        if profile_dir and epoch == 1:  # epoch 0 includes compile; trace epoch 1
+            jax.profiler.start_trace(profile_dir)
+        t_epoch = _time.time()
         total_cost, costs, min_true_f = trainer.run_epoch()
+        dt = _time.time() - t_epoch
+        if profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+            print("profiler trace written to", profile_dir, file=sys.stderr)
+        print(
+            "epoch {} took {:.2f}s ({:,.0f} images/sec)".format(
+                epoch, dt, n_train_imgs / dt
+            ),
+            file=sys.stderr,
+        )
 
         # Watchdogs (reference train.py:214-226), applied to scanned outputs.
         if is_exp_head and float(min_true_f.min()) < -6:
