@@ -1,0 +1,77 @@
+"""Trainer API parity tests: index-list training, momentum reset, inference
+on raw arrays, hinge_max loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from theanet_tpu.layers import SoftmaxLayer
+from theanet_tpu.model import NeuralNet
+from theanet_tpu.trainer import Trainer
+
+
+def mk_trainer(batch=8, n=64):
+    spec = [
+        ["InputLayer", {"img_sz": 10}],
+        ["HiddenLayer", {"n_out": 16}],
+        ["SoftmaxLayer", {"n_out": 4}],
+    ]
+    prms = {"SEED": 5, "BATCH_SZ": batch, "NUM_EPOCHS": 1, "EPOCHS_TO_TEST": 1,
+            "TEST_SAMP_SZ": batch, "INIT_LEARNING_RATE": 0.1,
+            "EPOCHS_TO_HALF_RATE": 1}
+    rng = np.random.RandomState(0)
+    x = rng.rand(n, 1, 10, 10).astype(np.float32)
+    y = rng.randint(0, 4, n).astype(np.int32)
+    net = NeuralNet(spec, prms)
+    return net, Trainer(net, x, y, x, y), x, y
+
+
+def test_index_list_training_matches_contiguous():
+    _, tr1, _, _ = mk_trainer()
+    _, tr2, _, _ = mk_trainer()
+    c1, f1, _ = tr1.run_batch(0, step=0)
+    c2, f2, _ = tr2.run_batch_indices(np.arange(8), step=0)
+    np.testing.assert_allclose(c1, c2, rtol=1e-5)
+    np.testing.assert_allclose(f1, f2, rtol=1e-5)
+
+
+def test_index_list_training_arbitrary_ids_runs():
+    _, tr, _, _ = mk_trainer()
+    idx = np.array([3, 3, 60, 0, 17, 8, 9, 1])
+    cost, _, _ = tr.run_batch_indices(idx, step=0)
+    assert np.isfinite(cost)
+
+
+def test_reset_momentum():
+    _, tr, _, _ = mk_trainer()
+    tr.run_batch(0, step=0)
+    tr.run_batch(1, step=1)
+    assert any(float(jnp.abs(m).max()) > 0 for lm in tr.moms for m in lm)
+    tr.reset_momentum()
+    assert all(float(jnp.abs(m).max()) == 0 for lm in tr.moms for m in lm)
+
+
+def test_predict_on_raw_arrays_with_layer_outputs():
+    _, tr, x, _ = mk_trainer()
+    feats, preds, h1 = tr.predict(x[:8], get_output_of_layers=(1,))
+    assert feats.shape == (8, 4)
+    assert preds.shape == (8,)
+    assert h1.shape == (8, 16)  # hidden activations exposed
+    assert set(preds.tolist()) <= {0, 1, 2, 3}
+
+
+def test_hinge_max_loss():
+    rng = np.random.RandomState(1)
+    lyr = SoftmaxLayer(None, rng, n_in=6, n_out=4, loss="hinge_max")
+    x = rng.rand(5, 6).astype(np.float32)
+    w = [jnp.asarray(p) for p in lyr.params_init]
+    hs = lyr.apply_head(w, jnp.asarray(x), key=jax.random.PRNGKey(0), train=True)
+    y = np.array([0, 1, 2, 3, 0], np.int32)
+    out = np.asarray(hs["output"])
+    manual = np.mean([
+        max(0.0, 1.0 + max(np.delete(out[i], y[i])) - out[i, y[i]])
+        for i in range(5)
+    ])
+    np.testing.assert_allclose(
+        float(lyr.cost(hs, jnp.asarray(y))), manual, rtol=1e-5
+    )

@@ -69,6 +69,16 @@ class OutputMixin:
             return jnp.mean(
                 jnp.maximum(0.0, out + 1.0 - _true_class(out, y)[:, None])
             )
+        if loss == "hinge_max":
+            # Per-sample hinge against the best wrong class (the reference's
+            # th.scan variant, outlayers.py:53-60 — present but unreachable
+            # through its dispatch; exposed here as a selectable loss).
+            out = hs["output"]
+            true = _true_class(out, y)
+            masked = jnp.where(
+                jax.nn.one_hot(y, out.shape[1], dtype=bool), -jnp.inf, out
+            )
+            return jnp.mean(jnp.maximum(0.0, 1.0 + jnp.max(masked, axis=1) - true))
         if loss == "exp":
             return jnp.mean(jnp.exp(-_true_class(hs["output"], y)))
         raise NotImplementedError("Loss : " + str(loss))

@@ -118,6 +118,21 @@ class Trainer:
 
         self._train_batch = jax.jit(train_batch, donate_argnums=(0, 1))
 
+        def train_indices(params, moms, idx, step, lr):
+            # Index-vector batches — the reference's take_index_list variant
+            # (neuralnet.py:228-234): train on an arbitrary set of sample ids.
+            x = constrain(self.d_train_x[idx])
+            y = constrain(self.d_train_y[idx])
+            aux = (
+                constrain(self.d_train_aux[idx])
+                if self.d_train_aux is not None
+                else None
+            )
+            key = jax.random.fold_in(base_key, step)
+            return net.train_step(params, moms, x, y, key=key, lr=lr, aux=aux)
+
+        self._train_indices = jax.jit(train_indices, donate_argnums=(0, 1))
+
         def train_epoch(params, moms, epoch_no, lr):
             def body(carry, ibatch):
                 params, moms = carry
@@ -156,6 +171,49 @@ class Trainer:
         )
         costs = np.asarray(costs)
         return float(costs.sum()), costs, np.asarray(min_true_f)
+
+    def run_batch_indices(self, idx, step: int, lr: Optional[float] = None):
+        """Train one step on an arbitrary index vector (take_index_list
+        parity). ``idx`` must have length BATCH_SZ for shape stability."""
+        lr = self.net.get_rate() if lr is None else lr
+        idx = jnp.asarray(np.asarray(idx, np.int32))
+        self.params, self.moms, cost, feats, logp = self._train_indices(
+            self.params, self.moms, idx, jnp.int32(step), jnp.float32(lr)
+        )
+        return float(cost), np.asarray(feats), np.asarray(logp)
+
+    def reset_momentum(self):
+        """Zero all gradient accumulators (the reference's
+        reset_accumulated_gradients, neuralnet.py:243-254)."""
+        from .optim import init_momentum
+
+        moms = init_momentum(self.net.net_layers, self.params)
+        if self.mesh is not None:
+            from .parallel.mesh import shard_params
+
+            moms = shard_params(
+                moms,
+                [s[: len(m)] for s, m in zip(self._pspecs, moms)],
+                self.mesh,
+            )
+        self.moms = moms
+
+    def predict(self, x, aux=None, get_output_of_layers=()):
+        """Inference on raw arrays — the reference's get_data_test_model
+        (neuralnet.py:282-296): returns (features, y_preds, *layer outputs)."""
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(
+                lambda params, x, aux: self.net.predict(
+                    params, x, aux=aux,
+                    get_output_of_layers=tuple(get_output_of_layers),
+                )
+            )
+        out = self._predict_jit(
+            self.params,
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(aux, jnp.float32) if aux is not None else None,
+        )
+        return tuple(np.asarray(o) for o in out)
 
     def run_batch(self, ibatch: int, step: int, lr: Optional[float] = None):
         """Single-batch step (the reference's granularity), for debugging and
