@@ -61,6 +61,27 @@ def test_dropout_skip_rule_for_conv_shapes():
     assert pool.num_maps == 2 and pool.in_sz == 8 and pool.out_sz == 4
 
 
+def test_midnet_elastic_color_layers_inherit_shapes():
+    """Mid-stack Elastic/Color layers get num_maps/img_sz from the previous
+    layer and any user-provided values are stripped (neuralnet.py:132-137)."""
+    spec = [
+        ["InputLayer", {"img_sz": 12}],
+        ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1}],
+        ["ElasticLayer", {"translation": 1, "img_sz": 999, "num_maps": 42}],
+        ["ColorLayer", {"balance": 1.2, "gamma": 1.1}],
+        ["HiddenLayer", {"n_out": 8}],
+        ["SoftmaxLayer", {"n_out": 3}],
+    ]
+    net = NeuralNet(spec, tr_prms())
+    el, co = net.net_layers[2], net.net_layers[3]
+    assert el.out_sz == 10 and el.num_maps == 3  # stripped 999/42
+    assert co.out_sz == 10 and co.num_maps == 3
+    params, _ = net.init_params()
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 1, 12, 12), jnp.float32)
+    hs = net.forward(params, x, key=jax.random.PRNGKey(0), train=True)
+    assert hs["probs"].shape == (4, 3)
+
+
 def test_first_layer_must_be_input_kind():
     spec = [["HiddenLayer", {"n_out": 4}], ["SoftmaxLayer", {"n_out": 2}]]
     with pytest.raises(AssertionError):

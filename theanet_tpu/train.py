@@ -175,12 +175,33 @@ def main(argv=None):
     profile_dir = os.environ.get("THEANET_PROFILE_DIR")
     n_train_imgs = trainer.n_train_batches * batch_sz
 
+    # THEANET_STEPWISE=1 switches from the fused scanned epoch to per-batch
+    # host-dispatched steps — the reference's exact granularity, where the
+    # NaN/divergence watchdogs can interrupt mid-epoch (train.py:210-226).
+    # ~2-5x slower; use for debugging diverging runs.
+    stepwise = os.environ.get("THEANET_STEPWISE") == "1"
+
+    def run_epoch_stepwise(epoch):
+        costs, min_true_f = [], []
+        nb = trainer.n_train_batches
+        for ibatch in range(nb):
+            cost, feats, _ = trainer.run_batch(ibatch, epoch * nb + ibatch)
+            y = np.asarray(data.training_y[ibatch * batch_sz : (ibatch + 1) * batch_sz])
+            costs.append(cost)
+            min_true_f.append(feats[np.arange(len(y)), y].min())
+            if np.isnan(cost):
+                break
+        return float(np.nansum(costs)), np.asarray(costs), np.asarray(min_true_f)
+
     is_exp_head = layers[-1][0][:3] == "Exp"
     for epoch in range(n_epochs):
         if profile_dir and epoch == 1:  # epoch 0 includes compile; trace epoch 1
             jax.profiler.start_trace(profile_dir)
         t_epoch = _time.time()
-        total_cost, costs, min_true_f = trainer.run_epoch()
+        if stepwise:
+            total_cost, costs, min_true_f = run_epoch_stepwise(epoch)
+        else:
+            total_cost, costs, min_true_f = trainer.run_epoch()
         dt = _time.time() - t_epoch
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()
