@@ -151,6 +151,18 @@ def gather_rows_host(src, idx, n_threads=0):
     return src[idx]
 
 
+def _put(q, item, stop, poll_s=0.1):
+    """queue.put that aborts when the consumer is gone (stop set) — keeps an
+    abandoned producer thread from blocking forever on a full queue."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=poll_s)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class HostPipeline:
     """Double-buffered producer of (x, y) device batches.
 
@@ -211,8 +223,9 @@ class HostPipeline:
                     import jax
 
                     x, y = jax.device_put(x), jax.device_put(y)
-                q.put((x, y))
-            q.put(None)
+                if not _put(q, (x, y), stop):
+                    return
+            _put(q, None, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -299,13 +299,10 @@ class NeuralNet:
 
     def snapshot_params(self, params):
         """Copy current device params back into the layers so get_wts() /
-        get_init_params() reflect training progress."""
+        get_init_params() reflect training progress. (Non-learnable
+        CenteredOut centers live outside params and stay as initialized.)"""
         for lyr, lp in zip(self.net_layers, params):
-            arrs = [np.asarray(p) for p in lp]
-            if isinstance(lyr, CenteredOutLayer) and not lyr.learn_centers:
-                lyr.params_init = arrs
-            else:
-                lyr.params_init = arrs
+            lyr.params_init = [np.asarray(p) for p in lp]
 
     def get_rate(self):
         return learning_rate(self.tr_prms)
