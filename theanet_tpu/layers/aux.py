@@ -147,7 +147,7 @@ class SoftAuxLayer(HiddenLayer, OutputMixin):
         k_aux = jax.random.fold_in(key, 1)
         aux_out = self.aux_info.apply(wts[2:6], aux, key=k_aux, train=train)
         cross_w, cross_b = wts[6], wts[7]
-        logits = hidden_out + cross_b + jnp.dot(aux_out, cross_w)
+        logits = (hidden_out + cross_b + jnp.dot(aux_out, cross_w)).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
         logprob = jax.nn.log_softmax(logits, axis=-1)
         return {

@@ -90,19 +90,23 @@ class ConvLayer(Layer):
             padding = [(0, 0), (0, 0)]
         else:  # 'full' and 'same' both run a full conv (convpool.py:53-56)
             padding = [(f - 1, f - 1), (f - 1, f - 1)]
+        # f32 accumulation hint only in full precision: with bf16 operands the
+        # MXU accumulates in f32 internally anyway, and a widened output dtype
+        # breaks the conv transpose rule (bf16 operand x f32 cotangent).
+        acc = {"preferred_element_type": jnp.float32} if x.dtype == jnp.float32 else {}
         out = jax.lax.conv_general_dilated(
             x,
             w,
             window_strides=(self.stride, self.stride),
             padding=padding,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
+            **acc,
         )
         if self.mode == "same":
             shift = (f - 1) // 2
             out = out[:, :, shift : self.in_sz + shift, shift : self.in_sz + shift]
         act = activation_by_name(self.actvn)
-        return act(out + b[None, :, None, None])
+        return act(out + b[None, :, None, None]).astype(x.dtype)
 
 
 class PoolLayer(Layer):

@@ -64,11 +64,13 @@ class HiddenLayer(Layer):
     def linear(self, wts, x):
         w, b = wts
         x = x.reshape(x.shape[0], -1)
+        # f32 accumulation hint only in full precision (see ConvLayer.apply).
+        acc = {"preferred_element_type": jnp.float32} if x.dtype == jnp.float32 else {}
         return (
             jax.lax.dot_general(
                 x, w,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                **acc,
             )
             + b
         )
@@ -81,7 +83,9 @@ class HiddenLayer(Layer):
                 out = drop_output(key, out, self.pdrop)
             else:
                 out = out * (1.0 - self.pdrop)
-        return out
+        # keep the activation stream in the network compute dtype (the dot
+        # accumulates in f32; mixed-precision mode flows bf16 between layers)
+        return out.astype(x.dtype)
 
 
 class DropOutLayer(Layer):

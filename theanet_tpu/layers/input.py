@@ -101,7 +101,7 @@ class ElasticLayer(Layer):
         out, _ = elastic_augment(
             key, x, self.cfg, train=train, method=self.method
         )
-        return out
+        return out.astype(x.dtype)
 
     def debug_apply(self, x, key):
         """Augment with debug outputs (displacement field + sampled randoms),

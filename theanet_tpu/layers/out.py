@@ -110,7 +110,7 @@ class SoftmaxLayer(HiddenLayer, OutputMixin):
         )
 
     def apply_head(self, wts, x, *, key, train, aux=None):
-        z = self.linear(wts, x)
+        z = self.linear(wts, x).astype(jnp.float32)  # head math stays f32
         probs = jax.nn.softmax(z, axis=-1)
         # log_softmax, not log(softmax): Theano's stabilization pass rewrites
         # log(softmax(x)) into the stable form automatically, so this IS the
@@ -145,7 +145,7 @@ class ExpLossLayer(HiddenLayer, OutputMixin):
         )
 
     def apply_head(self, wts, x, *, key, train, aux=None):
-        raw = self.linear(wts, x)
+        raw = self.linear(wts, x).astype(jnp.float32)
         centered = raw - jnp.mean(raw, axis=1, keepdims=True)
         probs = jax.nn.softmax(centered, axis=-1)
         return {
@@ -176,7 +176,7 @@ class HingeLayer(HiddenLayer, OutputMixin):
         )
 
     def apply_head(self, wts, x, *, key, train, aux=None):
-        out = self.linear(wts, x)
+        out = self.linear(wts, x).astype(jnp.float32)
         return {
             "output": out,
             "probs": out,
@@ -272,6 +272,7 @@ class CenteredOutLayer(HiddenLayer, OutputMixin):
     def apply_head(self, wts, x, *, key, train, aux=None):
         w, b = wts[0], wts[1]
         feats = super().apply((w, b), x, key=key, train=train)
+        feats = feats.astype(jnp.float32)  # head math stays f32
         centers = wts[2] if self.learn_centers else jnp.asarray(self.centers_init)
         c = centers[None, :, :]  # (1, nC, nF)
         v = feats[:, None, :]  # (B, 1, nF)

@@ -151,6 +151,13 @@ class NeuralNet:
         if "CUR_EPOCH" not in training_params:
             training_params["CUR_EPOCH"] = 0
 
+        # Mixed precision: COMPUTE_DTYPE='bfloat16' runs the network body in
+        # bf16 (the MXU's native dtype) with f32 master weights, f32 gradient
+        # accumulation, and f32 head/loss math — the TPU-native analog of the
+        # reference's theano floatX knob. Default: full f32.
+        cd = training_params.get("COMPUTE_DTYPE")
+        self.compute_dtype = jnp.dtype(cd) if cd else None
+
         # Initial parameter pytree in checkpoint ('allwts') structure.
         self.allwts0 = [lyr.get_wts() for lyr in self.net_layers]
         # Base PRNG for per-batch randomness (augmentation, dropout). The
@@ -224,6 +231,11 @@ class NeuralNet:
 
     def forward(self, params, x, *, key, train, aux=None):
         """Run the stack; returns the head-state dict of the output layer."""
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            params = jax.tree.map(
+                lambda p: p.astype(self.compute_dtype), params
+            )
         out = x
         for i, lyr in enumerate(self.net_layers):
             k = jax.random.fold_in(key, i)
