@@ -79,6 +79,58 @@ def test_dp_only_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_centered_rbf_head_under_mesh():
+    mesh = make_mesh(n_data=4, n_model=2)
+    net = NeuralNet(
+        [
+            ["InputLayer", {"img_sz": 12}],
+            ["HiddenLayer", {"n_out": 32}],
+            ["CenteredOutLayer", {"n_features": 8, "n_classes": 10,
+                                  "kind": "RBF", "learn_centers": True,
+                                  "junk_dist": 20.0}],
+        ],
+        prms(16),
+    )
+    x, y = make_data(64)
+    tr = Trainer(net, x, y, x, y, mesh=mesh)
+    total, _, _ = tr.run_epoch()
+    assert np.isfinite(total)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_soft_aux_head_under_mesh():
+    mesh = make_mesh(n_data=4, n_model=2)
+    net = NeuralNet(
+        [
+            ["InputLayer", {"img_sz": 12}],
+            ["HiddenLayer", {"n_out": 32}],
+            ["SoftAuxLayer", {"n_out": 10, "n_aux": (5, 9),
+                              "aux_type": "LocationInfo"}],
+        ],
+        prms(16),
+    )
+    x, y = make_data(64)
+    aux = np.random.RandomState(3).rand(64, 2, 2).astype(np.float32)
+    tr = Trainer(net, x, y, x, y, train_aux=aux, test_aux=aux, mesh=mesh)
+    total, _, _ = tr.run_epoch()
+    assert np.isfinite(total)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_remat_under_mesh_matches_no_remat():
+    x, y = make_data(64)
+    net1 = NeuralNet(spec(), prms(16))
+    tr1 = Trainer(net1, x, y, x, y)
+    p1 = dict(prms(16))
+    p1["REMAT"] = True
+    net2 = NeuralNet(spec(), p1)
+    tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=4, n_model=2))
+    t1, c1, _ = tr1.run_epoch()
+    t2, c2, _ = tr2.run_epoch()
+    np.testing.assert_allclose(c1, c2, rtol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_graft_entry_contract():
     import __graft_entry__ as ge
 

@@ -157,6 +157,10 @@ class NeuralNet:
         # reference's theano floatX knob. Default: full f32.
         cd = training_params.get("COMPUTE_DTYPE")
         self.compute_dtype = jnp.dtype(cd) if cd else None
+        # REMAT=True rematerializes each layer's forward in the backward pass
+        # (jax.checkpoint) — trades FLOPs for HBM, the standard TPU lever for
+        # large batches / deep stacks. Default off (these nets are small).
+        self.remat = bool(training_params.get("REMAT", False))
 
         # Initial parameter pytree in checkpoint ('allwts') structure.
         self.allwts0 = [lyr.get_wts() for lyr in self.net_layers]
@@ -241,7 +245,17 @@ class NeuralNet:
             k = jax.random.fold_in(key, i)
             if lyr is self.head:
                 return lyr.apply_head(params[i], out, key=k, train=train, aux=aux)
-            out = lyr.apply(params[i], out, key=k, train=train, aux=aux)
+            apply = lyr.apply
+            if self.remat:
+                apply = jax.checkpoint(
+                    lambda p, o, _k, _lyr=lyr: _lyr.apply(
+                        p, o, key=_k, train=train, aux=aux
+                    ),
+                    static_argnums=(),
+                )
+                out = apply(params[i], out, k)
+            else:
+                out = apply(params[i], out, key=k, train=train, aux=aux)
         raise AssertionError("unreachable: head not applied")
 
     def cost(self, params, x, y, *, key, aux=None):
