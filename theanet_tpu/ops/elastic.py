@@ -222,7 +222,10 @@ def resample(x, target, *, nearest: bool = False, method: str = "auto"):
     b, c, h, w = x.shape
     ty, tx = _clip_warp(target, h, w)
     if method == "auto":
-        method = "matmul" if h * w <= 4096 else "gather"
+        # The dense (hw, hw) sampling matrix costs hw^2 floats (2.4 MB at
+        # 28x28 — VMEM-friendly; 67 MB at 64x64 — hopeless) and 2*B*C*hw^2
+        # matmul FLOPs, so the MXU trick only wins for small images.
+        method = "matmul" if h * w <= 1600 else "gather"
     if method == "gather":
         return _resample_gather(x, ty, tx, nearest)
     if method == "pallas":
@@ -271,6 +274,10 @@ def elastic_augment(
 
     k_warp, k_flip = jax.random.split(key)
     target, debug = sample_warp(k_warp, cfg, x.shape[2], x.shape[3], with_debug)
+    if method == "pallas" and x.shape[2] * x.shape[3] > 1600:
+        # The fused kernel's tap matrix would not fit VMEM; use the XLA
+        # gather path for large images.
+        method = "gather"
     if method == "pallas":
         # Fully fused kernel: resample + pflip in one VMEM-resident program
         # (x is already inverted above).
