@@ -70,3 +70,23 @@ def test_pipeline_no_deform_no_shuffle_roundtrip():
     np.testing.assert_array_equal(
         np.concatenate([x for x, _ in batches]), src
     )
+
+
+def test_pipeline_epochs_differ():
+    """Each __iter__ is a fresh epoch: new shuffle order, new deformations
+    (re-iterating must NOT replay identical augmentation)."""
+    src = np.random.RandomState(0).rand(40, 1, 12, 12).astype(np.float32)
+    labels = np.arange(40, dtype=np.int32)
+    pipe = HostPipeline(
+        src, labels, 10,
+        deform={"translation": 2, "magnitude": 8, "sigma": 3},
+        to_device=False, seed=5,
+    )
+    e1 = list(pipe)
+    e2 = list(pipe)
+    y1 = np.concatenate([y for _, y in e1])
+    y2 = np.concatenate([y for _, y in e2])
+    assert not np.array_equal(y1, y2)  # fresh shuffle
+    x1 = np.concatenate([x for x, _ in e1])
+    x2 = np.concatenate([x for x, _ in e2])
+    assert not np.array_equal(x1, x2)  # fresh deformations

@@ -68,3 +68,17 @@ def test_bf16_close_to_f32_on_first_steps():
         nets[name] = c
     # same seed, same data: initial-epoch cost within a few percent
     assert abs(nets["f32"] - nets["bf16"]) / nets["f32"] < 0.05, nets
+
+
+def test_predict_runs_same_body_as_eval_under_bf16():
+    """Deployment inference must use the same bf16 network body as eval, so
+    checkpointed error figures are reproducible via predict()."""
+    net = NeuralNet(spec(), prms(COMPUTE_DTYPE="bfloat16"))
+    tr = Trainer(net, synth.training_x[:400], synth.training_y[:400],
+                 synth.testing_x[:200], synth.testing_y[:200])
+    x = synth.testing_x[:200]
+    y = synth.testing_y[:200]
+    _, preds = tr.predict(x)
+    err_pred = (preds != y).mean() * 100
+    err_eval, _ = tr.evaluate_full("test")
+    np.testing.assert_allclose(err_pred, err_eval, atol=1e-6)

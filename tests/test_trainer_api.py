@@ -75,3 +75,13 @@ def test_hinge_max_loss():
     np.testing.assert_allclose(
         float(lyr.cost(hs, jnp.asarray(y))), manual, rtol=1e-5
     )
+
+
+def test_predict_different_layer_indices_per_call():
+    """Regression: predict must honor get_output_of_layers per call, not
+    reuse the first call's compiled closure."""
+    _, tr, x, _ = mk_trainer()
+    _, _, h1 = tr.predict(x[:8], get_output_of_layers=(1,))
+    _, _, h2 = tr.predict(x[:8], get_output_of_layers=(2,))
+    assert h1.shape == (8, 16)
+    assert h2.shape == (8, 4)

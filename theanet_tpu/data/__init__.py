@@ -17,5 +17,11 @@ __all__ = ["load_dataset"]
 def load_dataset(name: str):
     try:
         return importlib.import_module("data." + name)
-    except ImportError:
+    except ModuleNotFoundError as e:
+        # Fall back to the built-ins only when the user module itself is
+        # absent — an ImportError raised INSIDE an existing data/<name>.py
+        # (e.g. a missing dependency) must surface, not silently swap the
+        # dataset.
+        if e.name not in ("data", "data." + name):
+            raise
         return importlib.import_module("theanet_tpu.data." + name)

@@ -183,13 +183,17 @@ class HostPipeline:
         self.depth = depth
         self.to_device = to_device
         self.n_batches = len(data_x) // batch_sz
+        self._epoch = 0  # bumps per __iter__ so every epoch gets a fresh
+        #                  shuffle order and fresh deformations
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
+        epoch = self._epoch
+        self._epoch += 1
 
         def producer():
-            rng = np.random.RandomState(self.seed)
+            rng = np.random.RandomState((self.seed + 77003 * epoch) % (2**31))
             order = np.arange(self.n_batches * self.batch_sz)
             if self.shuffle:
                 rng.shuffle(order)
@@ -202,6 +206,7 @@ class HostPipeline:
                 if self.deform:
                     d = self.deform
                     h, w = x.shape[2], x.shape[3]
+                    step = epoch * self.n_batches + b
                     warp = make_warp_host(
                         h, w,
                         translation=d.get("translation", 0),
@@ -209,7 +214,7 @@ class HostPipeline:
                         magnitude=d.get("magnitude", 0),
                         sigma=d.get("sigma", 1),
                         angle=d.get("angle", 0),
-                        seed=self.seed * 1000003 + b,
+                        seed=self.seed * 1000003 + step,
                     )
                     if d.get("invert_image"):
                         np.subtract(1.0, x, out=x)
@@ -217,7 +222,7 @@ class HostPipeline:
                         x, warp,
                         nearest=d.get("nearest", False),
                         pflip=d.get("pflip", 0.0),
-                        seed=self.seed * 7 + b,
+                        seed=self.seed * 7 + step,
                     )
                 if self.to_device:
                     import jax

@@ -284,6 +284,13 @@ class NeuralNet:
         """Deployment entry point: features + predictions on raw arrays, with
         optional intermediate activations (reference get_data_test_model,
         neuralnet.py:282-296)."""
+        if self.compute_dtype is not None:
+            # Serve with the same network body the eval path ran, so the
+            # checkpoint's recorded error is reproducible at deployment.
+            x = x.astype(self.compute_dtype)
+            params = jax.tree.map(
+                lambda p: p.astype(self.compute_dtype), params
+            )
         outs = []
         out = x
         hs = None

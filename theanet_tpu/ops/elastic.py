@@ -25,7 +25,8 @@ TPU-first design notes:
     holding the <=4 bilinear taps per output pixel. Building S from one-hots
     and doing one matmul turns a gather-bound op into MXU work
     (``method='matmul'``). For large images S is too big; ``method='gather'``
-    uses XLA's native gather. ``method='auto'`` picks by image size.
+    uses XLA's native gather. ``method='auto'`` picks by image size
+    (hw <= 1600 -> matmul).
 """
 
 from __future__ import annotations
@@ -216,8 +217,9 @@ def _resample_matrix(ty, tx, h, w, nearest: bool):
 def resample(x, target, *, nearest: bool = False, method: str = "auto"):
     """Resample batch x (B, C, H, W) at warp ``target`` (2, h, w).
 
-    method: 'gather' | 'matmul' | 'auto' (matmul for hw <= 4096, where the
-    dense sampling matrix is small enough to be a clear MXU win).
+    method: 'gather' | 'matmul' | 'pallas' | 'auto' (matmul for hw <= 1600,
+    where the dense sampling matrix is small enough to be a clear MXU win;
+    gather above).
     """
     b, c, h, w = x.shape
     ty, tx = _clip_warp(target, h, w)

@@ -201,14 +201,16 @@ class Trainer:
     def predict(self, x, aux=None, get_output_of_layers=()):
         """Inference on raw arrays — the reference's get_data_test_model
         (neuralnet.py:282-296): returns (features, y_preds, *layer outputs)."""
-        if not hasattr(self, "_predict_jit"):
-            self._predict_jit = jax.jit(
+        layer_key = tuple(get_output_of_layers)
+        if not hasattr(self, "_predict_jits"):
+            self._predict_jits = {}
+        if layer_key not in self._predict_jits:
+            self._predict_jits[layer_key] = jax.jit(
                 lambda params, x, aux: self.net.predict(
-                    params, x, aux=aux,
-                    get_output_of_layers=tuple(get_output_of_layers),
+                    params, x, aux=aux, get_output_of_layers=layer_key
                 )
             )
-        out = self._predict_jit(
+        out = self._predict_jits[layer_key](
             self.params,
             jnp.asarray(x, jnp.float32),
             jnp.asarray(aux, jnp.float32) if aux is not None else None,
