@@ -196,7 +196,11 @@ def main(argv=None):
     is_exp_head = layers[-1][0][:3] == "Exp"
     for epoch in range(n_epochs):
         if profile_dir and epoch == 1:  # epoch 0 includes compile; trace epoch 1
-            jax.profiler.start_trace(profile_dir)
+            try:
+                jax.profiler.start_trace(profile_dir)
+            except Exception as e:  # profiling is best-effort on exotic backends
+                print("profiler unavailable:", e, file=sys.stderr)
+                profile_dir = None
         t_epoch = _time.time()
         if stepwise:
             total_cost, costs, min_true_f = run_epoch_stepwise(epoch)
