@@ -90,3 +90,37 @@ def test_pipeline_epochs_differ():
     x1 = np.concatenate([x for x, _ in e1])
     x2 = np.concatenate([x for x, _ in e2])
     assert not np.array_equal(x1, x2)  # fresh deformations
+
+
+def test_streamed_training_learns():
+    """End-to-end: HostPipeline (native gather + host deformation) feeding
+    Trainer.run_epoch_streamed — the large-corpus path."""
+    import jax
+    from theanet_tpu.data import synth
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    spec = [
+        ["InputLayer", {"img_sz": 28}],
+        ["HiddenLayer", {"n_out": 64, "pdrop": 0.25}],
+        ["SoftmaxLayer", {"n_out": 10}],
+    ]
+    prms = {"SEED": 4, "BATCH_SZ": 50, "NUM_EPOCHS": 1, "EPOCHS_TO_TEST": 1,
+            "TEST_SAMP_SZ": 400, "INIT_LEARNING_RATE": 0.2,
+            "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(spec, prms)
+    # trainer holds only the eval split on device; training streams from host
+    tr = Trainer(net, synth.training_x[:100], synth.training_y[:100],
+                 synth.testing_x[:400], synth.testing_y[:400])
+    errs = []
+    for _ in range(3):
+        pipe = HostPipeline(
+            synth.training_x[:3000], synth.training_y[:3000], 50,
+            deform={"translation": 1, "magnitude": 5, "sigma": 3},
+            seed=net.get_epoch(),
+        )
+        total, costs = tr.run_epoch_streamed(pipe)
+        assert len(costs) == 60 and np.isfinite(total)
+        errs.append(tr.evaluate_full("test")[0])
+        net.inc_epoch_set_rate()
+    assert errs[-1] < 25.0, errs

@@ -133,6 +133,16 @@ class Trainer:
 
         self._train_indices = jax.jit(train_indices, donate_argnums=(0, 1))
 
+        def train_raw(params, moms, x, y, step, lr):
+            # Streamed batches (host pipeline feed): data arrives as device
+            # arrays instead of dataset slices.
+            key = jax.random.fold_in(base_key, step)
+            return net.train_step(
+                params, moms, constrain(x), constrain(y), key=key, lr=lr
+            )
+
+        self._train_raw = jax.jit(train_raw, donate_argnums=(0, 1))
+
         def train_epoch(params, moms, epoch_no, lr):
             def body(carry, ibatch):
                 params, moms = carry
@@ -171,6 +181,25 @@ class Trainer:
         )
         costs = np.asarray(costs)
         return float(costs.sum()), costs, np.asarray(min_true_f)
+
+    def run_epoch_streamed(self, pipeline, lr: Optional[float] = None):
+        """Train one epoch from a host-side batch producer (e.g.
+        theanet_tpu.io.HostPipeline) — for corpora too large to keep
+        HBM-resident. Upload of batch k+1 overlaps the step on batch k via
+        the pipeline's prefetch queue. Returns (total_cost, costs array)."""
+        lr = self.net.get_rate() if lr is None else lr
+        epoch_no = self.net.get_epoch()
+        costs = []
+        step0 = epoch_no * getattr(pipeline, "n_batches", 0)
+        for b, (x, y) in enumerate(pipeline):
+            self.params, self.moms, cost, _, _ = self._train_raw(
+                self.params, self.moms,
+                jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32),
+                jnp.int32(step0 + b), jnp.float32(lr),
+            )
+            costs.append(cost)
+        costs = np.asarray([float(c) for c in costs])
+        return float(costs.sum()), costs
 
     def run_batch_indices(self, idx, step: int, lr: Optional[float] = None):
         """Train one step on an arbitrary index vector (take_index_list
