@@ -82,3 +82,31 @@ def test_predict_runs_same_body_as_eval_under_bf16():
     err_pred = (preds != y).mean() * 100
     err_eval, _ = tr.evaluate_full("test")
     np.testing.assert_allclose(err_pred, err_eval, atol=1e-6)
+
+
+def test_bf16_through_all_resample_methods():
+    """bf16 network inputs must work through gather, matmul, and pallas
+    resample paths (resample math itself runs f32)."""
+    from theanet_tpu.ops.elastic import ElasticConfig, elastic_augment
+
+    cfg = ElasticConfig(img_sz=16, translation=2, zoom=1.1, magnitude=10,
+                        sigma=3, pflip=0.02, angle=5)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 1, 16, 16),
+                    jnp.bfloat16)
+    outs = {}
+    for m in ("gather", "matmul", "pallas"):
+        out, _ = elastic_augment(jax.random.PRNGKey(0), x, cfg, train=True,
+                                 method=m)
+        outs[m] = np.asarray(out, np.float32)
+        assert np.isfinite(outs[m]).all(), m
+    np.testing.assert_allclose(outs["gather"], outs["matmul"], atol=2e-2)
+
+
+def test_bf16_cnn_with_all_aug_under_mesh_builds():
+    """bf16 + elastic + conv trains (the combination that would hit
+    mixed-dtype dot errors without the f32 resample cast)."""
+    net = NeuralNet(spec(), prms(COMPUTE_DTYPE="bfloat16"))
+    tr = Trainer(net, synth.training_x[:200], synth.training_y[:200],
+                 synth.testing_x[:100], synth.testing_y[:100])
+    total, _, _ = tr.run_epoch()
+    assert np.isfinite(total)

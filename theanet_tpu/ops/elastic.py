@@ -222,6 +222,9 @@ def resample(x, target, *, nearest: bool = False, method: str = "auto"):
     gather above).
     """
     b, c, h, w = x.shape
+    # Resample math runs in f32 regardless of the network compute dtype (the
+    # tap weights and warp are f32; mixed-dtype dots are not allowed).
+    x = x.astype(jnp.float32)
     ty, tx = _clip_warp(target, h, w)
     if method == "auto":
         # The dense (hw, hw) sampling matrix costs hw^2 floats (2.4 MB at
@@ -289,7 +292,8 @@ def elastic_augment(
         ty, tx = _clip_warp(target, h, w)
         seed = jax.random.randint(k_flip, (), 0, 2**31 - 1, dtype=jnp.int32)
         out = elastic_resample_pallas(
-            x, ty, tx, nearest=cfg.nearest, pflip=cfg.pflip, seed=seed
+            x.astype(jnp.float32), ty, tx,
+            nearest=cfg.nearest, pflip=cfg.pflip, seed=seed,
         )
     else:
         out = resample(x, target, nearest=cfg.nearest, method=method)
