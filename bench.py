@@ -100,7 +100,7 @@ def main():
     accel_batches = 500 if accel.platform != "cpu" else 300
     if accel.platform != "cpu":
         ips_accel = None
-        for attempt in range(2):
+        for attempt in range(3):
             try:
                 ips_accel = _measure_subprocess(
                     ["accel", str(batch_sz), str(accel_batches), "5"], 1500
@@ -109,7 +109,18 @@ def main():
             except Exception as e:
                 log(f"accel measurement attempt {attempt} failed: {e!r:.200}")
         if ips_accel is None:
-            ips_accel = measure(accel, batch_sz, accel_batches, reps=5)
+            # Never fall back to an unguarded in-process measure (the wedge
+            # would hang forever); report failure explicitly instead.
+            print(json.dumps({
+                "metric": "MNIST-CNN train images/sec/chip "
+                          "(elastic aug + fwd + bwd, batch 20)",
+                "value": 0,
+                "unit": "images/sec",
+                "vs_baseline": 0,
+                "error": "accelerator measurement timed out 3x "
+                         "(remote compile service wedged)",
+            }))
+            return
     else:
         ips_accel = measure(accel, batch_sz, accel_batches, reps=5)
     log(f"accelerator ({accel.device_kind}): {ips_accel:,.0f} images/sec")
@@ -142,13 +153,12 @@ def main():
 
 
 def _measure_cli():
-    """Child-process entry: bench.py --measure <which> <batch> <nb> <reps> —
+    """Child-process entry: bench.py --measure accel <batch> <nb> <reps> —
     prints the measured images/sec as the last stdout line."""
     import jax
 
-    which, batch, nb, reps = sys.argv[2:6]
-    dev = jax.devices()[0] if which == "accel" else jax.devices("cpu")[0]
-    print(measure(dev, int(batch), int(nb), int(reps)))
+    _, batch, nb, reps = sys.argv[2:6]
+    print(measure(jax.devices()[0], int(batch), int(nb), int(reps)))
 
 
 if __name__ == "__main__":

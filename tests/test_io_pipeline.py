@@ -124,3 +124,70 @@ def test_streamed_training_learns():
         errs.append(tr.evaluate_full("test")[0])
         net.inc_epoch_set_rate()
     assert errs[-1] < 25.0, errs
+
+
+def test_pipeline_producer_exception_surfaces():
+    """A producer-thread failure must raise in the consumer, not hang it."""
+    import pytest
+
+    src = np.random.RandomState(0).rand(20, 1, 8, 8).astype(np.float32)
+    pipe = HostPipeline(src, np.arange(20, dtype=np.int32), 5,
+                        shuffle=False, to_device=False)
+    # sabotage: labels array too short -> IndexError inside the producer
+    pipe.data_y = np.arange(3, dtype=np.int32)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(pipe)
+
+
+def test_streamed_aux_batches():
+    """run_epoch_streamed accepts (x, y, aux) tuples for aux-input nets, and
+    rejects aux-requiring nets fed plain (x, y)."""
+    import pytest
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    spec = [
+        ["InputLayer", {"img_sz": 8}],
+        ["HiddenLayer", {"n_out": 12}],
+        ["SoftAuxLayer", {"n_out": 4, "n_aux": (5, 9),
+                          "aux_type": "LocationInfo"}],
+    ]
+    prms = {"SEED": 1, "BATCH_SZ": 4, "NUM_EPOCHS": 1, "EPOCHS_TO_TEST": 1,
+            "TEST_SAMP_SZ": 4, "INIT_LEARNING_RATE": 0.1,
+            "EPOCHS_TO_HALF_RATE": 1}
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 1, 8, 8).astype(np.float32)
+    y = rng.randint(0, 4, 8).astype(np.int32)
+    aux = rng.rand(8, 2, 2).astype(np.float32)
+    net = NeuralNet(spec, prms)
+    tr = Trainer(net, x, y, x, y, train_aux=aux, test_aux=aux)
+    batches3 = [(x[:4], y[:4], aux[:4]), (x[4:], y[4:], aux[4:])]
+    total, costs = tr.run_epoch_streamed(batches3)
+    assert len(costs) == 2 and np.isfinite(total)
+    with pytest.raises(AssertionError, match="auxiliary"):
+        tr.run_epoch_streamed([(x[:4], y[:4])])
+
+
+def test_streamed_steps_advance_across_epochs():
+    """PRNG step counter must advance across streamed epochs so augmentation
+    and dropout draws differ (regression for the step0=0 replay bug)."""
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    spec = [
+        ["InputLayer", {"img_sz": 8}],
+        ["HiddenLayer", {"n_out": 16, "pdrop": 0.5}],
+        ["SoftmaxLayer", {"n_out": 4}],
+    ]
+    prms = {"SEED": 1, "BATCH_SZ": 4, "NUM_EPOCHS": 1, "EPOCHS_TO_TEST": 1,
+            "TEST_SAMP_SZ": 4, "INIT_LEARNING_RATE": 0.0,  # lr 0: params fixed
+            "EPOCHS_TO_HALF_RATE": 1}
+    rng = np.random.RandomState(0)
+    x = rng.rand(4, 1, 8, 8).astype(np.float32)
+    y = rng.randint(0, 4, 4).astype(np.int32)
+    net = NeuralNet(spec, prms)
+    tr = Trainer(net, x, y, x, y)
+    _, c1 = tr.run_epoch_streamed([(x, y)], lr=0.0)
+    _, c2 = tr.run_epoch_streamed([(x, y)], lr=0.0)
+    # same data, frozen params; only the dropout key differs -> costs differ
+    assert c1[0] != c2[0]

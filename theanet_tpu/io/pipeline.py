@@ -191,6 +191,14 @@ class HostPipeline:
         stop = threading.Event()
         epoch = self._epoch
         self._epoch += 1
+        failure = []
+
+        def producer_guarded():
+            try:
+                producer()
+            except BaseException as e:  # surface in the consumer, don't hang it
+                failure.append(e)
+                _put(q, None, stop)
 
         def producer():
             rng = np.random.RandomState((self.seed + 77003 * epoch) % (2**31))
@@ -232,12 +240,16 @@ class HostPipeline:
                     return
             _put(q, None, stop)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer_guarded, daemon=True)
         t.start()
         try:
             while True:
                 item = q.get()
                 if item is None:
+                    if failure:
+                        raise RuntimeError(
+                            "HostPipeline producer failed"
+                        ) from failure[0]
                     break
                 yield item
         finally:

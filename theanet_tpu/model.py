@@ -233,13 +233,20 @@ class NeuralNet:
 
     # -- pure compute --------------------------------------------------------
 
+    def _cast_compute(self, params, x):
+        """Apply COMPUTE_DTYPE to the network inputs/weights — shared by the
+        train/eval path (forward) and the serving path (predict) so both run
+        the identical network body."""
+        if self.compute_dtype is None:
+            return params, x
+        return (
+            jax.tree.map(lambda p: p.astype(self.compute_dtype), params),
+            x.astype(self.compute_dtype),
+        )
+
     def forward(self, params, x, *, key, train, aux=None):
         """Run the stack; returns the head-state dict of the output layer."""
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
-            params = jax.tree.map(
-                lambda p: p.astype(self.compute_dtype), params
-            )
+        params, x = self._cast_compute(params, x)
         out = x
         for i, lyr in enumerate(self.net_layers):
             k = jax.random.fold_in(key, i)
@@ -284,13 +291,7 @@ class NeuralNet:
         """Deployment entry point: features + predictions on raw arrays, with
         optional intermediate activations (reference get_data_test_model,
         neuralnet.py:282-296)."""
-        if self.compute_dtype is not None:
-            # Serve with the same network body the eval path ran, so the
-            # checkpoint's recorded error is reproducible at deployment.
-            x = x.astype(self.compute_dtype)
-            params = jax.tree.map(
-                lambda p: p.astype(self.compute_dtype), params
-            )
+        params, x = self._cast_compute(params, x)
         outs = []
         out = x
         hs = None

@@ -133,15 +133,20 @@ class Trainer:
 
         self._train_indices = jax.jit(train_indices, donate_argnums=(0, 1))
 
-        def train_raw(params, moms, x, y, step, lr):
+        def train_raw(params, moms, x, y, aux, step, lr):
             # Streamed batches (host pipeline feed): data arrives as device
-            # arrays instead of dataset slices.
-            key = jax.random.fold_in(base_key, step)
+            # arrays instead of dataset slices. Streamed steps live in their
+            # own key space (offset 2^30) so they never collide with the
+            # scanned-epoch step indices.
+            key = jax.random.fold_in(base_key, step + (1 << 30))
+            aux = constrain(aux) if aux is not None else None
             return net.train_step(
-                params, moms, constrain(x), constrain(y), key=key, lr=lr
+                params, moms, constrain(x), constrain(y), key=key, lr=lr,
+                aux=aux,
             )
 
         self._train_raw = jax.jit(train_raw, donate_argnums=(0, 1))
+        self._stream_step = 0  # monotonically increasing across epochs
 
         def train_epoch(params, moms, epoch_no, lr):
             def body(carry, ibatch):
@@ -184,19 +189,31 @@ class Trainer:
 
     def run_epoch_streamed(self, pipeline, lr: Optional[float] = None):
         """Train one epoch from a host-side batch producer (e.g.
-        theanet_tpu.io.HostPipeline) — for corpora too large to keep
-        HBM-resident. Upload of batch k+1 overlaps the step on batch k via
-        the pipeline's prefetch queue. Returns (total_cost, costs array)."""
+        theanet_tpu.io.HostPipeline, or any iterable of (x, y) or (x, y, aux)
+        tuples) — for corpora too large to keep HBM-resident. Upload of batch
+        k+1 overlaps the step on batch k via the pipeline's prefetch queue.
+        A trainer-level step counter keeps PRNG keys (dropout, augmentation)
+        fresh across epochs regardless of the producer type.
+        Returns (total_cost, costs array)."""
         lr = self.net.get_rate() if lr is None else lr
-        epoch_no = self.net.get_epoch()
         costs = []
-        step0 = epoch_no * getattr(pipeline, "n_batches", 0)
-        for b, (x, y) in enumerate(pipeline):
+        for batch in pipeline:
+            if len(batch) == 3:
+                x, y, aux = batch
+                aux = jnp.asarray(aux, jnp.float32)
+            else:
+                x, y = batch
+                aux = None
+                assert not self.net.takes_aux(), (
+                    "this net requires auxiliary input; stream (x, y, aux) "
+                    "tuples"
+                )
             self.params, self.moms, cost, _, _ = self._train_raw(
                 self.params, self.moms,
                 jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32),
-                jnp.int32(step0 + b), jnp.float32(lr),
+                aux, jnp.int32(self._stream_step), jnp.float32(lr),
             )
+            self._stream_step += 1
             costs.append(cost)
         costs = np.asarray([float(c) for c in costs])
         return float(costs.sum()), costs
