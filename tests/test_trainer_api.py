@@ -85,3 +85,40 @@ def test_predict_different_layer_indices_per_call():
     _, _, h2 = tr.predict(x[:8], get_output_of_layers=(2,))
     assert h1.shape == (8, 16)
     assert h2.shape == (8, 4)
+
+
+def test_shuffle_option_trains_and_differs_from_sequential():
+    """SHUFFLE=True draws a fresh on-device permutation per epoch; default
+    remains the reference's fixed sequential batches."""
+    import jax.numpy as jnp
+    from theanet_tpu.data import synth
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    spec = [
+        ["InputLayer", {"img_sz": 28}],
+        ["HiddenLayer", {"n_out": 32}],
+        ["SoftmaxLayer", {"n_out": 10}],
+    ]
+    def mk(shuffle):
+        prms = {"SEED": 2, "BATCH_SZ": 20, "NUM_EPOCHS": 1, "EPOCHS_TO_TEST": 1,
+                "TEST_SAMP_SZ": 100, "INIT_LEARNING_RATE": 0.1,
+                "EPOCHS_TO_HALF_RATE": 1}
+        if shuffle:
+            prms["SHUFFLE"] = True
+        net = NeuralNet([list(l) for l in spec], prms)
+        return net, Trainer(net, synth.training_x[:400], synth.training_y[:400],
+                            synth.testing_x[:100], synth.testing_y[:100])
+
+    _, tr_seq = mk(False)
+    _, tr_shuf = mk(True)
+    t1, c1, _ = tr_seq.run_epoch()
+    t2, c2, _ = tr_shuf.run_epoch()
+    assert np.isfinite(t1) and np.isfinite(t2)
+    assert not np.allclose(c1, c2)  # different batch composition
+    # shuffled epochs themselves differ epoch-to-epoch
+    net, tr = mk(True)
+    _, ca, _ = tr.run_epoch()
+    net.inc_epoch_set_rate()
+    _, cb, _ = tr.run_epoch()
+    assert not np.allclose(ca, cb)

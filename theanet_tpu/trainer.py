@@ -148,14 +148,39 @@ class Trainer:
         self._train_raw = jax.jit(train_raw, donate_argnums=(0, 1))
         self._stream_step = 0  # monotonically increasing across epochs
 
+        # Optional per-epoch shuffling (training_params SHUFFLE, default off:
+        # the reference trains fixed sequential batches, train.py:210). The
+        # permutation is drawn on-device per epoch; batches become gathers.
+        self.shuffle = bool(net.tr_prms.get("SHUFFLE", False))
+
         def train_epoch(params, moms, epoch_no, lr):
+            if self.shuffle:
+                perm = jax.random.permutation(
+                    jax.random.fold_in(base_key, epoch_no + (1 << 29)),
+                    nb * bsz,
+                )
+
             def body(carry, ibatch):
                 params, moms = carry
                 step = epoch_no * nb + ibatch
-                params, moms, cost, feats, _ = train_batch(
-                    params, moms, ibatch, step, lr
-                )
-                y = slice_batch(self.d_train_y, ibatch)
+                if self.shuffle:
+                    idx = jax.lax.dynamic_slice_in_dim(perm, ibatch * bsz, bsz)
+                    x = constrain(self.d_train_x[idx])
+                    y = constrain(self.d_train_y[idx])
+                    aux = (
+                        constrain(self.d_train_aux[idx])
+                        if self.d_train_aux is not None
+                        else None
+                    )
+                    key = jax.random.fold_in(base_key, step)
+                    params, moms, cost, feats, _ = net.train_step(
+                        params, moms, x, y, key=key, lr=lr, aux=aux
+                    )
+                else:
+                    params, moms, cost, feats, _ = train_batch(
+                        params, moms, ibatch, step, lr
+                    )
+                    y = slice_batch(self.d_train_y, ibatch)
                 true_f = feats[jnp.arange(bsz), y]
                 return (params, moms), (cost, jnp.min(true_f))
 
