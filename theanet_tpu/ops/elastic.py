@@ -98,14 +98,18 @@ def sample_warp(key, cfg: ElasticConfig, h: int, w: int, with_debug: bool = Fals
     (target, debug_dict) — debug entries feed the augmentation visualizer,
     like the reference's ``debugout`` (inlayers.py:145-155).
     """
-    k_tr, k_el, k_or, k_zm, k_th = jax.random.split(key, 5)
+    k_sc, k_el = jax.random.split(key)
+    # ONE vector draw covers all seven affine scalars (translation y/x,
+    # origin y/x, zoom y/x, theta). The training step is kernel-launch-bound
+    # at reference batch sizes, and each separate RNG call is a distinct
+    # rng-bit-generator kernel — consolidating five draws into one removes
+    # four launches per step. Statistically identical to separate draws.
+    u = jax.random.uniform(k_sc, (7,), minval=-1.0, maxval=1.0)
     target = jnp.asarray(np.indices((h, w)), dtype=jnp.float32)
     debug = {}
 
     if cfg.translation:
-        transln = cfg.translation * jax.random.uniform(
-            k_tr, (2, 1, 1), minval=-1.0, maxval=1.0
-        )
+        transln = cfg.translation * u[0:2].reshape(2, 1, 1)
         target = target + transln
         if with_debug:
             debug["translation"] = transln
@@ -119,27 +123,20 @@ def sample_warp(key, cfg: ElasticConfig, h: int, w: int, with_debug: bool = Fals
         target = target + elast
 
     if cfg.zoom - 1 or cfg.angle:
-        origin = jax.random.uniform(
-            k_or, (2, 1, 1), minval=0.25, maxval=0.75
-        ) * jnp.array([h, w], dtype=jnp.float32).reshape(2, 1, 1)
+        # origin ~ U(.25,.75): map u in (-1,1) -> (.25,.75)
+        origin = (0.5 + 0.125 * u[2:4].reshape(2, 1, 1)) * jnp.array(
+            [h, w], dtype=jnp.float32
+        ).reshape(2, 1, 1)
         target = target - origin
 
         if cfg.zoom - 1:
-            zoomer = jnp.exp(
-                math.log(cfg.zoom)
-                * jax.random.uniform(k_zm, (2, 1, 1), minval=-1.0, maxval=1.0)
-            )
+            zoomer = jnp.exp(math.log(cfg.zoom) * u[4:6].reshape(2, 1, 1))
             target = target * zoomer
             if with_debug:
                 debug["zoom"] = zoomer
 
         if cfg.angle:
-            theta = (
-                cfg.angle
-                * math.pi
-                / 180.0
-                * jax.random.uniform(k_th, (), minval=-1.0, maxval=1.0)
-            )
+            theta = cfg.angle * math.pi / 180.0 * u[6]
             c, s = jnp.cos(theta), jnp.sin(theta)
             rot = jnp.stack(
                 [jnp.stack([c, -s]), jnp.stack([s, c])]
