@@ -162,6 +162,30 @@ class NeuralNet:
         # large batches / deep stacks. Default off (these nets are small).
         self.remat = bool(training_params.get("REMAT", False))
 
+        # FUSED_TAIL=True runs the dense tail (last HiddenLayer + Softmax
+        # head) as two fused Pallas kernels with a custom VJP
+        # (ops/fused_mlp.py) — cuts ~25 kernel launches from the
+        # launch-bound small-batch step. Opt-in; single-chip, f32,
+        # leaky-relu-family hidden activation only (silently disabled when
+        # the pattern doesn't match). Dropout draws come from the on-core
+        # PRNG (statistically equivalent to the unfused path).
+        self.fused_tail = False
+        self._fused_slope = 0.0
+        if training_params.get("FUSED_TAIL") and self.compute_dtype is None:
+            hid = self.net_layers[-2] if len(self.net_layers) >= 2 else None
+            slope = None
+            if type(hid) is HiddenLayer and type(self.head) is SoftmaxLayer:
+                a = hid.actvn
+                if a == "relu":
+                    slope = 0.0
+                elif a == "linear":
+                    slope = 1.0
+                elif a.startswith("relu") and a[4:].isdigit():
+                    slope = int(a[4:]) / 100.0
+            if slope is not None and not self.remat:
+                self.fused_tail = True
+                self._fused_slope = slope
+
         # Initial parameter pytree in checkpoint ('allwts') structure.
         self.allwts0 = [lyr.get_wts() for lyr in self.net_layers]
         # Base PRNG for per-batch randomness (augmentation, dropout). The
@@ -244,11 +268,40 @@ class NeuralNet:
             x.astype(self.compute_dtype),
         )
 
+    def _fused_tail_head(self, params, out, key, train):
+        """Dense-tail fast path: last hidden + softmax head as fused Pallas
+        kernels; returns the same head-state dict as SoftmaxLayer."""
+        from .ops.fused_mlp import FusedTailSpec, fused_hidden_softmax
+
+        hid_idx = len(self.net_layers) - 2
+        hid = self.net_layers[hid_idx]
+        w1, b1 = params[hid_idx]
+        w2, b2 = params[-1]
+        spec = FusedTailSpec(
+            slope=self._fused_slope, pdrop=float(hid.pdrop), train=train
+        )
+        seed = jax.random.randint(key, (), 0, 1 << 24).astype(jnp.float32)
+        x2 = out.reshape(out.shape[0], -1)
+        logprob = fused_hidden_softmax(x2, w1, b1, w2, b2, seed, spec)
+        probs = jnp.exp(logprob)
+        return {
+            "output": probs,
+            "probs": probs,
+            "logprob": logprob,
+            "features": logprob,
+            "y_preds": jnp.argmax(logprob, axis=1),
+        }
+
     def forward(self, params, x, *, key, train, aux=None):
         """Run the stack; returns the head-state dict of the output layer."""
         params, x = self._cast_compute(params, x)
         out = x
+        n_body = len(self.net_layers) - (2 if self.fused_tail else 0)
         for i, lyr in enumerate(self.net_layers):
+            if self.fused_tail and i == n_body:
+                return self._fused_tail_head(
+                    params, out, jax.random.fold_in(key, i), train
+                )
             k = jax.random.fold_in(key, i)
             if lyr is self.head:
                 return lyr.apply_head(params[i], out, key=k, train=train, aux=aux)
