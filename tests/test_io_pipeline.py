@@ -95,7 +95,6 @@ def test_pipeline_epochs_differ():
 def test_streamed_training_learns():
     """End-to-end: HostPipeline (native gather + host deformation) feeding
     Trainer.run_epoch_streamed — the large-corpus path."""
-    import jax
     from theanet_tpu.data import synth
     from theanet_tpu.model import NeuralNet
     from theanet_tpu.trainer import Trainer

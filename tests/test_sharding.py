@@ -3,11 +3,10 @@ step compiles and runs, results match the single-device trajectory."""
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from theanet_tpu.model import NeuralNet
-from theanet_tpu.parallel.mesh import batch_pspec, make_mesh, param_pspecs
+from theanet_tpu.parallel.mesh import make_mesh, param_pspecs
 from theanet_tpu.trainer import Trainer
 
 

@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import numpy as np
-
 import jax
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
