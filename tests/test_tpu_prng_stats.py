@@ -1,0 +1,58 @@
+"""TPU-only statistical tests of the in-kernel (pltpu.prng) random draws.
+
+The Pallas kernels draw uniforms from raw PRNG bits; a sign-extension bug in
+that conversion once made pflip flip ~(1+p)/2 of all pixels and dropout keep
+units at (1-p)/2 (see ADVICE r1). CPU interpret mode bypasses pltpu.prng, so
+these tests only bite on hardware — run with:
+
+  PYTHONPATH=/root/.axon_site:/root/repo THEANET_TEST_TPU=1 \
+      python -m pytest tests/test_tpu_prng_stats.py -q
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="exercises pltpu.prng, which only runs on real TPU",
+)
+
+
+def test_pallas_pflip_rate_on_tpu():
+    from theanet_tpu.ops.elastic_pallas import elastic_resample_pallas
+
+    h = w = 28
+    yy, xx = np.indices((h, w)).astype(np.float32)
+    x = jnp.zeros((20, 1, h, w), jnp.float32)  # identity warp of a zero
+    # image -> the output IS the flip mask
+    rates = [
+        float(jnp.mean(elastic_resample_pallas(
+            x, jnp.asarray(yy), jnp.asarray(xx),
+            nearest=True, pflip=0.03, seed=s,
+        )))
+        for s in range(5)
+    ]
+    mean_rate = float(np.mean(rates))
+    # 5 x 15680 Bernoulli(0.03) draws: std of the mean ~ 0.0006
+    assert abs(mean_rate - 0.03) < 0.005, rates
+
+
+def test_fused_tail_dropout_rate_on_tpu():
+    from theanet_tpu.ops.fused_mlp import FusedTailSpec, _fwd_impl
+
+    bsz, n_in, n_hid = 32, 128, 512
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(bsz, n_in).astype(np.float32))
+    w1 = jnp.asarray(rng.rand(n_in, n_hid).astype(np.float32) * 0.1)
+    b1 = jnp.ones((n_hid,), jnp.float32)
+    w2 = jnp.asarray(rng.rand(n_hid, 10).astype(np.float32) * 0.1)
+    b2 = jnp.zeros((10,), jnp.float32)
+    spec = FusedTailSpec(slope=0.1, pdrop=0.5, train=True)
+    keeps = [
+        float(jnp.mean(_fwd_impl(x, w1, b1, w2, b2, spec, jnp.float32(s))[2]))
+        for s in range(5)
+    ]
+    mean_keep = float(np.mean(keeps))
+    assert abs(mean_keep - 0.5) < 0.01, keeps

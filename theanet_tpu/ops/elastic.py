@@ -123,8 +123,8 @@ def sample_warp(key, cfg: ElasticConfig, h: int, w: int, with_debug: bool = Fals
         target = target + elast
 
     if cfg.zoom - 1 or cfg.angle:
-        # origin ~ U(.25,.75): map u in (-1,1) -> (.25,.75)
-        origin = (0.5 + 0.125 * u[2:4].reshape(2, 1, 1)) * jnp.array(
+        # origin ~ U(.25,.75): map u in (-1,1) -> (.25,.75) (inlayers.py:101-102)
+        origin = (0.5 + 0.25 * u[2:4].reshape(2, 1, 1)) * jnp.array(
             [h, w], dtype=jnp.float32
         ).reshape(2, 1, 1)
         target = target - origin

@@ -77,8 +77,10 @@ def _kernel(seed_ref, x_ref, ty_ref, tx_ref, out_ref, *, h, w, nearest,
     if pflip:
         pltpu.prng_seed(seed_ref[0])
         bits = pltpu.prng_random_bits((bc, hw))
-        # uniform in [0,1) from the top 24 bits
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        # low 24 bits -> uniform [0,1). Masking (not >>) because the bits
+        # arrive as int32: an arithmetic shift sign-extends, which would put
+        # half the draws in [-1,0) and make the flip probability (1+p)/2.
+        u = (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
         out = jnp.where(u < pflip, 1.0 - out, out)
 
     out_ref[:] = out

@@ -50,7 +50,10 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     if spec.pdrop and spec.train:
         pltpu.prng_seed(seed_ref[0])
         bits = pltpu.prng_random_bits(h.shape)
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        # low 24 bits -> uniform [0,1). Masking (not >>) because the bits
+        # arrive as int32: an arithmetic shift sign-extends, which would put
+        # half the draws in [-1,0) and halve the keep probability.
+        u = (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
         mask = (u >= spec.pdrop).astype(jnp.float32)
         h = h * mask
         mask_ref[:] = mask
