@@ -25,17 +25,20 @@ def apply(layer, x, train=True, wts=None):
 # ------------------------------ conv ----------------------------------------
 
 
-def test_conv_valid_matches_manual_correlation():
+def test_conv_valid_matches_manual_convolution():
+    """ConvLayer is true convolution (Theano filter_flip semantics):
+    correlation with the spatially reversed kernel."""
     rng = np.random.RandomState(0)
     x = rng.rand(1, 1, 5, 5).astype(np.float32)
     lyr = ConvLayer(None, rng, 1, 1, 5, num_maps=1, filter_sz=3, stride=1,
                     mode="valid", actvn="linear")
     w, b = lyr.params_init
+    wf = w[0, 0, ::-1, ::-1]
     out = apply(lyr, x)
     manual = np.zeros((3, 3), np.float32)
     for i in range(3):
         for j in range(3):
-            manual[i, j] = (x[0, 0, i : i + 3, j : j + 3] * w[0, 0]).sum() + b[0]
+            manual[i, j] = (x[0, 0, i : i + 3, j : j + 3] * wf).sum() + b[0]
     np.testing.assert_allclose(out[0, 0], manual, rtol=1e-4)
     assert lyr.out_sz == 3 and lyr.n_out == 9
 
@@ -60,7 +63,8 @@ def test_conv_same_crop_matches_full_center():
     w, b = same.params_init
     out_same = apply(same, x)
     full = jax.lax.conv_general_dilated(
-        jnp.asarray(x), jnp.asarray(w), (1, 1), [(2, 2), (2, 2)],
+        jnp.asarray(x), jnp.asarray(w[:, :, ::-1, ::-1]),  # true convolution
+        (1, 1), [(2, 2), (2, 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     shift = 1

@@ -85,6 +85,12 @@ class ConvLayer(Layer):
 
     def apply(self, wts, x, *, key, train, aux=None):
         w, b = wts
+        # Theano's nnet.conv2d is true convolution (filter_flip=True):
+        # it correlates with the spatially reversed kernel. Weights are
+        # stored in the reference layout (checkpoints trained by either
+        # framework transfer bit-for-bit), so reverse here. XLA folds the
+        # reverse into the convolution's window; grads flow through it.
+        w = w[:, :, ::-1, ::-1]
         f = self.filter_sz
         if self.mode == "valid":
             padding = [(0, 0), (0, 0)]
