@@ -3,9 +3,13 @@
 Exports module-level ``training_x, training_y, testing_x, testing_y`` with
 train+valid merged into a 60k (N, 1, 28, 28) training set. Looks for a local
 ``mnist.pkl.gz`` (same file the reference downloads) in several places before
-attempting a download; if the environment has no network access it falls back
-to the deterministic synthetic digit dataset so the pipeline stays runnable,
-printing a loud notice.
+attempting a download.
+
+When the file is missing and cannot be downloaded, loading FAILS by default:
+a run labeled "mnist" must never silently train on non-MNIST data (accuracy
+numbers would be meaningless as parity evidence). Set
+``THEANET_ALLOW_SYNTH_FALLBACK=1`` to opt in to the deterministic synthetic
+digit fallback for offline smoke runs.
 """
 
 from __future__ import annotations
@@ -43,9 +47,19 @@ def _find_or_fetch():
         url.urlretrieve(_ORIGIN, dest)
         return dest
     except Exception as e:  # no egress / offline
-        print("MNIST download failed ({}); falling back to the synthetic "
-              "digit dataset (theanet_tpu.data.synth)".format(e))
-        return None
+        if os.environ.get("THEANET_ALLOW_SYNTH_FALLBACK") == "1":
+            print("MNIST download failed ({}); THEANET_ALLOW_SYNTH_FALLBACK=1 "
+                  "set — falling back to the synthetic digit dataset "
+                  "(theanet_tpu.data.synth)".format(e))
+            return None
+        raise RuntimeError(
+            "MNIST is unavailable (no local mnist.pkl.gz in {} and download "
+            "failed: {}). Refusing to silently substitute synthetic data for "
+            "a run labeled 'mnist'. Place mnist.pkl.gz in one of those "
+            "directories (or point THEANET_DATA_DIR at it), or set "
+            "THEANET_ALLOW_SYNTH_FALLBACK=1 to opt in to the synthetic "
+            "fallback.".format([d for d in _CANDIDATE_DIRS if d], e)
+        ) from e
 
 
 def _load():
