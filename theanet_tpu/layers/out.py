@@ -53,11 +53,19 @@ class OutputMixin:
         if loss.startswith("nll"):
             # Truncated NLL: 'nllNN' clamps per-sample NLL at -log(NN/100)
             # (outlayers.py:19-27,44-48). Unparseable suffixes fall back to
-            # plain NLL, like the reference.
+            # plain NLL, like the reference. The notices print once per head
+            # at trace time — the analog of the reference's graph-build
+            # prints (outlayers.py:20,45).
             try:
                 threshold = float(np.clip(int(loss[-2:]) / 100, 0, 1))
             except ValueError:
+                if not getattr(self, "_nll_noticed", False):
+                    print("Did not understand {}, using plain NLL".format(loss))
+                    self._nll_noticed = True
                 return -jnp.mean(_true_class(hs["logprob"], y))
+            if not getattr(self, "_nll_noticed", False):
+                print("Using threshold: ", threshold)
+                self._nll_noticed = True
             logthreshold = np.log(threshold)
             return jnp.mean(
                 jnp.maximum(0.0, logthreshold - _true_class(hs["logprob"], y))

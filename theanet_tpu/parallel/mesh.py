@@ -40,11 +40,24 @@ __all__ = ["make_mesh", "param_pspecs", "batch_pspec", "shard_params"]
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None):
     """Create a ("data", "model") mesh. Defaults to all devices on the data
-    axis."""
+    axis. Fails fast with a named error when the device pool can't fill the
+    requested grid (instead of a raw XLA error from deep inside a jit)."""
     if devices is None:
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_model < 1:
+        raise ValueError(
+            f"mesh axes must be positive, got data={n_data} model={n_model}"
+        )
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model = {n_data * n_model} "
+            f"devices) exceeds the {len(devices)} available JAX devices. "
+            "Run under more devices (e.g. "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual CPU mesh) or shrink the mesh."
+        )
     grid = mesh_utils.create_device_mesh((n_data, n_model), devices=devices[: n_data * n_model])
     return Mesh(grid, ("data", "model"))
 

@@ -71,12 +71,44 @@ class Trainer:
         self.params, self.moms = net.init_params()
 
         if mesh is not None:
+            # Fail fast on mesh/shape mismatches — a non-dividing batch would
+            # otherwise surface as a raw XLA sharding error deep inside a jit.
+            # Every train batch and eval window has length k*BATCH_SZ, so
+            # BATCH_SZ % data-axis == 0 covers them all (incl. TEST_SAMP_SZ
+            # windows, which get_test_indices builds from whole batches).
+            n_data = mesh.shape["data"]
+            if self.batch_sz % n_data:
+                raise ValueError(
+                    f"BATCH_SZ={self.batch_sz} does not divide across the "
+                    f"mesh 'data' axis ({n_data} devices); choose a batch "
+                    "size that is a multiple of the data-parallel degree."
+                )
+            n_model = mesh.shape["model"]
+            if self.n_train_batches < 1:
+                raise ValueError(
+                    f"training set ({train_x.shape[0]} samples) is smaller "
+                    f"than one batch (BATCH_SZ={self.batch_sz})"
+                )
+
             # Distribute parameters per the DP+TP sharding rules; momentum
             # buffers shard identically to their parameters.
             from jax.sharding import NamedSharding
             from .parallel.mesh import batch_pspec, param_pspecs, shard_params
 
             self._pspecs = param_pspecs(net, mesh)
+            if n_model > 1 and not any(
+                s != () and any(ax is not None for ax in s)
+                for ls in self._pspecs for s in ls
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"mesh has a {n_model}-way 'model' axis but no parameter "
+                    "dimension divides it — everything will replicate and "
+                    "the model axis is wasted. Size hidden widths as "
+                    "multiples of the tensor-parallel degree.",
+                    stacklevel=2,
+                )
             self.params = shard_params(self.params, self._pspecs, mesh)
             self.moms = shard_params(
                 self.moms,
@@ -220,6 +252,23 @@ class Trainer:
         A trainer-level step counter keeps PRNG keys (dropout, augmentation)
         fresh across epochs regardless of the producer type.
         Returns (total_cost, costs array)."""
+        # Double-augmentation guard: a host pipeline that warps batches
+        # (deform=...) feeding a net whose input layer ALSO warps in-graph
+        # would augment twice — almost certainly a config mistake.
+        from .layers import ElasticLayer
+
+        first = self.net.net_layers[0]
+        if (
+            getattr(pipeline, "deform", None)
+            and isinstance(first, ElasticLayer)
+            and not first.cfg.is_identity
+        ):
+            raise ValueError(
+                "double augmentation: the host pipeline deforms batches "
+                "(deform=...) AND the net's first layer is an active "
+                "ElasticLayer. Drop one of the two (in-graph ElasticLayer "
+                "is the fast path; host deform is for nets without one)."
+            )
         lr = self.net.get_rate() if lr is None else lr
         costs = []
         for batch in pipeline:
@@ -276,6 +325,11 @@ class Trainer:
         if not hasattr(self, "_predict_jits"):
             self._predict_jits = {}
         if layer_key not in self._predict_jits:
+            # Serving-shape notice, printed when the predict function is
+            # first built (reference get_data_test_model, neuralnet.py:284-286).
+            if self.batch_sz != 1:
+                print("\n****WARNING****: BATCH SIZE IS NOT 1. "
+                      "WILL BE EXPECTING A BATCH OF INPUT IMAGES AT A TIME.\n")
             self._predict_jits[layer_key] = jax.jit(
                 lambda params, x, aux: self.net.predict(
                     params, x, aux=aux, get_output_of_layers=layer_key
