@@ -30,45 +30,47 @@ import numpy as np
 import jax
 
 
-class WrapOut:
-    """Stdout tee with a forceflush reopen (reference train.py:37-55)."""
+class OutputLog:
+    """stdout replacement that optionally redirects the epoch protocol into a
+    line-buffered log file (the reference's redirect-to-``<head>_<SEED>.txt``
+    behavior, train.py:100-104).
 
-    def __init__(self, use_file, name=""):
-        self.name = name
-        self.use_file = use_file
-        if use_file:
-            self.stream = open(name, "w", 1)
-        else:
-            self.stream = sys.stdout
+    ``checkpoint_flush`` is called at every test interval so the log is
+    durable on disk even if the run dies mid-epoch — line buffering plus an
+    fsync, rather than the reference's close-and-reopen trick.
+    """
 
-    def write(self, data):
-        self.stream.write(data)
+    def __init__(self, path: str | None = None):
+        self._file = open(path, "w", buffering=1) if path else None
 
-    def forceflush(self):
-        if self.use_file:
-            self.stream.close()
-            self.stream = open(self.name, "a", 1)
+    @property
+    def _target(self):
+        return self._file if self._file is not None else sys.__stdout__
+
+    def write(self, text):
+        return self._target.write(text)
+
+    def checkpoint_flush(self):
+        if self._file is not None:
+            self._file.flush()
+            os.fsync(self._file.fileno())
 
     def __getattr__(self, attr):
-        return getattr(self.stream, attr)
+        return getattr(self._target, attr)
 
 
 def main(argv=None):
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 3:
         print(
-            "Usage:",
-            argv[0],
-            """ <dataset> <params_file(s)> [redirect=0]
-    dataset:
-        Name of a data module (searched as data.<name>, then
-        theanet_tpu.data.<name>). Like "mnist", "synth" etc.
-    params_file(s):
-        - name.prms : initialization config (Python literal dict)
-        - name.pkl  : pickled checkpoint from a previous run (resumes)
-    redirect:
-        1 - tee stdout to a params_<SEED>.txt file
-    """,
+            f"Usage: {argv[0]} <dataset> <config.prms | checkpoint.pkl> "
+            "[redirect]\n\n"
+            "  dataset    data module name; resolved as data.<name> first,\n"
+            "             then theanet_tpu.data.<name> (mnist, synth, ...)\n"
+            "  .prms      fresh run from a Python-literal config dict\n"
+            "  .pkl       resume training from a saved checkpoint\n"
+            "  redirect   pass 1 to write the epoch log to "
+            "<config>_<SEED>.txt\n"
         )
         sys.exit(1)
 
@@ -88,9 +90,9 @@ def main(argv=None):
 
     if argv[-1] == "1":
         print("Printing output to {}.txt".format(out_file_head), file=sys.stderr)
-        sys.stdout = WrapOut(True, out_file_head + ".txt")
+        sys.stdout = OutputLog(out_file_head + ".txt")
     else:
-        sys.stdout = WrapOut(False)
+        sys.stdout = OutputLog()
 
     print(" ".join(argv), file=sys.stderr)
     print(" ".join(argv))
@@ -155,7 +157,7 @@ def main(argv=None):
                 trin_err, aux_trin_err, test_err, aux_test_err
             )
         )
-        sys.stdout.forceflush()
+        sys.stdout.checkpoint_flush()
 
         if saved_file_name:
             os.remove(saved_file_name)

@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Checkpoint inspector: per-tensor statistics of .pkl checkpoints.
+"""Checkpoint inspector for {layers, training_params, allwts} pickles.
 
-Capability parity with the reference inspector (reference
-print_pkl_info.py:6-41): prints each layer's config plus shape, min/avg/max,
-rms (and rms*sqrt(nin)) and per-unit norms of every weight tensor. Works on
-checkpoints from either framework — the pickle format is shared.
+Prints, for every layer: its config kwargs, then per-tensor statistics —
+shape/count, min/avg/max, and for matrices also the rms (plus rms*sqrt(fan))
+and the spread of per-unit norms. Output stays line-compatible with the
+reference inspector (reference print_pkl_info.py:6-41) so logs diff cleanly,
+but the implementation is table-driven: each stat row is a (condition,
+formatter) pair evaluated against the tensor.
 """
 
 import pickle
@@ -13,47 +15,64 @@ import sys
 import numpy as np
 
 
-def wts_info(wb):
-    ret, tot_wts = "", 0
-    for w in wb:
-        w = np.asarray(w)
-        n_wts = int(np.prod(w.shape))
-        tot_wts += n_wts
-        n_in = int(np.prod(w.shape[1:])) if w.ndim > 1 else 1
-
-        ret += "\n    " + ("W" if n_in > 1 else "B")
-        ret += "\n\tShape:{} = {:,}".format(w.shape, n_wts)
-        ret += "\n\tMin={:+.2f} Avg={:.2f} Max={:+.2f}".format(
-            w.min(), w.mean(), w.max()
-        )
-        if n_in > 1:
-            rms = float((w**2).mean() ** 0.5)
-            ret += "\n\tnin={:.0f}\n\trms={:5.2f} (√nin rms={:.2f})".format(
-                n_in, rms, rms * np.sqrt(n_in)
-            )
-            sum_along = 0 if w.ndim == 2 else tuple(range(1, w.ndim))
-            norms = (w**2).sum(axis=sum_along) ** 0.5
-            ret += "\n\tNorms:{:.2f} {:.2f} {:.2f}".format(
-                norms.min(), norms.mean(), norms.max()
-            )
-    return ret, tot_wts
+def _fan_in(t: np.ndarray) -> int:
+    """Inputs feeding one output unit: everything but the leading axis."""
+    return int(np.prod(t.shape[1:])) if t.ndim > 1 else 1
 
 
-def all_info(d):
-    tot_wts = 0
-    for i, (layer, wb) in enumerate(zip(d["layers"], d["allwts"])):
-        print("{:2d} {} \n   Params".format(i, layer[0]))
-        for k in sorted(layer[1].keys()):
-            print("\t'{}': {}".format(k, layer[1][k]))
-        info, nwts = wts_info(wb)
-        print(info)
-        tot_wts += nwts
-    print("\nTotal Number of Weights: {:,}".format(tot_wts))
+def _unit_norms(t: np.ndarray) -> np.ndarray:
+    """L2 norm of each unit's weight vector (columns for matrices, kernels
+    for conv filters)."""
+    axes = 0 if t.ndim == 2 else tuple(range(1, t.ndim))
+    return np.sqrt((t ** 2).sum(axis=axes))
+
+
+# Each row: (applies-to-matrices-only, formatter(tensor) -> str)
+_STAT_ROWS = [
+    (False, lambda t: "\tShape:{} = {:,}".format(t.shape, t.size)),
+    (False, lambda t: "\tMin={:+.2f} Avg={:.2f} Max={:+.2f}".format(
+        t.min(), t.mean(), t.max())),
+    (True, lambda t: "\tnin={:.0f}".format(_fan_in(t))),
+    (True, lambda t: "\trms={:5.2f} (√nin rms={:.2f})".format(
+        np.sqrt((t ** 2).mean()),
+        np.sqrt((t ** 2).mean()) * np.sqrt(_fan_in(t)))),
+    (True, lambda t: "\tNorms:{:.2f} {:.2f} {:.2f}".format(
+        _unit_norms(t).min(), _unit_norms(t).mean(), _unit_norms(t).max())),
+]
+
+
+def tensor_report(t: np.ndarray) -> str:
+    is_matrix = _fan_in(t) > 1
+    lines = ["    " + ("W" if is_matrix else "B")]
+    lines += [fmt(t) for matrix_only, fmt in _STAT_ROWS
+              if is_matrix or not matrix_only]
+    return "\n".join(lines)
+
+
+def describe_checkpoint(ckpt: dict) -> str:
+    chunks = []
+    total = 0
+    for i, ((name, kwargs), tensors) in enumerate(
+        zip(ckpt["layers"], ckpt["allwts"])
+    ):
+        chunks.append("{:2d} {} \n   Params".format(i, name))
+        chunks.extend("\t'{}': {}".format(k, kwargs[k]) for k in sorted(kwargs))
+        chunks.append("")  # reference spacing: blank line after the kwargs
+        for t in tensors:
+            t = np.asarray(t)
+            total += t.size
+            chunks.append(tensor_report(t))
+    chunks.append("\nTotal Number of Weights: {:,}".format(total))
+    return "\n".join(chunks)
+
+
+def main(paths):
+    for path in paths:
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        print(path)
+        print(describe_checkpoint(ckpt))
 
 
 if __name__ == "__main__":
-    for pkl_fname in sys.argv[1:]:
-        with open(pkl_fname, "rb") as f:
-            data = pickle.load(f)
-        print(pkl_fname)
-        all_info(data)
+    main(sys.argv[1:])
