@@ -1,0 +1,664 @@
+"""Whole-epoch-in-one-kernel fused training: the megastep Pallas program.
+
+The reference-recipe step (batch 20) is launch-bound: ~60 XLA kernels per
+step at ~3us fixed cost each against ~1us of actual FLOPs. This module fuses
+the ENTIRE training epoch — elastic augmentation, conv/pool/dense forward,
+softmax NLL, hand-derived backward, L1/L2 weight-cost gradients, and the
+reference's old-accumulator momentum + max-norm update — into ONE
+pallas_call with grid=(n_batches,). Parameters and momentum live in VMEM
+output refs that persist across sequential grid steps; per-step batches and
+noise bits stream in via BlockSpec index maps (Mosaic double-buffers the
+DMA). An epoch costs 1 kernel launch (+ 4 rng-bit launches for the epoch's
+noise block) instead of ~30,000.
+
+Supported net pattern (the reference's headline mnist.prms architecture,
+reference params/mnist.prms:2-40): ElasticLayer -> Conv(f x f, valid,
+leaky-relu) -> Pool(2) -> Conv -> Pool(2) -> Hidden(leaky-relu, pdrop) ->
+Softmax(nll), single input channel, f32. The Trainer selects this kernel
+automatically when the pattern matches (training_params MEGAFUSED, default
+auto) and falls back to the per-layer path otherwise.
+
+TPU-native formulation (everything rides the MXU or the VPU, no gathers):
+
+  * conv as striped matmul: activations live as (maps*batch, pixels) with
+    rows m*B+b; per filter tap k, the block-"striped" weight matrix
+    W_k[(m,b),(c,b')] = w[m,c,k] * [b==b'] is built from two tiny matmuls
+    plus a constant stripe mask, and the tap's contribution is one
+    (R, C)@(C, pixels) matmul against the lane-rolled input. Lane rolls
+    replace im2col; a constant validity mask replaces shape shrinking.
+  * pooling as roll-max + compaction matmul: window max = elementwise max
+    of 4 lane-rolled copies; anchor columns are compacted to the pooled
+    layout by a constant one-hot matrix. Backward re-expands with the
+    transpose and routes gradients by max-equality (Theano tie semantics:
+    all maxima receive the gradient).
+  * flatten as matmul: pooled rows (m,b) are masked into disjoint lane
+    blocks (P_embed) and summed over m by a constant selector, giving the
+    (B, maps*pix) dense input in two ops; backward is the transpose pair.
+  * elastic warp fully in-kernel on (pixels, 1) columns: affine scalars
+    from SMEM bits, Gaussian field via Box-Muller + one kron(G,G) smoothing
+    matmul, the <=4-tap resample matrix built from one one-hot compare and
+    three lane rolls (see ops/elastic_pallas.py), resample as one matmul.
+  * randomness is INJECTED as uint32 bit tensors generated once per epoch
+    by the hardware RNG ('rbg') outside the kernel — the same kernel code
+    runs on CPU interpret mode and TPU, so correctness tests run anywhere.
+
+Semantics parity notes (reference theanet/):
+  * conv is true convolution (filter flip) — the tap offsets enumerate the
+    kernel reversed, matching layers/conv.py and Theano nnet.conv2d.
+  * momentum uses the OLD accumulator for the parameter step
+    (layer.py:82-86); max-norm per ndim with 1e-7 guards (layer.py:88-103);
+    dropout is train-mask-only (scale-at-test happens in eval, which stays
+    on the unfused path); pool ties route gradient to every max.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["MegaSpec", "LayerReg", "build_constants", "make_epoch_fn",
+           "epoch_noise_bits", "params_to_kernel", "params_from_kernel"]
+
+BIG_NEG = -1e30
+MASK24 = 0xFFFFFF
+INV24 = 1.0 / (1 << 24)
+
+
+class LayerReg(NamedTuple):
+    L1: float
+    L2: float
+    momentum: float
+    rate: float
+    maxnorm: float
+
+
+class MegaSpec(NamedTuple):
+    batch: int
+    img: int            # input H = W
+    filt: int           # conv filter size (both convs)
+    maps1: int          # conv1 output maps (input channels must be 1)
+    maps2: int
+    n_hid: int
+    n_out: int
+    slope1: float       # conv1 leaky-relu negative slope
+    slope2: float
+    slope_h: float
+    pdrop: float
+    # elastic config (reference inlayers.py:30-40)
+    translation: float
+    zoom: float
+    magnitude: float
+    sigma: int
+    pflip: float
+    angle: float
+    invert: bool
+    nearest: bool
+    # per-layer regularization
+    reg1: LayerReg
+    reg2: LayerReg
+    reg_h: LayerReg
+    reg_o: LayerReg
+
+    # ---- derived static shapes
+    @property
+    def hw(self):
+        return self.img * self.img
+
+    @property
+    def c1(self):  # conv1 valid output side
+        return self.img - self.filt + 1
+
+    @property
+    def p1(self):  # pool1 output side
+        return -(-self.c1 // 2)
+
+    @property
+    def c2(self):
+        return self.p1 - self.filt + 1
+
+    @property
+    def p2(self):
+        return -(-self.c2 // 2)
+
+    @property
+    def n_flat(self):
+        return self.maps2 * self.p2 * self.p2
+
+
+def _anchor_grid(side_in, side_out, stride_in):
+    """One-hot compaction matrix (pix_in, side_out^2): column r=(i,j) selects
+    input position (2i)*stride_in + 2j."""
+    c = np.zeros((stride_in * stride_in, side_out * side_out), np.float32)
+    for i in range(side_out):
+        for j in range(side_out):
+            c[(2 * i) * stride_in + 2 * j, i * side_out + j] = 1.0
+    return c
+
+
+def _valid_mask(side_valid, stride):
+    m = np.zeros((1, stride * stride), np.float32)
+    for i in range(side_valid):
+        m[0, i * stride : i * stride + side_valid] = 1.0
+    return m
+
+
+def _anchor_mask(side_out, stride):
+    m = np.zeros((1, stride * stride), np.float32)
+    for i in range(side_out):
+        for j in range(side_out):
+            m[0, (2 * i) * stride + 2 * j] = 1.0
+    return m
+
+
+def build_constants(spec: MegaSpec):
+    """All constant operand tensors, as numpy. Passed as kernel inputs."""
+    B, H = spec.batch, spec.img
+    M1, M2 = spec.maps1, spec.maps2
+    R1, R2 = M1 * B, M2 * B
+
+    # Gaussian smoothing as one flattened matrix: kron of the separable band
+    # matrices (see ops/elastic.py gaussian_band_matrices — same arithmetic
+    # as the reference's full-conv-then-crop, inlayers.py:87-96).
+    from .elastic import gaussian_band_matrices
+
+    gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
+    s_smooth = np.kron(gh, gw).astype(np.float32)
+
+    consts = {
+        "s_smooth": s_smooth,                                  # (hw, hw)
+        "c1": _anchor_grid(spec.c1, spec.p1, H),               # (hw, p1^2)
+        "c2": _anchor_grid(spec.c2, spec.p2, spec.p1),         # (p1^2, p2^2)
+        "valid1": _valid_mask(spec.c1, H),                     # (1, hw)
+        "valid2": _valid_mask(spec.c2, spec.p1),               # (1, p1^2)
+        "a1": _anchor_mask(spec.p1, H),                        # (1, hw)
+        "a2": _anchor_mask(spec.p2, spec.p1),                  # (1, p1^2)
+        # row->map one-hots and batch-stripe masks for the striped matmuls
+        "em1": np.repeat(np.eye(M1, dtype=np.float32), B, axis=0),   # (R1, M1)
+        "em2": np.repeat(np.eye(M2, dtype=np.float32), B, axis=0),   # (R2, M2)
+        "ecol2": np.repeat(np.eye(M1, dtype=np.float32), B, axis=1), # (M1, R1)
+        "stripe1": np.tile(np.eye(B, dtype=np.float32), (M1, 1)),    # (R1, B)
+        "stripe2": np.tile(np.eye(B, dtype=np.float32), (M2, M1)),   # (R2, R1)
+        # flatten: f[b, :] = sum over m of embedded rows (m, b)
+        "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, M2)),     # (B, R2)
+    }
+    return consts
+
+
+# tap offsets enumerate the REVERSED kernel (true convolution): output q
+# reads input q + off for off built from the flipped tap position.
+def _tap_offsets(filt, stride):
+    offs = []
+    for u in range(filt):
+        for v in range(filt):
+            uu, vv = filt - 1 - u, filt - 1 - v
+            offs.append(uu * stride + vv)
+    return offs
+
+
+def _low24(bits):
+    """uint32 bits -> int32 in [0, 2^24) (Mosaic can't cast u32->f32
+    directly, so bitcast to i32 first; the mask keeps it non-negative)."""
+    return jax.lax.bitcast_convert_type(bits, jnp.int32) & MASK24
+
+
+def _u01(bits):
+    """uint32 bits -> uniform [0,1): low 24 bits, sign-safe."""
+    return _low24(bits).astype(jnp.float32) * INV24
+
+
+def _lrelu(z, slope):
+    return jnp.maximum(z, 0.0) + jnp.minimum(z, 0.0) * slope
+
+
+def _roll(x, shift):
+    """Lane roll; positive shift moves values toward higher lane indices
+    (roll(e, k)[q] = e[q - k])."""
+    n = x.shape[-1]
+    return pltpu.roll(x, shift % n, axis=len(x.shape) - 1)
+
+
+def _mm(a, b, *, ta=False, tb=False):
+    dn = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+
+
+def _maxnorm(p, maxnorm, kind):
+    """Reference max-norm projection (layer.py:88-103). kind: 'bias' = 1-D
+    clip; 'cols' = column norms (dense); 'rows' = kernel norms (conv, whose
+    kernel-layout rows are the reference's 4-D kernels)."""
+    if not maxnorm:
+        return p
+    if kind == "bias":
+        return jnp.clip(p, -maxnorm, maxnorm)
+    axis = 0 if kind == "cols" else 1
+    norms = jnp.sqrt(jnp.sum(p * p, axis=axis, keepdims=True))
+    desired = jnp.clip(norms, 0.0, maxnorm)
+    return p * ((1e-7 + desired) / (1e-7 + norms))
+
+
+def _wt_cost(reg: LayerReg, tensors):
+    c = 0.0
+    if reg.L1:
+        c += reg.L1 * sum(jnp.sum(jnp.abs(t)) for t in tensors)
+    if reg.L2:
+        c += reg.L2 * sum(jnp.sum(t * t) for t in tensors)
+    return c
+
+
+def _reg_grad(reg: LayerReg, p, g):
+    if reg.L2:
+        g = g + (2.0 * reg.L2) * p
+    if reg.L1:
+        g = g + reg.L1 * jnp.sign(p)
+    return g
+
+
+def _kernel(spec: MegaSpec,
+            # inputs, in order
+            x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+            a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
+            aow_ref, aob_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
+            em1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref, sumsel_ref,
+            # outputs
+            ow1, ob1, ow2, ob2, owh, obh, owo, obo,
+            oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
+            cost_ref, minf_ref):
+    B, H, F = spec.batch, spec.img, spec.filt
+    M1, M2 = spec.maps1, spec.maps2
+    HW = spec.hw
+    P1SQ = spec.p1 * spec.p1
+    P2SQ = spec.p2 * spec.p2
+    NH, NC = spec.n_hid, spec.n_out
+    NF = spec.n_flat
+    step = pl.program_id(0)
+
+    state = [
+        (ow1, w1_ref), (ob1, b1_ref), (ow2, w2_ref), (ob2, b2_ref),
+        (owh, wh_ref), (obh, bh_ref), (owo, wo_ref), (obo, bo_ref),
+        (oa1w, a1w_ref), (oa1b, a1b_ref), (oa2w, a2w_ref), (oa2b, a2b_ref),
+        (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
+    ]
+
+    @pl.when(step == 0)
+    def _init():
+        for out, inp in state:
+            out[:] = inp[:]
+
+    w1, b1 = ow1[:], ob1[:]        # (M1, F^2), (M1, 1)
+    w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
+    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
+    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
+
+    x = x_ref[0]                   # (B, HW)
+    y = y_ref[0]                   # (B, 1) int32
+    lr = lr_ref[0, 0]
+
+    # ---------------- elastic augmentation (reference inlayers.py:63-142)
+    if spec.invert:
+        x = 1.0 - x
+
+    aug_active = bool(spec.translation or spec.magnitude or spec.angle
+                      or spec.zoom != 1)
+    if aug_active:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+        ty = (rows // H).astype(jnp.float32)
+        tx = (rows % H).astype(jnp.float32)
+
+        def u_pm1(j):
+            # scalar path: u32->i32->f32 integer casts (tpu.bitcast is
+            # vector-only; the mask keeps the value in int32 range)
+            v = (ub_ref[0, 0, j] & MASK24).astype(jnp.int32)
+            return 2.0 * (v.astype(jnp.float32) * INV24) - 1.0
+
+        if spec.translation:
+            ty = ty + spec.translation * u_pm1(0)
+            tx = tx + spec.translation * u_pm1(1)
+
+        if spec.magnitude:
+            fb = fb_ref[0]                        # (HW, 4) uint32
+
+            def u_open(bits):
+                # +0.5 keeps u strictly inside (0, 1) for the log
+                return (_low24(bits).astype(jnp.float32) + 0.5) * INV24
+
+            u1a = u_open(fb[:, 0:1])
+            u2a = _u01(fb[:, 1:2])
+            u1b = u_open(fb[:, 2:3])
+            u2b = _u01(fb[:, 3:4])
+            r_a = jnp.sqrt(-2.0 * jnp.log(u1a))
+            r_b = jnp.sqrt(-2.0 * jnp.log(u1b))
+            n0 = r_a * jnp.cos(2.0 * math.pi * u2a)
+            n1 = r_b * jnp.sin(2.0 * math.pi * u2b)
+            noise = spec.magnitude * jnp.concatenate([n0, n1], axis=1)
+            sm = _mm(ss_ref[:], noise)            # (HW, 2)
+            ty = ty + sm[:, 0:1]
+            tx = tx + sm[:, 1:2]
+
+        if spec.zoom != 1 or spec.angle:
+            # origin ~ U(.25,.75)*size (inlayers.py:101-102)
+            oy = (0.5 + 0.25 * u_pm1(2)) * H
+            ox = (0.5 + 0.25 * u_pm1(3)) * H
+            ty = ty - oy
+            tx = tx - ox
+            if spec.zoom != 1:
+                ty = ty * jnp.exp(math.log(spec.zoom) * u_pm1(4))
+                tx = tx * jnp.exp(math.log(spec.zoom) * u_pm1(5))
+            if spec.angle:
+                th = spec.angle * math.pi / 180.0 * u_pm1(6)
+                ct, st_ = jnp.cos(th), jnp.sin(th)
+                ny = ct * ty + st_ * tx   # tensordot(rot, tgt, axes=(0,0))
+                nx = -st_ * ty + ct * tx
+                ty, tx = ny, nx
+            ty = ty + oy
+            tx = tx + ox
+
+        ty = jnp.clip(ty, 0.0, H - 1 - 0.001)
+        tx = jnp.clip(tx, 0.0, H - 1 - 0.001)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (HW, HW), 1)
+        if spec.nearest:
+            q = (jnp.floor(ty + 0.5).astype(jnp.int32) * H
+                 + jnp.floor(tx + 0.5).astype(jnp.int32))
+            s_mat = (cols == q).astype(jnp.float32)
+        else:
+            topp = ty.astype(jnp.int32)
+            left = tx.astype(jnp.int32)
+            fy = ty - topp.astype(jnp.float32)
+            fx = tx - left.astype(jnp.float32)
+            q00 = topp * H + left
+            e = (cols == q00).astype(jnp.float32)
+            s_mat = (e * ((1 - fy) * (1 - fx))
+                     + _roll(e, 1) * ((1 - fy) * fx)
+                     + _roll(e, H) * (fy * (1 - fx))
+                     + _roll(e, H + 1) * (fy * fx))
+        aug = _mm(x, s_mat, tb=True)              # (B, HW)
+    else:
+        aug = x
+
+    if spec.pflip:
+        u = _u01(pb_ref[0])
+        aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
+
+    # ---------------- conv1 (striped matmul over taps) + pool1
+    offs1 = _tap_offsets(F, H)
+    em1, st1 = em1_ref[:], st1_ref[:]
+    z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
+    for k, off in enumerate(offs1):
+        w1k_big = _mm(em1, w1[:, k:k + 1]) * st1          # (R1, B)
+        z1 = z1 + _mm(w1k_big, _roll(aug, -off))
+    h1 = _lrelu(z1, spec.slope1)
+    v1 = v1_ref[:]
+    z1m = jnp.where(v1 > 0, h1, BIG_NEG)
+    mx1 = jnp.maximum(jnp.maximum(z1m, _roll(z1m, -1)),
+                      jnp.maximum(_roll(z1m, -H), _roll(z1m, -H - 1)))
+    p1 = _mm(mx1, c1_ref[:])                              # (R1, P1SQ)
+
+    # ---------------- conv2 + pool2
+    offs2 = _tap_offsets(F, spec.p1)
+    em2, ecol2, st2 = em2_ref[:], ecol2_ref[:], st2_ref[:]
+    z2 = _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)  # (R2, P1SQ)
+    w2k_bigs = []
+    for k, off in enumerate(offs2):
+        w2k = w2[:, k * M1:(k + 1) * M1]                  # (M2, M1)
+        w2k_big = _mm(_mm(em2, w2k), ecol2) * st2         # (R2, R1)
+        w2k_bigs.append(w2k_big)
+        z2 = z2 + _mm(w2k_big, _roll(p1, -off))
+    h2 = _lrelu(z2, spec.slope2)
+    v2 = v2_ref[:]
+    z2m = jnp.where(v2 > 0, h2, BIG_NEG)
+    mx2 = jnp.maximum(jnp.maximum(z2m, _roll(z2m, -1)),
+                      jnp.maximum(_roll(z2m, -spec.p1),
+                                  _roll(z2m, -spec.p1 - 1)))
+    p2 = _mm(mx2, c2_ref[:])                              # (R2, P2SQ)
+
+    # ---------------- flatten (embed + select matmuls) + dense tail
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (M2 * B, 1), 0)
+    rowmasks = [(rows2 // B == m).astype(jnp.float32) for m in range(M2)]
+    p_embed = jnp.concatenate([p2 * rm for rm in rowmasks], axis=1)  # (R2, NF)
+    sumsel = sumsel_ref[:]
+    f = _mm(sumsel, p_embed)                              # (B, NF)
+
+    z3 = _mm(f, wh) + bh                                  # (B, NH)
+    h3 = _lrelu(z3, spec.slope_h)
+    if spec.pdrop:
+        mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
+        h3d = h3 * mask
+    else:
+        h3d = h3
+    z4 = _mm(h3d, wo) + bo                                # (B, NC)
+    zc = z4 - jnp.max(z4, axis=1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(zc), axis=1, keepdims=True))
+    logp = zc - lse
+
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
+              == y).astype(jnp.float32)
+    true_logp = jnp.sum(logp * onehot, axis=1, keepdims=True)  # (B, 1)
+    cost = -jnp.sum(true_logp) / B
+    cost = cost + _wt_cost(spec.reg1, (w1, b1)) + _wt_cost(spec.reg2, (w2, b2))
+    cost = cost + _wt_cost(spec.reg_h, (wh, bh)) + _wt_cost(spec.reg_o, (wo, bo))
+    cost_ref[0, 0, 0] = cost
+    minf_ref[0, 0, 0] = jnp.min(true_logp)
+
+    # ---------------- backward
+    dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)            # (B, NC)
+    dwo = _mm(h3d, dz4, ta=True)
+    dbo = jnp.sum(dz4, axis=0, keepdims=True)
+    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
+    dh3 = dh3d * mask if spec.pdrop else dh3d
+    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
+    dwh = _mm(f, dz3, ta=True)                            # (NF, NH)
+    dbh = jnp.sum(dz3, axis=0, keepdims=True)
+    df = _mm(dz3, wh, tb=True)                            # (B, NF)
+
+    dpe = _mm(sumsel, df, ta=True)                        # (R2, NF)
+    dp2 = jnp.zeros((M2 * B, P2SQ), jnp.float32)
+    for m in range(M2):
+        dp2 = dp2 + dpe[:, m * P2SQ:(m + 1) * P2SQ] * rowmasks[m]
+
+    # pool2 backward: expand anchor grads, gate by max-equality
+    am2 = am2_ref[:]
+    dmx2 = _mm(dp2, c2_ref[:], tb=True)                   # (R2, P1SQ)
+    dz2a = jnp.zeros_like(z2m)
+    for off in (0, 1, spec.p1, spec.p1 + 1):
+        gate = (_roll(am2, off) > 0) & (z2m == _roll(mx2, off))
+        dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
+    dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
+
+    # conv2 backward
+    dw2_blocks = []
+    dp1 = jnp.zeros_like(p1)
+    for k, off in enumerate(offs2):
+        rolled = _roll(p1, -off)
+        dbig = _mm(dz2, rolled, tb=True)                  # (R2, R1)
+        dw2k = _mm(_mm(em2, dbig * st2, ta=True), ecol2, tb=True)  # (M2, M1)
+        dw2_blocks.append(dw2k)
+        dp1 = dp1 + _roll(_mm(w2k_bigs[k], dz2, ta=True), off)
+    dw2 = jnp.concatenate(dw2_blocks, axis=1)             # (M2, F^2*M1)
+    db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
+
+    # pool1 backward
+    am1 = am1_ref[:]
+    dmx1 = _mm(dp1, c1_ref[:], tb=True)                   # (R1, HW)
+    dz1a = jnp.zeros_like(z1m)
+    for off in (0, 1, H, H + 1):
+        gate = (_roll(am1, off) > 0) & (z1m == _roll(mx1, off))
+        dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
+    dz1 = dz1a * jnp.where(z1 > 0, 1.0, spec.slope1)      # (R1, HW)
+
+    # conv1 backward (weights only; nothing learnable below)
+    dw1_cols = []
+    for k, off in enumerate(offs1):
+        dbig = _mm(dz1, _roll(aug, -off), tb=True)        # (R1, B)
+        colsum = jnp.sum(dbig * st1, axis=1, keepdims=True)  # (R1, 1)
+        dw1_cols.append(_mm(em1, colsum, ta=True))        # (M1, 1)
+    dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F^2)
+    db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
+
+    # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
+    updates = [
+        (ow1, oa1w, dw1, spec.reg1, "rows"),
+        (ob1, oa1b, db1, spec.reg1, "bias"),
+        (ow2, oa2w, dw2, spec.reg2, "rows"),
+        (ob2, oa2b, db2, spec.reg2, "bias"),
+        (owh, oahw, dwh, spec.reg_h, "cols"),
+        (obh, oahb, dbh, spec.reg_h, "bias"),
+        (owo, oaow, dwo, spec.reg_o, "cols"),
+        (obo, oaob, dbo, spec.reg_o, "bias"),
+    ]
+    for p_ref, a_ref, g, reg, kind in updates:
+        if not reg.rate:
+            continue
+        g = _reg_grad(reg, p_ref[:], g)
+        a_old = a_ref[:]
+        p_new = p_ref[:] - (reg.rate * lr) * a_old
+        p_new = _maxnorm(p_new, reg.maxnorm, kind)
+        a_ref[:] = reg.momentum * a_old + (1.0 - reg.momentum) * g
+        p_ref[:] = p_new
+
+
+def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):
+    """One epoch of injected randomness, generated by the (hardware-fast)
+    rbg bit generator in 4 launches: affine scalars, field normals source,
+    pflip uniforms, dropout uniforms."""
+    ks = jax.random.split(key, 4)
+    u32 = jnp.uint32
+    return (
+        jax.random.bits(ks[0], (n_batches, 1, 8), u32),
+        jax.random.bits(ks[1], (n_batches, spec.hw, 4), u32),
+        jax.random.bits(ks[2], (n_batches, spec.batch, spec.hw), u32),
+        jax.random.bits(ks[3], (n_batches, spec.batch, spec.n_hid), u32),
+    )
+
+
+def params_to_kernel(allwts, spec: MegaSpec):
+    """Framework/reference param layout -> kernel layout (8 tensors).
+
+    conv weights flatten their taps: w1 (M1,1,F,F) -> (M1, F^2); w2
+    (M2,M1,F,F) -> (M2, F^2*M1) indexed k*M1+c so per-tap slices are
+    lane-contiguous. Dense tensors pass through; biases become columns/rows.
+    """
+    (w1, b1), (w2, b2), (wh, bh), (wo, bo) = allwts
+    F = spec.filt
+    return [
+        np.asarray(w1, np.float32).reshape(spec.maps1, F * F),
+        np.asarray(b1, np.float32).reshape(spec.maps1, 1),
+        np.ascontiguousarray(
+            np.asarray(w2, np.float32).transpose(0, 2, 3, 1)
+        ).reshape(spec.maps2, F * F * spec.maps1),
+        np.asarray(b2, np.float32).reshape(spec.maps2, 1),
+        np.asarray(wh, np.float32),
+        np.asarray(bh, np.float32).reshape(1, spec.n_hid),
+        np.asarray(wo, np.float32),
+        np.asarray(bo, np.float32).reshape(1, spec.n_out),
+    ]
+
+
+def params_from_kernel(kparams, spec: MegaSpec):
+    """Inverse of params_to_kernel."""
+    w1, b1, w2, b2, wh, bh, wo, bo = [np.asarray(t) for t in kparams]
+    F = spec.filt
+    return [
+        [w1.reshape(spec.maps1, 1, F, F), b1.reshape(spec.maps1)],
+        [w2.reshape(spec.maps2, F, F, spec.maps1).transpose(0, 3, 1, 2),
+         b2.reshape(spec.maps2)],
+        [wh, bh.reshape(spec.n_hid)],
+        [wo, bo.reshape(spec.n_out)],
+    ]
+
+
+def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None):
+    """Build the one-launch epoch function.
+
+    Returns f(kparams, kmoms, x_steps, y_steps, bits, lr) ->
+    (kparams, kmoms, costs, min_true_f) where x_steps is (n_batches, B, hw)
+    f32, y_steps is (n_batches, B, 1) int32, bits is the epoch_noise_bits
+    tuple, and costs/min_true_f are (n_batches,) f32.
+    """
+    B, HW, NH, NC, NF = (spec.batch, spec.hw, spec.n_hid, spec.n_out,
+                         spec.n_flat)
+    M1, M2, F = spec.maps1, spec.maps2, spec.filt
+    P1SQ, P2SQ = spec.p1 ** 2, spec.p2 ** 2
+    consts = build_constants(spec)
+    const_arrs = [consts[k] for k in
+                  ("s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
+                   "em1", "em2", "ecol2", "stripe1", "stripe2", "sumsel")]
+
+    def vmem():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    step_spec = [
+        pl.BlockSpec((1, B, HW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, HW, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, HW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    kshapes = [
+        (M1, F * F), (M1, 1), (M2, F * F * M1), (M2, 1),
+        (NF, NH), (1, NH), (NH, NC), (1, NC),
+    ]
+    param_specs = [
+        pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for s in kshapes * 2
+    ]
+    const_specs = [const_spec(a) for a in const_arrs]
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in kshapes * 2]
+        + [jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32),
+           jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32)]
+    )
+    out_specs = (
+        [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for s in kshapes * 2]
+        + [pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)] * 2
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, spec),
+        grid=(n_batches,),
+        in_specs=step_spec + param_specs + const_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    carrs = [jnp.asarray(a) for a in const_arrs]
+
+    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr):
+        ub, fb, pb, db = bits
+        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+        outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
+                    *kparams, *kmoms, *carrs)
+        new_params = list(outs[0:8])
+        new_moms = list(outs[8:16])
+        costs = outs[16][:, 0, 0]
+        minf = outs[17][:, 0, 0]
+        return new_params, new_moms, costs, minf
+
+    return epoch
