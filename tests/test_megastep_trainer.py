@@ -1,0 +1,115 @@
+"""Trainer integration of the fused whole-epoch kernel (MEGAFUSED).
+
+On CPU the kernel runs in interpret mode, so these use tiny nets. The key
+gate: with augmentation at identity and dropout off, a MEGAFUSED=True
+Trainer must produce the exact per-step costs and end-state weights of a
+MEGAFUSED=False Trainer on the same data — across epochs, with an eval and
+a checkpoint in between (exercising the kernel<->framework layout sync)."""
+
+import numpy as np
+import jax
+
+from theanet_tpu.model import NeuralNet
+from theanet_tpu.trainer import Trainer
+
+B, IMG, NB = 4, 12, 3
+
+
+def _net(mega, pdrop=0.0, elastic=False, seed=11):
+    first = (
+        ["ElasticLayer", {"img_sz": IMG, "translation": 2, "zoom": 1.05,
+                          "magnitude": 6, "sigma": 3, "pflip": 0.02,
+                          "angle": 3, "nearest": True}]
+        if elastic else ["InputLayer", {"img_sz": IMG}]
+    )
+    layers = [
+        first,
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu05",
+                       "reg": {"L2": 1e-3, "maxnorm": 0.9}}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu10"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 16, "pdrop": pdrop, "actvn": "relu01",
+                         "reg": {"L1": 1e-4, "maxnorm": 0.7}}],
+        ["SoftmaxLayer", {"n_out": 4}],
+    ]
+    tr_prms = {"SEED": seed, "BATCH_SZ": B, "NUM_EPOCHS": 3,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": B,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+def _data():
+    rng = np.random.RandomState(3)
+    n = NB * B
+    return (rng.rand(n, 1, IMG, IMG).astype(np.float32),
+            rng.randint(0, 4, n).astype(np.int32))
+
+
+def test_megafused_selected_and_matches_unfused():
+    x, y = _data()
+    tr_m = Trainer(_net(True), x, y, x, y)
+    assert tr_m._mega is not None, "MEGAFUSED=True must engage the kernel"
+    tr_u = Trainer(_net(False), x, y, x, y)
+    assert tr_u._mega is None
+
+    for ep in range(3):
+        tot_m, costs_m, minf_m = tr_m.run_epoch()
+        tot_u, costs_u, minf_u = tr_u.run_epoch()
+        np.testing.assert_allclose(costs_m, costs_u, atol=3e-5)
+        np.testing.assert_allclose(minf_m, minf_u, atol=3e-5)
+        # interleave an eval + checkpoint: state must survive the layout sync
+        em = tr_m.evaluate_full("test")
+        eu = tr_u.evaluate_full("test")
+        assert abs(em[0] - eu[0]) < 1e-6 and abs(em[1] - eu[1]) < 1e-4
+        tr_m.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+
+    dm = tr_m.checkpoint_dict()
+    du = tr_u.checkpoint_dict()
+    for lm, lu in zip(dm["allwts"], du["allwts"]):
+        for wm, wu in zip(lm, lu):
+            np.testing.assert_allclose(wm, wu, atol=5e-5)
+
+
+def test_megafused_with_full_augmentation_trains():
+    x, y = _data()
+    tr = Trainer(_net(True, pdrop=0.5, elastic=True), x, y, x, y)
+    assert tr._mega is not None
+    tot0, costs, minf = tr.run_epoch()
+    assert np.isfinite(tot0) and np.isfinite(minf).all()
+    tr.net.inc_epoch_set_rate()
+    tot1, _, _ = tr.run_epoch()
+    assert np.isfinite(tot1)
+    err, p_mle = tr.evaluate_full("test")
+    assert 0 <= err <= 100 and 0 <= p_mle <= 100
+    # different epochs use different noise
+    assert tot0 != tot1
+
+
+def test_megafused_auto_off_on_cpu_and_pattern_rejects():
+    x, y = _data()
+    # auto defaults off on CPU
+    tr = Trainer(_net("auto"), x, y, x, y)
+    assert tr._mega is None
+    # non-matching pattern (hinge loss) rejected even when forced
+    net = _net(True)
+    net.net_layers[-1].loss = "hinge"
+    tr2 = Trainer(net, x, y, x, y)
+    assert tr2._mega is None
+
+
+def test_megafused_resume_via_checkpoint():
+    x, y = _data()
+    tr = Trainer(_net(True), x, y, x, y)
+    tr.run_epoch()
+    ck = tr.checkpoint_dict()
+    net2 = NeuralNet(ck["layers"], dict(ck["training_params"]), ck["allwts"])
+    tr2 = Trainer(net2, x, y, x, y)
+    # resumed weights equal the checkpointed ones
+    for lp, lw in zip(tr2.params, ck["allwts"]):
+        for p, w in zip(lp, lw):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(w))

@@ -65,7 +65,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["MegaSpec", "LayerReg", "build_constants", "make_epoch_fn",
-           "epoch_noise_bits", "params_to_kernel", "params_from_kernel"]
+           "epoch_noise_bits", "params_to_kernel", "params_from_kernel",
+           "spec_from_net", "MEGA_LAYER_IDX"]
+
+# layer indices of the four parameterized layers in the supported pattern
+MEGA_LAYER_IDX = (1, 3, 5, 6)
 
 BIG_NEG = -1e30
 MASK24 = 0xFFFFFF
@@ -131,6 +135,84 @@ class MegaSpec(NamedTuple):
     @property
     def n_flat(self):
         return self.maps2 * self.p2 * self.p2
+
+
+def _leaky_slope(actvn):
+    """Leaky-relu-family negative slope, or None if not in the family."""
+    if actvn == "relu":
+        return 0.0
+    if actvn == "linear":
+        return 1.0
+    if actvn.startswith("relu") and actvn[4:].isdigit() and len(actvn) == 6:
+        return int(actvn[4:]) / 100.0
+    return None
+
+
+def spec_from_net(net):
+    """Return a MegaSpec if the net matches the fused-epoch pattern
+    (Input/Elastic -> Conv -> Pool -> Conv -> Pool -> Hidden -> Softmax,
+    single input channel, leaky-relu activations, nll loss, plain f32
+    single-chip training), else None."""
+    from ..layers import (ConvLayer, ElasticLayer, HiddenLayer, InputLayer,
+                          PoolLayer, SoftmaxLayer)
+
+    L = net.net_layers
+    if len(L) != 7:
+        return None
+    if not (type(L[0]) in (InputLayer, ElasticLayer)
+            and type(L[1]) is ConvLayer and type(L[2]) is PoolLayer
+            and type(L[3]) is ConvLayer and type(L[4]) is PoolLayer
+            and type(L[5]) is HiddenLayer and type(L[6]) is SoftmaxLayer):
+        return None
+    c1, p1, c2, p2, hid, head = L[1], L[2], L[3], L[4], L[5], L[6]
+    if L[0].num_maps != 1 or c1.num_prev_maps != 1:
+        return None
+    if c1.filter_sz != c2.filter_sz or c1.stride != 1 or c2.stride != 1:
+        return None
+    if c1.mode != "valid" or c2.mode != "valid":
+        return None
+    if p1.pool_sz != 2 or p2.pool_sz != 2 or p1.ignore_border or p2.ignore_border:
+        return None
+    if head.loss != "nll":
+        return None
+    slopes = [_leaky_slope(c1.actvn), _leaky_slope(c2.actvn),
+              _leaky_slope(hid.actvn)]
+    if any(s is None for s in slopes):
+        return None
+    if net.compute_dtype is not None or net.remat or net.fused_tail:
+        return None
+    if net.tr_prms.get("SHUFFLE"):
+        return None
+
+    if type(L[0]) is ElasticLayer:
+        cfg = L[0].cfg
+        aug = dict(translation=cfg.translation, zoom=cfg.zoom,
+                   magnitude=cfg.magnitude, sigma=int(cfg.sigma),
+                   pflip=cfg.pflip, angle=cfg.angle,
+                   invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
+    else:
+        aug = dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
+                   angle=0, invert=False, nearest=False)
+
+    def reg_of(lyr):
+        r = lyr.reg
+        return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
+                        momentum=float(r["momentum"]), rate=float(r["rate"]),
+                        maxnorm=float(r["maxnorm"]))
+
+    # frozen layers (rate 0) keep no momentum buffers in the framework
+    # layout; the layout converters assume all four layers are live
+    if any(not lyr.reg["rate"] for lyr in (c1, c2, hid, head)):
+        return None
+
+    return MegaSpec(
+        batch=net.batch_sz, img=L[0].out_sz, filt=c1.filter_sz,
+        maps1=c1.num_maps, maps2=c2.num_maps, n_hid=hid.n_out,
+        n_out=head.n_out, slope1=slopes[0], slope2=slopes[1],
+        slope_h=slopes[2], pdrop=float(hid.pdrop), **aug,
+        reg1=reg_of(c1), reg2=reg_of(c2), reg_h=reg_of(hid),
+        reg_o=reg_of(head),
+    )
 
 
 def _anchor_grid(side_in, side_out, stride_in):
@@ -390,13 +472,17 @@ def _kernel(spec: MegaSpec,
         u = _u01(pb_ref[0])
         aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
 
-    # ---------------- conv1 (striped matmul over taps) + pool1
+    # ---------------- conv1 (striped matmul per tap) + pool1
+    # Conv1 keeps a per-tap loop: its rolled pieces are B-row (20) blocks,
+    # which Mosaic cannot concatenate on the sublane axis (needs multiples
+    # of 8). Conv2's pieces are M1*B-row blocks and stack into one matmul.
     offs1 = _tap_offsets(F, H)
     em1, st1 = em1_ref[:], st1_ref[:]
+    rolls1 = [_roll(aug, -off) for off in offs1]
     z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
-    for k, off in enumerate(offs1):
+    for k in range(F * F):
         w1k_big = _mm(em1, w1[:, k:k + 1]) * st1          # (R1, B)
-        z1 = z1 + _mm(w1k_big, _roll(aug, -off))
+        z1 = z1 + _mm(w1k_big, rolls1[k])
     h1 = _lrelu(z1, spec.slope1)
     v1 = v1_ref[:]
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
@@ -404,16 +490,21 @@ def _kernel(spec: MegaSpec,
                       jnp.maximum(_roll(z1m, -H), _roll(z1m, -H - 1)))
     p1 = _mm(mx1, c1_ref[:])                              # (R1, P1SQ)
 
-    # ---------------- conv2 + pool2
+    # ---------------- conv2 (striped matmul per tap) + pool2
+    # Tap-stacking the rolled pieces into one K=9*R1 matmul would be the
+    # MXU-preferred shape, but Mosaic cannot concatenate lane-rolled
+    # vectors (their lazy lane-offset layouts don't unify), so each tap is
+    # its own matmul; the rolled pieces are cached for the backward pass.
     offs2 = _tap_offsets(F, spec.p1)
     em2, ecol2, st2 = em2_ref[:], ecol2_ref[:], st2_ref[:]
+    rolls_p1 = [_roll(p1, -off) for off in offs2]
+    w2k_bigs = [
+        _mm(_mm(em2, w2[:, k * M1:(k + 1) * M1]), ecol2) * st2   # (R2, R1)
+        for k in range(F * F)
+    ]
     z2 = _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)  # (R2, P1SQ)
-    w2k_bigs = []
-    for k, off in enumerate(offs2):
-        w2k = w2[:, k * M1:(k + 1) * M1]                  # (M2, M1)
-        w2k_big = _mm(_mm(em2, w2k), ecol2) * st2         # (R2, R1)
-        w2k_bigs.append(w2k_big)
-        z2 = z2 + _mm(w2k_big, _roll(p1, -off))
+    for k in range(F * F):
+        z2 = z2 + _mm(w2k_bigs[k], rolls_p1[k])
     h2 = _lrelu(z2, spec.slope2)
     v2 = v2_ref[:]
     z2m = jnp.where(v2 > 0, h2, BIG_NEG)
@@ -475,14 +566,14 @@ def _kernel(spec: MegaSpec,
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
     dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
 
-    # conv2 backward
+    # conv2 backward (reuses the cached rolls and striped weights)
     dw2_blocks = []
     dp1 = jnp.zeros_like(p1)
     for k, off in enumerate(offs2):
-        rolled = _roll(p1, -off)
-        dbig = _mm(dz2, rolled, tb=True)                  # (R2, R1)
-        dw2k = _mm(_mm(em2, dbig * st2, ta=True), ecol2, tb=True)  # (M2, M1)
-        dw2_blocks.append(dw2k)
+        dbig = _mm(dz2, rolls_p1[k], tb=True)             # (R2, R1)
+        dw2_blocks.append(
+            _mm(_mm(em2, dbig * st2, ta=True), ecol2, tb=True)  # (M2, M1)
+        )
         dp1 = dp1 + _roll(_mm(w2k_bigs[k], dz2, ta=True), off)
     dw2 = jnp.concatenate(dw2_blocks, axis=1)             # (M2, F^2*M1)
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
@@ -498,8 +589,8 @@ def _kernel(spec: MegaSpec,
 
     # conv1 backward (weights only; nothing learnable below)
     dw1_cols = []
-    for k, off in enumerate(offs1):
-        dbig = _mm(dz1, _roll(aug, -off), tb=True)        # (R1, B)
+    for k in range(F * F):
+        dbig = _mm(dz1, rolls1[k], tb=True)               # (R1, B)
         colsum = jnp.sum(dbig * st1, axis=1, keepdims=True)  # (R1, 1)
         dw1_cols.append(_mm(em1, colsum, ta=True))        # (M1, 1)
     dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F^2)

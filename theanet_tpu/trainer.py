@@ -231,12 +231,102 @@ class Trainer:
 
         self._eval_window = jax.jit(eval_window, static_argnums=())
 
+        # ---- fused whole-epoch kernel (ops/megastep.py). MEGAFUSED: True
+        # forces it, False disables, "auto" (default) enables it on TPU when
+        # the net matches the supported pattern. Training state then lives in
+        # the kernel's tensor layout between epochs; device-side jitted
+        # converters move it to/from the framework layout on demand (eval,
+        # checkpointing, per-batch APIs).
+        self._mega = None
+        mega_mode = net.tr_prms.get("MEGAFUSED", "auto")
+        want_mega = (
+            mega_mode is True
+            or (mega_mode == "auto" and jax.default_backend() == "tpu")
+        )
+        if (want_mega and mesh is None and self.d_train_aux is None
+                and self.n_train_batches >= 1):
+            from .ops import megastep as mega_mod
+
+            spec = mega_mod.spec_from_net(net)
+            if spec is not None and train_x.shape[2] == train_x.shape[3]:
+                self._mega = mega_mod
+                self._mega_spec = spec
+                nb_m = self.n_train_batches
+                n_use = nb_m * bsz
+                self._mega_x = self.d_train_x[:n_use].reshape(
+                    nb_m, bsz, spec.hw
+                )
+                self._mega_y = self.d_train_y[:n_use].reshape(nb_m, bsz, 1)
+                self._mega_epoch = jax.jit(
+                    mega_mod.make_epoch_fn(spec, nb_m), donate_argnums=(0, 1)
+                )
+                idx = mega_mod.MEGA_LAYER_IDX
+                f, m1, m2 = spec.filt, spec.maps1, spec.maps2
+
+                def to_kernel(params):
+                    (w1, b1), (w2, b2), (wh, bh), (wo, bo) = [
+                        params[i] for i in idx
+                    ]
+                    return [
+                        w1.reshape(m1, f * f), b1.reshape(m1, 1),
+                        w2.transpose(0, 2, 3, 1).reshape(m2, f * f * m1),
+                        b2.reshape(m2, 1),
+                        wh, bh.reshape(1, spec.n_hid),
+                        wo, bo.reshape(1, spec.n_out),
+                    ]
+
+                def from_kernel(kt, template):
+                    w1, b1, w2, b2, wh, bh, wo, bo = kt
+                    out = [list(lp) for lp in template]
+                    out[idx[0]] = [w1.reshape(m1, 1, f, f), b1.reshape(m1)]
+                    out[idx[1]] = [
+                        w2.reshape(m2, f, f, m1).transpose(0, 3, 1, 2),
+                        b2.reshape(m2),
+                    ]
+                    out[idx[2]] = [wh, bh.reshape(spec.n_hid)]
+                    out[idx[3]] = [wo, bo.reshape(spec.n_out)]
+                    return out
+
+                self._mega_to_kernel = jax.jit(to_kernel)
+                self._mega_from_kernel = jax.jit(
+                    from_kernel, static_argnums=()
+                )
+                self._kp = None  # kernel-layout state (params, moms)
+                self._km = None
+                self._state_src = "frame"  # which layout holds the truth
+
+    def _mega_sync_frame(self):
+        """Pull kernel-layout training state back into self.params/moms."""
+        if self._mega is not None and self._state_src == "mega":
+            self.params = self._mega_from_kernel(self._kp, self.params)
+            self.moms = self._mega_from_kernel(self._km, self.moms)
+            self._state_src = "frame"
+
+    def _run_epoch_mega(self, lr):
+        if self._state_src == "frame":
+            self._kp = self._mega_to_kernel(self.params)
+            self._km = self._mega_to_kernel(self.moms)
+            self._state_src = "mega"
+        epoch_no = self.net.get_epoch()
+        key = jax.random.fold_in(self.net.base_key, epoch_no + (1 << 28))
+        bits = self._mega.epoch_noise_bits(
+            key, self._mega_spec, self.n_train_batches
+        )
+        self._kp, self._km, costs, min_true_f = self._mega_epoch(
+            self._kp, self._km, self._mega_x, self._mega_y, bits,
+            jnp.float32(lr),
+        )
+        costs = np.asarray(costs)
+        return float(costs.sum()), costs, np.asarray(min_true_f)
+
     # -- public API ----------------------------------------------------------
 
     def run_epoch(self, lr: Optional[float] = None):
         """Train one full epoch on-device. Returns (total_cost, per-batch
         costs, per-batch min true-class feature) as numpy."""
         lr = self.net.get_rate() if lr is None else lr
+        if self._mega is not None:
+            return self._run_epoch_mega(lr)
         epoch_no = self.net.get_epoch()
         self.params, self.moms, costs, min_true_f = self._train_epoch(
             self.params, self.moms, jnp.int32(epoch_no), jnp.float32(lr)
@@ -252,6 +342,7 @@ class Trainer:
         A trainer-level step counter keeps PRNG keys (dropout, augmentation)
         fresh across epochs regardless of the producer type.
         Returns (total_cost, costs array)."""
+        self._mega_sync_frame()
         # Double-augmentation guard: a host pipeline that warps batches
         # (deform=...) feeding a net whose input layer ALSO warps in-graph
         # would augment twice — almost certainly a config mistake.
@@ -295,6 +386,7 @@ class Trainer:
     def run_batch_indices(self, idx, step: int, lr: Optional[float] = None):
         """Train one step on an arbitrary index vector (take_index_list
         parity). ``idx`` must have length BATCH_SZ for shape stability."""
+        self._mega_sync_frame()
         lr = self.net.get_rate() if lr is None else lr
         idx = jnp.asarray(np.asarray(idx, np.int32))
         self.params, self.moms, cost, feats, logp = self._train_indices(
@@ -305,6 +397,7 @@ class Trainer:
     def reset_momentum(self):
         """Zero all gradient accumulators (the reference's
         reset_accumulated_gradients, neuralnet.py:243-254)."""
+        self._mega_sync_frame()
         from .optim import init_momentum
 
         moms = init_momentum(self.net.net_layers, self.params)
@@ -321,6 +414,7 @@ class Trainer:
     def predict(self, x, aux=None, get_output_of_layers=()):
         """Inference on raw arrays — the reference's get_data_test_model
         (neuralnet.py:282-296): returns (features, y_preds, *layer outputs)."""
+        self._mega_sync_frame()
         layer_key = tuple(get_output_of_layers)
         if not hasattr(self, "_predict_jits"):
             self._predict_jits = {}
@@ -345,6 +439,7 @@ class Trainer:
     def run_batch(self, ibatch: int, step: int, lr: Optional[float] = None):
         """Single-batch step (the reference's granularity), for debugging and
         watchdog-exact parity."""
+        self._mega_sync_frame()
         lr = self.net.get_rate() if lr is None else lr
         self.params, self.moms, cost, feats, logp = self._train_batch(
             self.params, self.moms, jnp.int32(ibatch), jnp.int32(step), jnp.float32(lr)
@@ -361,6 +456,7 @@ class Trainer:
     def evaluate(self, which: str, batch_ids):
         """Evaluate a window of batches; returns (err%, second_stat%) matching
         the reference's test_wrapper scaling (train.py:155-161)."""
+        self._mega_sync_frame()
         idx = self._window_sample_idx(batch_ids)
         if which == "test":
             sym, oth = self._eval_window(
@@ -377,5 +473,6 @@ class Trainer:
         return self.evaluate(which, list(range(n)))
 
     def checkpoint_dict(self):
+        self._mega_sync_frame()
         self.net.snapshot_params([[np.asarray(p) for p in lp] for lp in self.params])
         return self.net.get_init_params()
