@@ -46,6 +46,44 @@ def flagship_net(batch_sz):
     return NeuralNet(layers, tr_prms)
 
 
+def model_mflops_per_image():
+    """Useful model FLOPs per image (aug resample + conv/dense matmuls,
+    forward x3 for backward), for the honest MFU figure."""
+    hw = 28 * 28
+    fwd = (4 * 9 * 26 * 26        # conv1
+           + 20 * 4 * 9 * 11 * 11  # conv2
+           + 720 * 500 + 500 * 10)  # dense tail
+    return (2 * hw * hw + 3 * 2 * fwd) / 1e6
+
+
+def _count_ops(body):
+    import re
+
+    n = 0
+    for line in body.splitlines():
+        mm = re.search(r"=\s+\S+\s+([\w-]+)\(", line)
+        if mm and mm.group(1) not in (
+            "parameter", "constant", "tuple", "get-tuple-element", "bitcast"
+        ):
+            n += 1
+    return n
+
+
+def census(compiled_text):
+    """(entry_ops, per_step_ops) from optimized HLO: entry = launches per
+    program invocation; per_step = ops in the largest loop-body computation
+    (the scanned step) when one exists, else 0 (fused epoch kernels have no
+    loop body — the whole epoch is inside one custom-call)."""
+    import re
+
+    m = re.search(r"ENTRY [^\{]*\{(.*?)^\}", compiled_text, re.S | re.M)
+    entry = _count_ops(m.group(1)) if m else -1
+    bodies = re.findall(r"^%?[\w.-]*(?:body|region)[\w.-]* [^\n]*\{(.*?)^\}",
+                        compiled_text, re.M | re.S)
+    per_step = max((_count_ops(b) for b in bodies), default=0)
+    return entry, per_step
+
+
 def measure(device, batch_sz, n_batches, reps):
     import jax
     from theanet_tpu.trainer import Trainer
@@ -58,6 +96,8 @@ def measure(device, batch_sz, n_batches, reps):
     with jax.default_device(device):
         net = flagship_net(batch_sz)
         tr = Trainer(net, x, y, x[: 5 * batch_sz], y[: 5 * batch_sz])
+        log(f"[{device.platform}] fused epoch kernel (MEGAFUSED): "
+            f"{'ON' if tr._mega is not None else 'off'}")
         t0 = time.time()
         tr.run_epoch()  # compile + warmup
         log(f"[{device.platform}] compile+first epoch: {time.time()-t0:.1f}s")
@@ -71,7 +111,40 @@ def measure(device, batch_sz, n_batches, reps):
             tr.run_epoch()
             ips.append(n / (time.time() - t0))
         log(f"[{device.platform}] reps: " + ", ".join(f"{v:,.0f}" for v in ips))
-    return max(ips)
+        best = max(ips)
+
+        # kernel-launch census + MFU at the measured rate
+        try:
+            import jax.numpy as jnp
+
+            if tr._mega is not None:
+                bits = tr._mega.epoch_noise_bits(
+                    net.base_key, tr._mega_spec, tr.n_train_batches
+                )
+                lowered = tr._mega_epoch._jitted.lower(
+                    tr._kp, tr._km, tr._mega_x, tr._mega_y, bits,
+                    jnp.float32(0.1).reshape(1, 1), tr._mega_epoch._carrs,
+                )
+            else:
+                lowered = tr._train_epoch.lower(
+                    tr.params, tr.moms, jnp.int32(0), jnp.float32(0.1)
+                )
+            entry_ops, step_ops = census(lowered.compile().as_text())
+            if tr._mega is not None:
+                log(f"[{device.platform}] launch census: {entry_ops} entry "
+                    "ops per EPOCH (fused kernel; vs ~60/step unfused = "
+                    f"~{60 * tr.n_train_batches:,} per epoch)")
+            else:
+                log(f"[{device.platform}] launch census: ~{step_ops} ops "
+                    f"per step inside the scanned epoch ({entry_ops} entry)")
+        except Exception as e:
+            log(f"[{device.platform}] census unavailable: {e!r:.120}")
+        mfu = model_mflops_per_image() * 1e6 * best / 197e12
+        log(f"[{device.platform}] model work {model_mflops_per_image():.1f} "
+            f"MFLOP/image -> {mfu * 100:.2f}% MFU of 197 TF/s bf16 peak at "
+            f"{best:,.0f} img/s (370k-param model: launch/VPU-bound by "
+            "construction, not MXU-bound)")
+    return best
 
 
 def _measure_subprocess(args, timeout_s):
@@ -97,7 +170,11 @@ def main():
     accel = jax.devices()[0]
     batch_sz = 20
 
-    accel_batches = 500 if accel.platform != "cpu" else 300
+    # 3000 batches x 20 = 60k images: exactly the reference's real MNIST
+    # epoch (data/mnist.py merges train+valid to 60k). Also amortizes this
+    # environment's ~36ms per-dispatch tunnel latency the way a real epoch
+    # would.
+    accel_batches = 3000 if accel.platform != "cpu" else 300
     if accel.platform != "cpu":
         ips_accel = None
         for attempt in range(3):
@@ -130,7 +207,9 @@ def main():
     except RuntimeError:
         cpu = None
     if cpu is not None and accel.platform != "cpu":
-        ips_cpu = measure(cpu, batch_sz, 200, reps=1)
+        # best-of-3 so the CPU proxy (the denominator of vs_baseline) is not
+        # understated by a transiently loaded host
+        ips_cpu = measure(cpu, batch_sz, 200, reps=3)
         log(f"cpu baseline proxy: {ips_cpu:,.0f} images/sec")
         vs = ips_accel / ips_cpu
     else:
@@ -139,7 +218,7 @@ def main():
     if accel.platform != "cpu":
         for big in (256, 1024):
             try:
-                ips_big = measure(accel, big, 40, reps=2)
+                ips_big = measure(accel, big, 60000 // big, reps=2)
                 log(f"batch {big}: {ips_big:,.0f} images/sec (tuned, same config)")
             except Exception as e:
                 log(f"batch {big} measurement failed: {e}")
@@ -161,8 +240,67 @@ def _measure_cli():
     print(measure(jax.devices()[0], int(batch), int(nb), int(reps)))
 
 
+def _mesh_child(shape):
+    """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
+    import jax
+    import numpy as np
+    from theanet_tpu.parallel.mesh import make_mesh
+    from theanet_tpu.trainer import Trainer
+
+    n_data, n_model = map(int, shape.split("x"))
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    batch_sz = 8 * n_data
+    net = flagship_net(batch_sz)
+    net.tr_prms["MEGAFUSED"] = False
+    rng = np.random.RandomState(0)
+    n = 40 * batch_sz
+    x = rng.rand(n, 1, 28, 28).astype(np.float32)
+    y = rng.randint(0, 10, n).astype(np.int32)
+    tr = Trainer(net, x, y, x[:batch_sz], y[:batch_sz], mesh=mesh)
+    tr.run_epoch()
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        tr.run_epoch()
+        best = max(best, n / (time.time() - t0))
+    print(best)
+
+
+def mesh_scaling(shapes):
+    """Virtual-mesh scaling table (CPU host devices — measures that the
+    sharded program compiles, runs, and scales sanely, NOT real-chip perf;
+    single-host ICI hardware is not available in this environment)."""
+    import subprocess
+
+    log("DP+TP virtual-mesh scaling (CPU backend, batch = 8*data_axis):")
+    for shape in shapes:
+        n_dev = 1
+        for d in map(int, shape.split("x")):
+            n_dev *= d
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mesh-child", shape],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        if proc.returncode != 0:
+            log(f"  mesh {shape}: FAILED {proc.stderr[-200:]}")
+            continue
+        ips = float(proc.stdout.strip().splitlines()[-1])
+        log(f"  mesh {shape} ({n_dev} dev): {ips:,.0f} img/s")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         _measure_cli()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mesh-child":
+        _mesh_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mesh":
+        shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+            "1x1", "2x1", "4x1", "4x2"
+        ]
+        mesh_scaling(shapes)
     else:
         main()

@@ -50,21 +50,36 @@ def test_dp_tp_mesh_trains():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_matches_unsharded_trajectory():
-    """Same seed, same data: the 8-way DP+TP step must produce the same
-    numbers as single-device execution (GSPMD is numerically transparent up
-    to reduction order)."""
+def test_sharded_matches_unsharded_trajectory_per_step():
+    """Same seed, same data, step-by-step: the 8-way DP+TP step must track
+    single-device execution within pure reduction-order noise.
+
+    Tolerance justification: GSPMD only changes (a) the order of the
+    batch-dim loss/grad reductions (4-shard partial sums) and (b) the K-dim
+    partitioning of the TP-sharded dense matmuls. Each is a few-ulp f32
+    effect on O(1) magnitudes (~1e-6); over 8 momentum-SGD steps the
+    amplification through ~0.1-lr updates stays well under 1e-4 relative.
+    A wrong collective (missing psum, double-count, wrong axis) produces
+    O(1) or O(n_shards) errors and fails immediately at this tolerance;
+    the previous whole-epoch rtol=2e-3 could have hidden a subtle one."""
     x, y = make_data(64)
     net1 = NeuralNet(spec(), prms(16))
     tr1 = Trainer(net1, x, y, x, y)
     net2 = NeuralNet(spec(), prms(16))
     tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=4, n_model=2))
-    t1, c1, _ = tr1.run_epoch()
-    t2, c2, _ = tr2.run_epoch()
-    np.testing.assert_allclose(c1, c2, rtol=2e-3)
-    w1 = np.asarray(tr1.params[3][0])
-    w2 = np.asarray(tr2.params[3][0])
-    np.testing.assert_allclose(w1, w2, atol=2e-4)
+    for step in range(8):
+        ibatch = step % 4
+        c1, f1, _ = tr1.run_batch(ibatch, step)
+        c2, f2, _ = tr2.run_batch(ibatch, step)
+        rel = abs(c1 - c2) / max(abs(c1), 1.0)
+        assert rel < 1e-4, f"step {step}: cost {c1} vs {c2} (rel {rel:.2e})"
+        np.testing.assert_allclose(f1, f2, atol=1e-4)
+    # end-state weights: the TP-sharded hidden W and the replicated head W
+    for idx in (3, 4):
+        for w1, w2 in zip(tr1.params[idx], tr2.params[idx]):
+            np.testing.assert_allclose(
+                np.asarray(w1), np.asarray(w2), atol=1e-4,
+            )
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -127,6 +142,39 @@ def test_remat_under_mesh_matches_no_remat():
     t1, c1, _ = tr1.run_epoch()
     t2, c2, _ = tr2.run_epoch()
     np.testing.assert_allclose(c1, c2, rtol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_host_pipeline_feeds_dp_mesh():
+    """Streamed training (HostPipeline batches) under a data-parallel mesh:
+    previously untested together. The streamed sharded trajectory must match
+    the streamed unsharded one step-for-step (same pipeline order, no
+    host-side deform, augmentation-free net so randomness is irrelevant)."""
+    from theanet_tpu.io import HostPipeline
+
+    layers = [
+        ["InputLayer", {"img_sz": 12}],
+        ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 64, "pdrop": 0}],
+        ["SoftmaxLayer", {"n_out": 10}],
+    ]
+    x, y = make_data(64)
+
+    def run(mesh):
+        net = NeuralNet([list(l) for l in layers], prms(16))
+        tr = Trainer(net, x[:16], y[:16], x[:16], y[:16], mesh=mesh)
+        pipe = HostPipeline(x, y, batch_sz=16, shuffle=False, deform=None)
+        total, costs = tr.run_epoch_streamed(pipe)
+        return costs, tr.params
+
+    c1, p1 = run(None)
+    c2, p2 = run(make_mesh(n_data=8, n_model=1))
+    assert len(c1) == 4 and len(c2) == 4
+    np.testing.assert_allclose(c1, c2, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1[3][0]), np.asarray(p2[3][0]), atol=1e-5
+    )
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

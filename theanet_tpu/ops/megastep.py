@@ -71,6 +71,10 @@ __all__ = ["MegaSpec", "LayerReg", "build_constants", "make_epoch_fn",
 # layer indices of the four parameterized layers in the supported pattern
 MEGA_LAYER_IDX = (1, 3, 5, 6)
 
+import os
+
+_VMEM_MB = os.environ.get("THEANET_MEGA_VMEM_MB", "100")
+
 BIG_NEG = -1e30
 MASK24 = 0xFFFFFF
 INV24 = 1.0 / (1 << 24)
@@ -203,6 +207,28 @@ def spec_from_net(net):
     # frozen layers (rate 0) keep no momentum buffers in the framework
     # layout; the layout converters assume all four layers are live
     if any(not lyr.reg["rate"] for lyr in (c1, c2, hid, head)):
+        return None
+
+    # VMEM feasibility: the striped-conv constants scale with batch^2
+    # (stripe2 is (maps2*B, maps1*B)) and the working set with batch. Past
+    # ~8 MB of resident constants + state the kernel stops fitting a v5e
+    # core's VMEM; fall back to the scanned per-layer path (which is the
+    # better program at large batch anyway — big batches amortize launches).
+    B = net.batch_sz
+    hw = L[0].out_sz ** 2
+    const_bytes = 4 * (
+        hw * hw * 2                       # s_smooth + tap-matrix workspace
+        + c2.num_maps * B * c1.num_maps * B   # stripe2
+        + hw * p1.out_sz ** 2             # c1 compaction
+    )
+    state_bytes = 4 * 3 * sum(
+        int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
+        for w in lyr_.get_wts()
+    )
+    work_bytes = 4 * 8 * max(c1.num_maps * B * hw, B * hid.n_out)
+    # budget calibrated empirically on v5e: the flagship at batch 20
+    # (~13 MB by this formula) runs; batch 128+ (~28 MB+) does not fit
+    if const_bytes + state_bytes + work_bytes > 20 * 1024 * 1024:
         return None
 
     return MegaSpec(
@@ -345,6 +371,8 @@ def _reg_grad(reg: LayerReg, p, g):
 
 
 def _kernel(spec: MegaSpec,
+            debug_stage,  # None | 'fwd' | 'bwd_dense' | 'bwd_conv2' — dev
+            # timing ablation: truncate the step after the named segment
             # inputs, in order
             x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
@@ -364,6 +392,11 @@ def _kernel(spec: MegaSpec,
     NH, NC = spec.n_hid, spec.n_out
     NF = spec.n_flat
     step = pl.program_id(0)
+
+    if debug_stage == "noop0":     # floor before ANY kernel structure
+        cost_ref[0, 0, 0] = jnp.sum(x_ref[0])
+        minf_ref[0, 0, 0] = 0.0
+        return
 
     state = [
         (ow1, w1_ref), (ob1, b1_ref), (ow2, w2_ref), (ob2, b2_ref),
@@ -385,6 +418,11 @@ def _kernel(spec: MegaSpec,
     x = x_ref[0]                   # (B, HW)
     y = y_ref[0]                   # (B, 1) int32
     lr = lr_ref[0, 0]
+
+    if debug_stage == "noop":      # pure grid/DMA floor measurement
+        cost_ref[0, 0, 0] = jnp.sum(x)
+        minf_ref[0, 0, 0] = 0.0
+        return
 
     # ---------------- elastic augmentation (reference inlayers.py:63-142)
     if spec.invert:
@@ -472,6 +510,11 @@ def _kernel(spec: MegaSpec,
         u = _u01(pb_ref[0])
         aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
 
+    if debug_stage == "aug":
+        cost_ref[0, 0, 0] = jnp.sum(aug)  # consume so nothing is DCE'd
+        minf_ref[0, 0, 0] = 0.0
+        return
+
     # ---------------- conv1 (striped matmul per tap) + pool1
     # Conv1 keeps a per-tap loop: its rolled pieces are B-row (20) blocks,
     # which Mosaic cannot concatenate on the sublane axis (needs multiples
@@ -489,6 +532,11 @@ def _kernel(spec: MegaSpec,
     mx1 = jnp.maximum(jnp.maximum(z1m, _roll(z1m, -1)),
                       jnp.maximum(_roll(z1m, -H), _roll(z1m, -H - 1)))
     p1 = _mm(mx1, c1_ref[:])                              # (R1, P1SQ)
+
+    if debug_stage == "conv1":
+        cost_ref[0, 0, 0] = jnp.sum(p1)
+        minf_ref[0, 0, 0] = 0.0
+        return
 
     # ---------------- conv2 (striped matmul per tap) + pool2
     # Tap-stacking the rolled pieces into one K=9*R1 matmul would be the
@@ -512,6 +560,11 @@ def _kernel(spec: MegaSpec,
                       jnp.maximum(_roll(z2m, -spec.p1),
                                   _roll(z2m, -spec.p1 - 1)))
     p2 = _mm(mx2, c2_ref[:])                              # (R2, P2SQ)
+
+    if debug_stage == "conv2":
+        cost_ref[0, 0, 0] = jnp.sum(p2)
+        minf_ref[0, 0, 0] = 0.0
+        return
 
     # ---------------- flatten (embed + select matmuls) + dense tail
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (M2 * B, 1), 0)
@@ -541,6 +594,9 @@ def _kernel(spec: MegaSpec,
     cost_ref[0, 0, 0] = cost
     minf_ref[0, 0, 0] = jnp.min(true_logp)
 
+    if debug_stage == "fwd":
+        return
+
     # ---------------- backward
     dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)            # (B, NC)
     dwo = _mm(h3d, dz4, ta=True)
@@ -551,6 +607,9 @@ def _kernel(spec: MegaSpec,
     dwh = _mm(f, dz3, ta=True)                            # (NF, NH)
     dbh = jnp.sum(dz3, axis=0, keepdims=True)
     df = _mm(dz3, wh, tb=True)                            # (B, NF)
+
+    if debug_stage == "bwd_dense":
+        return
 
     dpe = _mm(sumsel, df, ta=True)                        # (R2, NF)
     dp2 = jnp.zeros((M2 * B, P2SQ), jnp.float32)
@@ -577,6 +636,9 @@ def _kernel(spec: MegaSpec,
         dp1 = dp1 + _roll(_mm(w2k_bigs[k], dz2, ta=True), off)
     dw2 = jnp.concatenate(dw2_blocks, axis=1)             # (M2, F^2*M1)
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
+
+    if debug_stage == "bwd_conv2":
+        return
 
     # pool1 backward
     am1 = am1_ref[:]
@@ -668,7 +730,8 @@ def params_from_kernel(kparams, spec: MegaSpec):
     ]
 
 
-def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None):
+def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
+                  debug_stage=None, donate=False):
     """Build the one-launch epoch function.
 
     Returns f(kparams, kmoms, x_steps, y_steps, bits, lr) ->
@@ -728,28 +791,43 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     call = pl.pallas_call(
-        functools.partial(_kernel, spec),
+        functools.partial(_kernel, spec, debug_stage),
         grid=(n_batches,),
         in_specs=step_spec + param_specs + const_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+        **(
+            {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=int(_VMEM_MB) * 1024 * 1024)}
+            if _VMEM_MB else {}
         ),
     )
 
-    carrs = [jnp.asarray(a) for a in const_arrs]
+    # The constant tensors MUST travel as call arguments, not as closed-over
+    # jit constants: XLA/Mosaic re-materializes embedded constant operands on
+    # every grid iteration, which measured as a ~55us/step floor (vs 0.6us
+    # with the identical operands passed as arguments). So the jit lives
+    # HERE, with the constants bound at call time; callers must NOT wrap the
+    # returned function in jax.jit again (that would re-embed them).
+    carrs = tuple(jnp.asarray(a) for a in const_arrs)
 
-    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr):
+    def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts):
         ub, fb, pb, db = bits
-        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
         outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
-                    *kparams, *kmoms, *carrs)
+                    *kparams, *kmoms, *consts)
         new_params = list(outs[0:8])
         new_moms = list(outs[8:16])
         costs = outs[16][:, 0, 0]
         minf = outs[17][:, 0, 0]
         return new_params, new_moms, costs, minf
 
+    jitted = jax.jit(raw_epoch, donate_argnums=(0, 1) if donate else ())
+
+    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr):
+        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+        return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs)
+
+    epoch._jitted = jitted  # introspection hooks (bench census)
+    epoch._carrs = carrs
     return epoch

@@ -239,9 +239,12 @@ class Trainer:
         # checkpointing, per-batch APIs).
         self._mega = None
         mega_mode = net.tr_prms.get("MEGAFUSED", "auto")
+        # gate on where the data actually lives, not the session backend —
+        # a TPU session can still build a CPU trainer (jax.default_device)
+        data_platform = next(iter(self.d_train_x.devices())).platform
         want_mega = (
             mega_mode is True
-            or (mega_mode == "auto" and jax.default_backend() == "tpu")
+            or (mega_mode == "auto" and data_platform == "tpu")
         )
         if (want_mega and mesh is None and self.d_train_aux is None
                 and self.n_train_batches >= 1):
@@ -257,8 +260,11 @@ class Trainer:
                     nb_m, bsz, spec.hw
                 )
                 self._mega_y = self.d_train_y[:n_use].reshape(nb_m, bsz, 1)
-                self._mega_epoch = jax.jit(
-                    mega_mod.make_epoch_fn(spec, nb_m), donate_argnums=(0, 1)
+                # make_epoch_fn jits internally (donating params/moms) with
+                # the constant operands as call args — do not re-jit it.
+                self._mega_epoch = mega_mod.make_epoch_fn(
+                    spec, nb_m, interpret=(data_platform != "tpu"),
+                    donate=True,
                 )
                 idx = mega_mod.MEGA_LAYER_IDX
                 f, m1, m2 = spec.filt, spec.maps1, spec.maps2
