@@ -121,9 +121,10 @@ def test_identity_trajectory_matches_framework():
     net2 = _net()  # fresh schedule
     for ep in range(n_epochs):
         lr = net2.get_rate()
-        kp, km, costs, minf = epoch_fn(kp, km, x_steps, y_steps, bits, lr)
-        mega_costs.extend(np.asarray(costs).tolist())
-        assert np.all(np.isfinite(np.asarray(minf)))
+        kp, km, cm = epoch_fn(kp, km, x_steps, y_steps, bits, lr)
+        cm = np.asarray(cm)
+        mega_costs.extend(cm[:, 0].tolist())
+        assert np.all(np.isfinite(cm[:, 1]))
         net2.inc_epoch_set_rate()
 
     np.testing.assert_allclose(mega_costs, frame_costs, rtol=0, atol=2e-5)
@@ -220,7 +221,8 @@ def test_augmented_forward_matches_bit_replica(nearest):
     bits = epoch_noise_bits(jax.random.PRNGKey(3), spec, nb)
     x_steps = jnp.asarray(xs.reshape(nb, B, IMG * IMG))
     y_steps = jnp.asarray(ys.reshape(nb, B, 1))
-    _, _, costs, _ = epoch_fn(kp, km, x_steps, y_steps, bits, 0.0)
+    _, _, cm = epoch_fn(kp, km, x_steps, y_steps, bits, 0.0)
+    costs = np.asarray(cm)[:, 0]
 
     # replica: same bits -> same warp -> same augmented batch
     ub, fb, pb, db = [np.asarray(b) for b in bits]
@@ -254,8 +256,8 @@ def test_dropout_and_pflip_rates():
     costs = []
     for s in range(10):
         bits = epoch_noise_bits(jax.random.PRNGKey(s), spec, nb)
-        _, _, c, _ = epoch_fn(kp, km, x_steps, y_steps, bits, 0.0)
-        costs.append(float(c[0]))
+        _, _, cm = epoch_fn(kp, km, x_steps, y_steps, bits, 0.0)
+        costs.append(float(np.asarray(cm)[0, 0]))
     # all-zero images + pflip=.25: E[pixel] = .25 after flip; the cost is
     # finite and varies with the seed (noise actually flows)
     assert np.isfinite(costs).all() and np.std(costs) > 0

@@ -296,8 +296,22 @@ def build_constants(spec: MegaSpec):
         "stripe2": np.tile(np.eye(B, dtype=np.float32), (M2, M1)),   # (R2, R1)
         # flatten: f[b, :] = sum over m of embedded rows (m, b)
         "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, M2)),     # (B, R2)
+        # conv2 tap shifts as stacked one-hot matrices: sh2[k*P+r, q] = 1
+        # iff r == q + off_k. Shift-by-matmul results (unlike pltpu.roll
+        # outputs) have plain layouts, so all 9 taps CONCATENATE into one
+        # (9*R1, P1SQ) patch matrix and conv2 fwd/bwd become single matmuls.
+        "sh2": _shift_stack(spec),
     }
     return consts
+
+
+def _shift_stack(spec):
+    p = spec.p1 * spec.p1
+    sh = np.zeros((spec.filt ** 2 * p, p), np.float32)
+    for k, off in enumerate(_tap_offsets(spec.filt, spec.p1)):
+        for q in range(p - off):
+            sh[k * p + q + off, q] = 1.0
+    return sh
 
 
 # tap offsets enumerate the REVERSED kernel (true convolution): output q
@@ -380,6 +394,7 @@ def _kernel(spec: MegaSpec,
             aow_ref, aob_ref,
             ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
             em1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref, sumsel_ref,
+            sh2_ref,
             # outputs
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
@@ -538,21 +553,24 @@ def _kernel(spec: MegaSpec,
         minf_ref[0, 0, 0] = 0.0
         return
 
-    # ---------------- conv2 (striped matmul per tap) + pool2
-    # Tap-stacking the rolled pieces into one K=9*R1 matmul would be the
-    # MXU-preferred shape, but Mosaic cannot concatenate lane-rolled
-    # vectors (their lazy lane-offset layouts don't unify), so each tap is
-    # its own matmul; the rolled pieces are cached for the backward pass.
-    offs2 = _tap_offsets(F, spec.p1)
+    # ---------------- conv2 (single tap-stacked matmul) + pool2
+    # The 9 tap shifts are applied by one-hot shift MATMULS (pltpu.roll
+    # outputs have lazy lane-offset layouts that refuse to concatenate;
+    # matmul outputs are plain), so all taps stack into one (9*R1, P1SQ)
+    # patch matrix and the conv contraction is ONE K=9*R1 matmul — and the
+    # same patch matrix serves both backward contractions.
+    R1 = M1 * B
     em2, ecol2, st2 = em2_ref[:], ecol2_ref[:], st2_ref[:]
-    rolls_p1 = [_roll(p1, -off) for off in offs2]
-    w2k_bigs = [
-        _mm(_mm(em2, w2[:, k * M1:(k + 1) * M1]), ecol2) * st2   # (R2, R1)
-        for k in range(F * F)
-    ]
-    z2 = _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)  # (R2, P1SQ)
-    for k in range(F * F):
-        z2 = z2 + _mm(w2k_bigs[k], rolls_p1[k])
+    sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
+    p1s = jnp.concatenate(
+        [_mm(p1, sh2[k * P1SQ:(k + 1) * P1SQ, :]) for k in range(F * F)],
+        axis=0,
+    )                                                     # (9*R1, P1SQ)
+    w2_big = jnp.concatenate(
+        [_mm(_mm(em2, w2[:, k * M1:(k + 1) * M1]), ecol2) * st2
+         for k in range(F * F)], axis=1,
+    )                                                     # (R2, 9*R1)
+    z2 = _mm(w2_big, p1s) + _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)
     h2 = _lrelu(z2, spec.slope2)
     v2 = v2_ref[:]
     z2m = jnp.where(v2 > 0, h2, BIG_NEG)
@@ -625,16 +643,19 @@ def _kernel(spec: MegaSpec,
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
     dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
 
-    # conv2 backward (reuses the cached rolls and striped weights)
-    dw2_blocks = []
+    # conv2 backward: one matmul per contraction against the patch matrix
+    dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, 9*R1)
+    dw2 = jnp.concatenate(
+        [_mm(_mm(em2, dbig_all[:, k * R1:(k + 1) * R1] * st2, ta=True),
+             ecol2, tb=True)                              # (M2, M1)
+         for k in range(F * F)], axis=1,
+    )                                                     # (M2, F^2*M1)
+    dp_stack = _mm(w2_big, dz2, ta=True)                  # (9*R1, P1SQ)
     dp1 = jnp.zeros_like(p1)
-    for k, off in enumerate(offs2):
-        dbig = _mm(dz2, rolls_p1[k], tb=True)             # (R2, R1)
-        dw2_blocks.append(
-            _mm(_mm(em2, dbig * st2, ta=True), ecol2, tb=True)  # (M2, M1)
-        )
-        dp1 = dp1 + _roll(_mm(w2k_bigs[k], dz2, ta=True), off)
-    dw2 = jnp.concatenate(dw2_blocks, axis=1)             # (M2, F^2*M1)
+    for k in range(F * F):
+        # un-shift with the transposed one-hot
+        dp1 = dp1 + _mm(dp_stack[k * R1:(k + 1) * R1, :],
+                        sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True)
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
 
     if debug_stage == "bwd_conv2":
@@ -735,9 +756,12 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     """Build the one-launch epoch function.
 
     Returns f(kparams, kmoms, x_steps, y_steps, bits, lr) ->
-    (kparams, kmoms, costs, min_true_f) where x_steps is (n_batches, B, hw)
-    f32, y_steps is (n_batches, B, 1) int32, bits is the epoch_noise_bits
-    tuple, and costs/min_true_f are (n_batches,) f32.
+    (kparams, kmoms, cost_minf) where x_steps is (n_batches, B, hw) f32,
+    y_steps is (n_batches, B, 1) int32, bits is the epoch_noise_bits tuple,
+    and cost_minf is (n_batches, 2) f32: per-step cost and min true-class
+    feature. The returned function also exposes ``.from_key(kparams, kmoms,
+    x, y, base_key, epoch_no, lr)``, which derives the epoch's noise inside
+    the same jit — one device dispatch per epoch.
     """
     B, HW, NH, NC, NF = (spec.batch, spec.hw, spec.n_hid, spec.n_out,
                          spec.n_flat)
@@ -746,7 +770,8 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     consts = build_constants(spec)
     const_arrs = [consts[k] for k in
                   ("s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
-                   "em1", "em2", "ecol2", "stripe1", "stripe2", "sumsel")]
+                   "em1", "em2", "ecol2", "stripe1", "stripe2", "sumsel",
+                   "sh2")]
 
     def vmem():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -818,16 +843,41 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
                     *kparams, *kmoms, *consts)
         new_params = list(outs[0:8])
         new_moms = list(outs[8:16])
-        costs = outs[16][:, 0, 0]
-        minf = outs[17][:, 0, 0]
-        return new_params, new_moms, costs, minf
+        # one (nb, 2) array: [:, 0] = per-step cost, [:, 1] = min true-class
+        # feature — a single array means a single device->host transfer for
+        # the watchdogs (each transfer is a ~36ms round trip here)
+        cost_minf = jnp.concatenate(
+            [outs[16][:, :, 0], outs[17][:, :, 0]], axis=1
+        )
+        return new_params, new_moms, cost_minf
 
     jitted = jax.jit(raw_epoch, donate_argnums=(0, 1) if donate else ())
+
+    def raw_epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no,
+                           lr_arr, consts):
+        # noise generation fused into the same program: an epoch is ONE
+        # device dispatch (each dispatch costs ~36ms through this
+        # environment's TPU tunnel — 4 separate rng launches were +140ms
+        # per epoch)
+        bits = epoch_noise_bits(
+            jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
+        )
+        return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
+                         consts)
+
+    jitted_key = jax.jit(raw_epoch_from_key,
+                         donate_argnums=(0, 1) if donate else ())
 
     def epoch(kparams, kmoms, x_steps, y_steps, bits, lr):
         lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
         return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs)
 
+    def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr):
+        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+        return jitted_key(kparams, kmoms, x_steps, y_steps, key,
+                          jnp.int32(epoch_no), lr_arr, carrs)
+
     epoch._jitted = jitted  # introspection hooks (bench census)
     epoch._carrs = carrs
+    epoch.from_key = epoch_from_key
     return epoch

@@ -314,16 +314,13 @@ class Trainer:
             self._km = self._mega_to_kernel(self.moms)
             self._state_src = "mega"
         epoch_no = self.net.get_epoch()
-        key = jax.random.fold_in(self.net.base_key, epoch_no + (1 << 28))
-        bits = self._mega.epoch_noise_bits(
-            key, self._mega_spec, self.n_train_batches
+        self._kp, self._km, cost_minf = self._mega_epoch.from_key(
+            self._kp, self._km, self._mega_x, self._mega_y,
+            self.net.base_key, epoch_no, jnp.float32(lr),
         )
-        self._kp, self._km, costs, min_true_f = self._mega_epoch(
-            self._kp, self._km, self._mega_x, self._mega_y, bits,
-            jnp.float32(lr),
-        )
-        costs = np.asarray(costs)
-        return float(costs.sum()), costs, np.asarray(min_true_f)
+        cost_minf = np.asarray(cost_minf)  # ONE device->host transfer
+        costs = cost_minf[:, 0]
+        return float(costs.sum()), costs, cost_minf[:, 1]
 
     # -- public API ----------------------------------------------------------
 
