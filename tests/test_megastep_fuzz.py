@@ -1,0 +1,80 @@
+"""Shape-fuzz for the fused-epoch kernel: random geometries through the
+identity-trajectory gate (megastep must equal the per-layer path exactly
+when augmentation is identity and dropout off). Catches shape-dependent
+bugs: odd conv outputs, partial pool windows, filter sizes other than 3,
+non-dividing flatten dims."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from theanet_tpu.model import NeuralNet
+from theanet_tpu.ops.megastep import (
+    make_epoch_fn, params_to_kernel, params_from_kernel, epoch_noise_bits,
+    spec_from_net,
+)
+import jax
+
+CASES = [
+    # (batch, img, filt, m1, m2, nh, nc) — chosen to hit odd/even conv
+    # outputs and partial pool2 windows
+    (4, 12, 3, 2, 3, 16, 4),    # c1=10,p1=5,c2=3(odd),p2=2 partial
+    (6, 14, 5, 1, 2, 8, 3),     # filt=5: c1=10,p1=5,c2=1,p2=1 degenerate
+    (8, 16, 3, 3, 4, 24, 5),    # c1=14,p1=7(odd),c2=5(odd),p2=3 partial
+    (2, 9, 3, 1, 1, 4, 2),      # tiny odd img: c1=7,p1=4,c2=2,p2=1
+]
+
+
+@pytest.mark.parametrize("batch,img,filt,m1,m2,nh,nc", CASES)
+def test_fuzz_identity_trajectory(batch, img, filt, m1, m2, nh, nc):
+    layers = [
+        ["InputLayer", {"img_sz": img}],
+        ["ConvLayer", {"num_maps": m1, "filter_sz": filt, "stride": 1,
+                       "mode": "valid", "actvn": "relu07",
+                       "reg": {"L2": 1e-3, "maxnorm": 0.8}}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": m2, "filter_sz": filt, "stride": 1,
+                       "mode": "valid", "actvn": "relu15"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": nh, "pdrop": 0, "actvn": "relu02",
+                         "reg": {"L1": 1e-4, "momentum": 0.9}}],
+        ["SoftmaxLayer", {"n_out": nc, "reg": {"maxnorm": 0.9}}],
+    ]
+    tr_prms = {"SEED": img * 7 + filt, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = spec_from_net(net)
+    assert spec is not None and spec.filt == filt
+
+    nb = 3
+    rng = np.random.RandomState(1)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.15,
+        )
+        frame_costs.append(float(cost))
+
+    aw = [net.allwts0[i] for i in (1, 3, 5, 6)]
+    epoch_fn = make_epoch_fn(spec, nb, interpret=True)
+    kp = [jnp.asarray(t) for t in params_to_kernel(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km,
+        jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)),
+        bits, 0.15,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = params_from_kernel(kp, spec)
+    want = [params[1], params[3], params[5], params[6]]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), g, rtol=0, atol=1e-4)
