@@ -182,3 +182,21 @@ def test_color_eval_identity_train_jitters_within_range():
     out = apply(lyr, x, train=True)
     assert not np.allclose(out, x)
     assert out.min() >= 0 and out.max() <= 1 + 1e-5
+
+
+def test_pool_tie_gradient_routes_to_all_maxima():
+    """Theano MaxPoolGrad semantics: every element equal to the window max
+    receives the FULL output gradient (not split, not first-only)."""
+    lyr = PoolLayer(num_maps=1, in_sz=4, pool_sz=2)
+
+    def pooled_sum(x):
+        return jnp.sum(lyr.apply(None, x, key=KEY, train=True))
+
+    x = jnp.ones((1, 1, 4, 4), jnp.float32)  # every window is a 4-way tie
+    g = jax.grad(pooled_sum)(x)
+    np.testing.assert_array_equal(np.asarray(g), np.ones((1, 1, 4, 4)))
+
+    # distinct values: only the max gets it
+    x2 = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4))
+    g2 = np.asarray(jax.grad(pooled_sum)(x2))
+    assert g2.sum() == 4 and (g2.reshape(-1)[[5, 7, 13, 15]] == 1).all()

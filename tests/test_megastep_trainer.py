@@ -90,16 +90,23 @@ def test_megafused_with_full_augmentation_trains():
     assert tot0 != tot1
 
 
-def test_megafused_auto_off_on_cpu_and_pattern_rejects():
+def test_megafused_auto_off_on_cpu_and_forced_mismatch_errors():
+    import pytest
+
     x, y = _data()
     # auto defaults off on CPU
     tr = Trainer(_net("auto"), x, y, x, y)
     assert tr._mega is None
-    # non-matching pattern (hinge loss) rejected even when forced
+    # non-matching pattern (hinge loss): forcing True fails LOUDLY instead
+    # of silently training on the ~5x slower per-layer path
     net = _net(True)
     net.net_layers[-1].loss = "hinge"
-    tr2 = Trainer(net, x, y, x, y)
-    assert tr2._mega is None
+    with pytest.raises(ValueError, match="MEGAFUSED=True"):
+        Trainer(net, x, y, x, y)
+    # ... while auto falls back silently
+    net2 = _net("auto")
+    net2.net_layers[-1].loss = "hinge"
+    assert Trainer(net2, x, y, x, y)._mega is None
 
 
 def test_megafused_resume_via_checkpoint():
@@ -113,3 +120,26 @@ def test_megafused_resume_via_checkpoint():
     for lp, lw in zip(tr2.params, ck["allwts"]):
         for p, w in zip(lp, lw):
             np.testing.assert_array_equal(np.asarray(p), np.asarray(w))
+
+
+def test_megafused_matches_unfused_on_tied_data():
+    """MNIST-like data has exact-zero background patches -> conv outputs tie
+    inside pool windows. Both paths must route tie gradients identically
+    (Theano all-maxima semantics), so the trajectories still match."""
+    rng = np.random.RandomState(5)
+    x = np.zeros((NB * B, 1, IMG, IMG), np.float32)
+    x[:, :, 4:8, 4:8] = rng.rand(NB * B, 1, 4, 4)  # zero borders everywhere
+    y = rng.randint(0, 4, NB * B).astype(np.int32)
+    tr_m = Trainer(_net(True), x, y, x, y)
+    tr_u = Trainer(_net(False), x, y, x, y)
+    assert tr_m._mega is not None and tr_u._mega is None
+    for _ in range(2):
+        _, cm, _ = tr_m.run_epoch()
+        _, cu, _ = tr_u.run_epoch()
+        np.testing.assert_allclose(cm, cu, atol=3e-5)
+        tr_m.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+    dm, du = tr_m.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lm, lu in zip(dm["allwts"], du["allwts"]):
+        for wm, wu in zip(lm, lu):
+            np.testing.assert_allclose(wm, wu, atol=1e-4)

@@ -56,3 +56,46 @@ def test_fused_tail_dropout_rate_on_tpu():
     ]
     mean_keep = float(np.mean(keeps))
     assert abs(mean_keep - 0.5) < 0.01, keeps
+
+
+def test_megafused_matches_unfused_on_tpu():
+    """On-chip (not interpret-mode) parity of the fused epoch kernel vs the
+    per-layer path: identity augmentation, no dropout, one epoch. Both run
+    the MXU's default precision; differences are bf16 rounding of the fused
+    kernel's matmul-based data movement plus reduction order — measured
+    ~1e-5 relative on costs, gated here at 1e-3."""
+    import numpy as np
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    def net(mega):
+        layers = [
+            ["InputLayer", {"img_sz": 12}],
+            ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                           "mode": "valid", "actvn": "relu05"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                           "mode": "valid", "actvn": "relu10"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["HiddenLayer", {"n_out": 16, "pdrop": 0, "actvn": "relu01"}],
+            ["SoftmaxLayer", {"n_out": 4}],
+        ]
+        tr_prms = {"SEED": 11, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+                   "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+                   "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+                   "MEGAFUSED": mega}
+        return NeuralNet(layers, tr_prms)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(12, 1, 12, 12).astype(np.float32)
+    y = rng.randint(0, 4, 12).astype(np.int32)
+    tr_m = Trainer(net(True), x, y, x, y)
+    assert tr_m._mega is not None
+    tr_u = Trainer(net(False), x, y, x, y)
+    _, cm, _ = tr_m.run_epoch()
+    _, cu, _ = tr_u.run_epoch()
+    np.testing.assert_allclose(cm, cu, rtol=1e-3)
+    dm, du = tr_m.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lm, lu in zip(dm["allwts"], du["allwts"]):
+        for wm, wu in zip(lm, lu):
+            np.testing.assert_allclose(wm, wu, atol=2e-3)

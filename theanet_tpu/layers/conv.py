@@ -115,9 +115,54 @@ class ConvLayer(Layer):
         return act(out + b[None, :, None, None]).astype(x.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _maxpool(x, pool_sz, out_sz, ignore_border):
+    return _maxpool_fwd_impl(x, pool_sz, out_sz, ignore_border)
+
+
+def _maxpool_fwd_impl(x, p, out_sz, ignore_border):
+    in_sz = x.shape[2]
+    pad = (0, 0) if ignore_border else (0, out_sz * p - in_sz)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, p, p),
+        window_strides=(1, 1, p, p),
+        padding=[(0, 0), (0, 0), pad, pad],
+    )
+
+
+def _maxpool_fwd(x, p, out_sz, ignore_border):
+    pooled = _maxpool_fwd_impl(x, p, out_sz, ignore_border)
+    return pooled, (x, pooled)
+
+
+def _maxpool_bwd(p, out_sz, ignore_border, res, g):
+    # Theano tie semantics (pool.MaxPoolGrad): EVERY element equal to its
+    # window max receives the full output gradient — XLA's native
+    # select-and-scatter picks a single element, which diverges from the
+    # reference (and from the fused epoch kernel) on data with exact ties,
+    # e.g. MNIST's constant-background patches.
+    x, pooled = res
+    in_sz = x.shape[2]
+    up_max = jnp.repeat(jnp.repeat(pooled, p, axis=2), p, axis=3)
+    up_g = jnp.repeat(jnp.repeat(g, p, axis=2), p, axis=3)
+    up_max = up_max[:, :, :in_sz, :in_sz]
+    up_g = up_g[:, :, :in_sz, :in_sz]
+    return (jnp.where(x == up_max, up_g, 0.0).astype(x.dtype),)
+
+
+_maxpool.defvjp(_maxpool_fwd, _maxpool_bwd)
+
+
 class PoolLayer(Layer):
     """Max pooling (reference convpool.py:97-127). ignore_border=False keeps
-    partial edge windows (output size = ceil(in/p)); True floors."""
+    partial edge windows (output size = ceil(in/p)); True floors. The
+    gradient routes to ALL tied maxima of a window (Theano semantics)."""
 
     def __init__(self, num_maps, in_sz, pool_sz, ignore_border=False):
         super().__init__()
@@ -135,21 +180,7 @@ class PoolLayer(Layer):
         )
 
     def apply(self, wts, x, *, key, train, aux=None):
-        p = self.pool_sz
-        in_sz = x.shape[2]
-        if self.ignore_border:
-            pad = (0, 0)
-        else:
-            padded = self.out_sz * p
-            pad = (0, padded - in_sz)
-        return jax.lax.reduce_window(
-            x,
-            -jnp.inf,
-            jax.lax.max,
-            window_dimensions=(1, 1, p, p),
-            window_strides=(1, 1, p, p),
-            padding=[(0, 0), (0, 0), pad, pad],
-        )
+        return _maxpool(x, self.pool_sz, self.out_sz, self.ignore_border)
 
 
 class MeanLayer(Layer):

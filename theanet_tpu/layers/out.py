@@ -59,8 +59,12 @@ class OutputMixin:
             try:
                 threshold = float(np.clip(int(loss[-2:]) / 100, 0, 1))
             except ValueError:
+                # the reference prints BOTH lines here (cost falls through
+                # to the trunc path with threshold 1.0, whose log is 0 —
+                # identical numbers to plain NLL; outlayers.py:24-27,45)
                 if not getattr(self, "_nll_noticed", False):
                     print("Did not understand {}, using plain NLL".format(loss))
+                    print("Using threshold: ", 1.0)
                     self._nll_noticed = True
                 return -jnp.mean(_true_class(hs["logprob"], y))
             if not getattr(self, "_nll_noticed", False):

@@ -66,7 +66,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["MegaSpec", "LayerReg", "build_constants", "make_epoch_fn",
            "epoch_noise_bits", "params_to_kernel", "params_from_kernel",
-           "spec_from_net", "MEGA_LAYER_IDX"]
+           "kernel_layout", "framework_layout", "spec_from_net",
+           "MEGA_LAYER_IDX"]
 
 # layer indices of the four parameterized layers in the supported pattern
 MEGA_LAYER_IDX = (1, 3, 5, 6)
@@ -114,6 +115,15 @@ class MegaSpec(NamedTuple):
     reg2: LayerReg
     reg_h: LayerReg
     reg_o: LayerReg
+    # full-f32 MXU passes for data-MOVEMENT matmuls (resample, pool
+    # compaction/expansion, tap shifts, flatten select). Default OFF: on
+    # TPU the default bf16 passes round moved activations to bf16 — the
+    # same class of rounding as the compute matmuls (which the unfused
+    # path also runs at default precision) — and the measured trajectory
+    # effect is ~1e-5 relative on cumulative cost over 6000 steps, while
+    # exact movement costs +31% step time (45.9 vs 35.1 us/step at batch
+    # 20 on v5e). Interpret mode (all CPU tests) is exact either way.
+    exact_movement: bool = False
 
     # ---- derived static shapes
     @property
@@ -347,10 +357,18 @@ def _roll(x, shift):
     return pltpu.roll(x, shift % n, axis=len(x.shape) - 1)
 
 
-def _mm(a, b, *, ta=False, tb=False):
+def _mm(a, b, *, ta=False, tb=False, hi=False):
+    """2-D matmul. ``hi=True`` requests full-f32 MXU passes — used for DATA
+    MOVEMENT matmuls (one-hot selections/shifts, the bilinear resample)
+    where the default bf16 passes would round the moved values for no
+    compute benefit. Compute matmuls (conv/dense) keep the default, the
+    same precision the unfused per-layer path uses for them."""
     dn = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
-    return jax.lax.dot_general(a, b, dimension_numbers=dn,
-                               preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if hi else None,
+    )
 
 
 def _maxnorm(p, maxnorm, kind):
@@ -517,7 +535,7 @@ def _kernel(spec: MegaSpec,
                      + _roll(e, 1) * ((1 - fy) * fx)
                      + _roll(e, H) * (fy * (1 - fx))
                      + _roll(e, H + 1) * (fy * fx))
-        aug = _mm(x, s_mat, tb=True)              # (B, HW)
+        aug = _mm(x, s_mat, tb=True, hi=spec.exact_movement)  # (B, HW)
     else:
         aug = x
 
@@ -546,7 +564,7 @@ def _kernel(spec: MegaSpec,
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
     mx1 = jnp.maximum(jnp.maximum(z1m, _roll(z1m, -1)),
                       jnp.maximum(_roll(z1m, -H), _roll(z1m, -H - 1)))
-    p1 = _mm(mx1, c1_ref[:])                              # (R1, P1SQ)
+    p1 = _mm(mx1, c1_ref[:], hi=spec.exact_movement)      # (R1, P1SQ)
 
     if debug_stage == "conv1":
         cost_ref[0, 0, 0] = jnp.sum(p1)
@@ -563,7 +581,8 @@ def _kernel(spec: MegaSpec,
     em2, ecol2, st2 = em2_ref[:], ecol2_ref[:], st2_ref[:]
     sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
     p1s = jnp.concatenate(
-        [_mm(p1, sh2[k * P1SQ:(k + 1) * P1SQ, :]) for k in range(F * F)],
+        [_mm(p1, sh2[k * P1SQ:(k + 1) * P1SQ, :], hi=spec.exact_movement)
+         for k in range(F * F)],
         axis=0,
     )                                                     # (9*R1, P1SQ)
     w2_big = jnp.concatenate(
@@ -577,7 +596,7 @@ def _kernel(spec: MegaSpec,
     mx2 = jnp.maximum(jnp.maximum(z2m, _roll(z2m, -1)),
                       jnp.maximum(_roll(z2m, -spec.p1),
                                   _roll(z2m, -spec.p1 - 1)))
-    p2 = _mm(mx2, c2_ref[:])                              # (R2, P2SQ)
+    p2 = _mm(mx2, c2_ref[:], hi=spec.exact_movement)      # (R2, P2SQ)
 
     if debug_stage == "conv2":
         cost_ref[0, 0, 0] = jnp.sum(p2)
@@ -589,7 +608,7 @@ def _kernel(spec: MegaSpec,
     rowmasks = [(rows2 // B == m).astype(jnp.float32) for m in range(M2)]
     p_embed = jnp.concatenate([p2 * rm for rm in rowmasks], axis=1)  # (R2, NF)
     sumsel = sumsel_ref[:]
-    f = _mm(sumsel, p_embed)                              # (B, NF)
+    f = _mm(sumsel, p_embed, hi=spec.exact_movement)      # (B, NF)
 
     z3 = _mm(f, wh) + bh                                  # (B, NH)
     h3 = _lrelu(z3, spec.slope_h)
@@ -629,14 +648,14 @@ def _kernel(spec: MegaSpec,
     if debug_stage == "bwd_dense":
         return
 
-    dpe = _mm(sumsel, df, ta=True)                        # (R2, NF)
+    dpe = _mm(sumsel, df, ta=True, hi=spec.exact_movement)  # (R2, NF)
     dp2 = jnp.zeros((M2 * B, P2SQ), jnp.float32)
     for m in range(M2):
         dp2 = dp2 + dpe[:, m * P2SQ:(m + 1) * P2SQ] * rowmasks[m]
 
     # pool2 backward: expand anchor grads, gate by max-equality
     am2 = am2_ref[:]
-    dmx2 = _mm(dp2, c2_ref[:], tb=True)                   # (R2, P1SQ)
+    dmx2 = _mm(dp2, c2_ref[:], tb=True, hi=spec.exact_movement)  # (R2, P1SQ)
     dz2a = jnp.zeros_like(z2m)
     for off in (0, 1, spec.p1, spec.p1 + 1):
         gate = (_roll(am2, off) > 0) & (z2m == _roll(mx2, off))
@@ -655,7 +674,8 @@ def _kernel(spec: MegaSpec,
     for k in range(F * F):
         # un-shift with the transposed one-hot
         dp1 = dp1 + _mm(dp_stack[k * R1:(k + 1) * R1, :],
-                        sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True)
+                        sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True,
+                        hi=spec.exact_movement)
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
 
     if debug_stage == "bwd_conv2":
@@ -663,7 +683,7 @@ def _kernel(spec: MegaSpec,
 
     # pool1 backward
     am1 = am1_ref[:]
-    dmx1 = _mm(dp1, c1_ref[:], tb=True)                   # (R1, HW)
+    dmx1 = _mm(dp1, c1_ref[:], tb=True, hi=spec.exact_movement)  # (R1, HW)
     dz1a = jnp.zeros_like(z1m)
     for off in (0, 1, H, H + 1):
         gate = (_roll(am1, off) > 0) & (z1m == _roll(mx1, off))
@@ -715,32 +735,33 @@ def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):
     )
 
 
-def params_to_kernel(allwts, spec: MegaSpec):
+def kernel_layout(allwts, spec: MegaSpec):
     """Framework/reference param layout -> kernel layout (8 tensors).
 
     conv weights flatten their taps: w1 (M1,1,F,F) -> (M1, F^2); w2
     (M2,M1,F,F) -> (M2, F^2*M1) indexed k*M1+c so per-tap slices are
     lane-contiguous. Dense tensors pass through; biases become columns/rows.
+    Pure reshape/transpose — works on numpy AND traced jax arrays, so the
+    Trainer's jitted layout sync and the host-side checkpoint path share
+    this single implementation.
     """
     (w1, b1), (w2, b2), (wh, bh), (wo, bo) = allwts
     F = spec.filt
     return [
-        np.asarray(w1, np.float32).reshape(spec.maps1, F * F),
-        np.asarray(b1, np.float32).reshape(spec.maps1, 1),
-        np.ascontiguousarray(
-            np.asarray(w2, np.float32).transpose(0, 2, 3, 1)
-        ).reshape(spec.maps2, F * F * spec.maps1),
-        np.asarray(b2, np.float32).reshape(spec.maps2, 1),
-        np.asarray(wh, np.float32),
-        np.asarray(bh, np.float32).reshape(1, spec.n_hid),
-        np.asarray(wo, np.float32),
-        np.asarray(bo, np.float32).reshape(1, spec.n_out),
+        w1.reshape(spec.maps1, F * F),
+        b1.reshape(spec.maps1, 1),
+        w2.transpose(0, 2, 3, 1).reshape(spec.maps2, F * F * spec.maps1),
+        b2.reshape(spec.maps2, 1),
+        wh,
+        bh.reshape(1, spec.n_hid),
+        wo,
+        bo.reshape(1, spec.n_out),
     ]
 
 
-def params_from_kernel(kparams, spec: MegaSpec):
-    """Inverse of params_to_kernel."""
-    w1, b1, w2, b2, wh, bh, wo, bo = [np.asarray(t) for t in kparams]
+def framework_layout(kparams, spec: MegaSpec):
+    """Inverse of kernel_layout (numpy or traced jax arrays)."""
+    w1, b1, w2, b2, wh, bh, wo, bo = kparams
     F = spec.filt
     return [
         [w1.reshape(spec.maps1, 1, F, F), b1.reshape(spec.maps1)],
@@ -748,6 +769,20 @@ def params_from_kernel(kparams, spec: MegaSpec):
          b2.reshape(spec.maps2)],
         [wh, bh.reshape(spec.n_hid)],
         [wo, bo.reshape(spec.n_out)],
+    ]
+
+
+def params_to_kernel(allwts, spec: MegaSpec):
+    """Host-side kernel_layout: casts to f32 numpy."""
+    cast = [[np.asarray(w, np.float32) for w in lw] for lw in allwts]
+    return [np.ascontiguousarray(t) for t in kernel_layout(cast, spec)]
+
+
+def params_from_kernel(kparams, spec: MegaSpec):
+    """Host-side framework_layout (numpy arrays out)."""
+    return [
+        [np.ascontiguousarray(w) for w in lw]
+        for lw in framework_layout([np.asarray(t) for t in kparams], spec)
     ]
 
 
@@ -839,6 +874,11 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
 
     def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts):
         ub, fb, pb, db = bits
+        # accept the dataset in its natural layout ((n,1,H,W)/(n,)) and
+        # re-view it per-step INSIDE the jit — a bitcast for XLA, so the
+        # training set is never duplicated in HBM for the kernel's sake
+        x_steps = x_steps.reshape(n_batches, spec.batch, spec.hw)
+        y_steps = y_steps.reshape(n_batches, spec.batch, 1)
         outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
                     *kparams, *kmoms, *consts)
         new_params = list(outs[0:8])

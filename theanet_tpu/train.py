@@ -42,10 +42,13 @@ class OutputLog:
 
     def __init__(self, path: str | None = None):
         self._file = open(path, "w", buffering=1) if path else None
+        # honor whatever stdout was active when the redirect was installed
+        # (a caller's contextlib.redirect_stdout, a test harness, ...)
+        self._console = sys.stdout
 
     @property
     def _target(self):
-        return self._file if self._file is not None else sys.__stdout__
+        return self._file if self._file is not None else self._console
 
     def write(self, text):
         return self._target.write(text)

@@ -246,20 +246,38 @@ class Trainer:
             mega_mode is True
             or (mega_mode == "auto" and data_platform == "tpu")
         )
-        if (want_mega and mesh is None and self.d_train_aux is None
-                and self.n_train_batches >= 1):
+        if want_mega:
             from .ops import megastep as mega_mod
 
-            spec = mega_mod.spec_from_net(net)
-            if spec is not None and train_x.shape[2] == train_x.shape[3]:
+            eligible = (mesh is None and self.d_train_aux is None
+                        and self.n_train_batches >= 1
+                        and train_x.shape[2] == train_x.shape[3])
+            spec = mega_mod.spec_from_net(net) if eligible else None
+            if spec is None and mega_mode is True:
+                # forced but impossible: fail loudly instead of silently
+                # training ~5x slower on the per-layer path
+                raise ValueError(
+                    "MEGAFUSED=True, but this configuration cannot use the "
+                    "fused epoch kernel (supported: Input/Elastic -> Conv "
+                    "-> Pool2 -> Conv -> Pool2 -> Hidden -> Softmax(nll), "
+                    "1 input channel, leaky-relu-family activations, f32, "
+                    "no mesh/aux/SHUFFLE, working set within VMEM — see "
+                    "docs/tutorial.md). Use MEGAFUSED='auto' to fall back "
+                    "silently."
+                )
+            if spec is not None:
                 self._mega = mega_mod
                 self._mega_spec = spec
                 nb_m = self.n_train_batches
                 n_use = nb_m * bsz
-                self._mega_x = self.d_train_x[:n_use].reshape(
-                    nb_m, bsz, spec.hw
-                )
-                self._mega_y = self.d_train_y[:n_use].reshape(nb_m, bsz, 1)
+                if n_use == self.d_train_x.shape[0]:
+                    # the epoch fn reshapes internally (a bitcast) — no
+                    # second HBM copy of the training set
+                    self._mega_x = self.d_train_x
+                    self._mega_y = self.d_train_y
+                else:
+                    self._mega_x = self.d_train_x[:n_use]
+                    self._mega_y = self.d_train_y[:n_use]
                 # make_epoch_fn jits internally (donating params/moms) with
                 # the constant operands as call args — do not re-jit it.
                 self._mega_epoch = mega_mod.make_epoch_fn(
@@ -267,30 +285,18 @@ class Trainer:
                     donate=True,
                 )
                 idx = mega_mod.MEGA_LAYER_IDX
-                f, m1, m2 = spec.filt, spec.maps1, spec.maps2
 
+                # layout converters shared with the host checkpoint path
+                # (megastep.kernel_layout/framework_layout are traceable)
                 def to_kernel(params):
-                    (w1, b1), (w2, b2), (wh, bh), (wo, bo) = [
-                        params[i] for i in idx
-                    ]
-                    return [
-                        w1.reshape(m1, f * f), b1.reshape(m1, 1),
-                        w2.transpose(0, 2, 3, 1).reshape(m2, f * f * m1),
-                        b2.reshape(m2, 1),
-                        wh, bh.reshape(1, spec.n_hid),
-                        wo, bo.reshape(1, spec.n_out),
-                    ]
+                    return mega_mod.kernel_layout(
+                        [params[i] for i in idx], spec
+                    )
 
                 def from_kernel(kt, template):
-                    w1, b1, w2, b2, wh, bh, wo, bo = kt
                     out = [list(lp) for lp in template]
-                    out[idx[0]] = [w1.reshape(m1, 1, f, f), b1.reshape(m1)]
-                    out[idx[1]] = [
-                        w2.reshape(m2, f, f, m1).transpose(0, 3, 1, 2),
-                        b2.reshape(m2),
-                    ]
-                    out[idx[2]] = [wh, bh.reshape(spec.n_hid)]
-                    out[idx[3]] = [wo, bo.reshape(spec.n_out)]
+                    for i, lw in zip(idx, mega_mod.framework_layout(kt, spec)):
+                        out[i] = lw
                     return out
 
                 self._mega_to_kernel = jax.jit(to_kernel)
