@@ -78,3 +78,94 @@ def test_fuzz_identity_trajectory(batch, img, filt, m1, m2, nh, nc):
     for lw, lg in zip(want, got):
         for w, g in zip(lw, lg):
             np.testing.assert_allclose(np.asarray(w), g, rtol=0, atol=1e-4)
+
+
+def test_multichannel_identity_trajectory():
+    """3-channel input: conv1 contracts over channels exactly like the
+    framework path (megastep's conv1 becomes conv2-shaped)."""
+    batch, img, filt, c0, m1, m2, nh, nc = 4, 10, 3, 3, 2, 3, 12, 4
+    layers = [
+        ["InputLayer", {"img_sz": img, "num_maps": c0}],
+        ["ConvLayer", {"num_maps": m1, "filter_sz": filt, "stride": 1,
+                       "mode": "valid", "actvn": "relu05",
+                       "reg": {"L2": 1e-3}}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": m2, "filter_sz": filt, "stride": 1,
+                       "mode": "valid", "actvn": "relu10"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": nh, "pdrop": 0, "actvn": "relu02"}],
+        ["SoftmaxLayer", {"n_out": nc}],
+    ]
+    tr_prms = {"SEED": 21, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = spec_from_net(net)
+    assert spec is not None and spec.in_ch == c0
+
+    nb = 3
+    rng = np.random.RandomState(2)
+    xs = rng.rand(nb, batch, c0, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1,
+        )
+        frame_costs.append(float(cost))
+
+    aw = [net.allwts0[i] for i in (1, 3, 5, 6)]
+    epoch_fn = make_epoch_fn(spec, nb, interpret=True)
+    kp = [jnp.asarray(t) for t in params_to_kernel(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km,
+        jnp.asarray(xs.reshape(nb, batch, c0 * img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)),
+        bits, 0.1,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = params_from_kernel(kp, spec)
+    want = [params[1], params[3], params[5], params[6]]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), g, rtol=0, atol=1e-4)
+
+
+def test_multichannel_trainer_with_elastic():
+    from theanet_tpu.trainer import Trainer
+
+    batch, img, c0 = 4, 10, 3
+    layers = [
+        ["ElasticLayer", {"img_sz": img, "translation": 1, "zoom": 1.05,
+                          "magnitude": 4, "sigma": 2, "pflip": 0.02,
+                          "angle": 3, "nearest": True}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu05"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu10"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 12, "pdrop": 0.5, "actvn": "relu01"}],
+        ["SoftmaxLayer", {"n_out": 4}],
+    ]
+    tr_prms = {"SEED": 5, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": True}
+    rng = np.random.RandomState(8)
+    x = rng.rand(12, c0, img, img).astype(np.float32)
+    y = rng.randint(0, 4, 12).astype(np.int32)
+    net = NeuralNet(layers, tr_prms)
+    net.layers[0][1]["num_maps"] = c0  # as train.py injects for RGB data
+    net2 = NeuralNet(net.layers, dict(tr_prms))
+    tr = Trainer(net2, x, y, x, y)
+    assert tr._mega is not None and tr._mega_spec.in_ch == c0
+    total, costs, minf = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(minf).all()
+    err, _ = tr.evaluate_full("test")
+    assert 0 <= err <= 100

@@ -124,6 +124,7 @@ class MegaSpec(NamedTuple):
     # exact movement costs +31% step time (45.9 vs 35.1 us/step at batch
     # 20 on v5e). Interpret mode (all CPU tests) is exact either way.
     exact_movement: bool = False
+    in_ch: int = 1      # input channels (conv1 becomes conv2-shaped when >1)
 
     # ---- derived static shapes
     @property
@@ -179,7 +180,8 @@ def spec_from_net(net):
             and type(L[5]) is HiddenLayer and type(L[6]) is SoftmaxLayer):
         return None
     c1, p1, c2, p2, hid, head = L[1], L[2], L[3], L[4], L[5], L[6]
-    if L[0].num_maps != 1 or c1.num_prev_maps != 1:
+    in_ch = L[0].num_maps
+    if c1.num_prev_maps != in_ch:
         return None
     if c1.filter_sz != c2.filter_sz or c1.stride != 1 or c2.stride != 1:
         return None
@@ -229,6 +231,7 @@ def spec_from_net(net):
     const_bytes = 4 * (
         hw * hw * 2                       # s_smooth + tap-matrix workspace
         + c2.num_maps * B * c1.num_maps * B   # stripe2
+        + c1.num_maps * B * in_ch * B     # stripe1
         + hw * p1.out_sz ** 2             # c1 compaction
     )
     state_bytes = 4 * 3 * sum(
@@ -247,7 +250,7 @@ def spec_from_net(net):
         n_out=head.n_out, slope1=slopes[0], slope2=slopes[1],
         slope_h=slopes[2], pdrop=float(hid.pdrop), **aug,
         reg1=reg_of(c1), reg2=reg_of(c2), reg_h=reg_of(hid),
-        reg_o=reg_of(head),
+        reg_o=reg_of(head), in_ch=in_ch,
     )
 
 
@@ -300,9 +303,12 @@ def build_constants(spec: MegaSpec):
         "a2": _anchor_mask(spec.p2, spec.p1),                  # (1, p1^2)
         # row->map one-hots and batch-stripe masks for the striped matmuls
         "em1": np.repeat(np.eye(M1, dtype=np.float32), B, axis=0),   # (R1, M1)
+        "ecol1": np.repeat(np.eye(spec.in_ch, dtype=np.float32), B,
+                           axis=1),                                  # (C0, C0*B)
         "em2": np.repeat(np.eye(M2, dtype=np.float32), B, axis=0),   # (R2, M2)
         "ecol2": np.repeat(np.eye(M1, dtype=np.float32), B, axis=1), # (M1, R1)
-        "stripe1": np.tile(np.eye(B, dtype=np.float32), (M1, 1)),    # (R1, B)
+        "stripe1": np.tile(np.eye(B, dtype=np.float32),
+                           (M1, spec.in_ch)),                        # (R1, C0*B)
         "stripe2": np.tile(np.eye(B, dtype=np.float32), (M2, M1)),   # (R2, R1)
         # flatten: f[b, :] = sum over m of embedded rows (m, b)
         "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, M2)),     # (B, R2)
@@ -411,7 +417,8 @@ def _kernel(spec: MegaSpec,
             a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
             aow_ref, aob_ref,
             ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-            em1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref, sumsel_ref,
+            em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
+            sumsel_ref,
             sh2_ref,
             # outputs
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
@@ -448,7 +455,8 @@ def _kernel(spec: MegaSpec,
     wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
     wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
 
-    x = x_ref[0]                   # (B, HW)
+    C0 = spec.in_ch
+    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
     y = y_ref[0]                   # (B, 1) int32
     lr = lr_ref[0, 0]
 
@@ -540,7 +548,7 @@ def _kernel(spec: MegaSpec,
         aug = x
 
     if spec.pflip:
-        u = _u01(pb_ref[0])
+        u = _u01(pb_ref[0])        # (C0*B, HW)
         aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
 
     if debug_stage == "aug":
@@ -553,11 +561,12 @@ def _kernel(spec: MegaSpec,
     # which Mosaic cannot concatenate on the sublane axis (needs multiples
     # of 8). Conv2's pieces are M1*B-row blocks and stack into one matmul.
     offs1 = _tap_offsets(F, H)
-    em1, st1 = em1_ref[:], st1_ref[:]
+    em1, ecol1, st1 = em1_ref[:], ecol1_ref[:], st1_ref[:]
     rolls1 = [_roll(aug, -off) for off in offs1]
     z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
     for k in range(F * F):
-        w1k_big = _mm(em1, w1[:, k:k + 1]) * st1          # (R1, B)
+        w1k = w1[:, k * C0:(k + 1) * C0]                  # (M1, C0)
+        w1k_big = _mm(_mm(em1, w1k), ecol1) * st1         # (R1, C0*B)
         z1 = z1 + _mm(w1k_big, rolls1[k])
     h1 = _lrelu(z1, spec.slope1)
     v1 = v1_ref[:]
@@ -693,10 +702,11 @@ def _kernel(spec: MegaSpec,
     # conv1 backward (weights only; nothing learnable below)
     dw1_cols = []
     for k in range(F * F):
-        dbig = _mm(dz1, rolls1[k], tb=True)               # (R1, B)
-        colsum = jnp.sum(dbig * st1, axis=1, keepdims=True)  # (R1, 1)
-        dw1_cols.append(_mm(em1, colsum, ta=True))        # (M1, 1)
-    dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F^2)
+        dbig = _mm(dz1, rolls1[k], tb=True)               # (R1, C0*B)
+        dw1_cols.append(
+            _mm(_mm(em1, dbig * st1, ta=True), ecol1, tb=True)  # (M1, C0)
+        )
+    dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F^2*C0)
     db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
 
     # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
@@ -730,7 +740,8 @@ def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):
     return (
         jax.random.bits(ks[0], (n_batches, 1, 8), u32),
         jax.random.bits(ks[1], (n_batches, spec.hw, 4), u32),
-        jax.random.bits(ks[2], (n_batches, spec.batch, spec.hw), u32),
+        jax.random.bits(ks[2], (n_batches, spec.batch, spec.in_ch * spec.hw),
+                        u32),
         jax.random.bits(ks[3], (n_batches, spec.batch, spec.n_hid), u32),
     )
 
@@ -748,7 +759,7 @@ def kernel_layout(allwts, spec: MegaSpec):
     (w1, b1), (w2, b2), (wh, bh), (wo, bo) = allwts
     F = spec.filt
     return [
-        w1.reshape(spec.maps1, F * F),
+        w1.transpose(0, 2, 3, 1).reshape(spec.maps1, F * F * spec.in_ch),
         b1.reshape(spec.maps1, 1),
         w2.transpose(0, 2, 3, 1).reshape(spec.maps2, F * F * spec.maps1),
         b2.reshape(spec.maps2, 1),
@@ -764,7 +775,8 @@ def framework_layout(kparams, spec: MegaSpec):
     w1, b1, w2, b2, wh, bh, wo, bo = kparams
     F = spec.filt
     return [
-        [w1.reshape(spec.maps1, 1, F, F), b1.reshape(spec.maps1)],
+        [w1.reshape(spec.maps1, F, F, spec.in_ch).transpose(0, 3, 1, 2),
+         b1.reshape(spec.maps1)],
         [w2.reshape(spec.maps2, F, F, spec.maps1).transpose(0, 3, 1, 2),
          b2.reshape(spec.maps2)],
         [wh, bh.reshape(spec.n_hid)],
@@ -801,12 +813,13 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     B, HW, NH, NC, NF = (spec.batch, spec.hw, spec.n_hid, spec.n_out,
                          spec.n_flat)
     M1, M2, F = spec.maps1, spec.maps2, spec.filt
+    C0 = spec.in_ch
     P1SQ, P2SQ = spec.p1 ** 2, spec.p2 ** 2
     consts = build_constants(spec)
     const_arrs = [consts[k] for k in
                   ("s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
-                   "em1", "em2", "ecol2", "stripe1", "stripe2", "sumsel",
-                   "sh2")]
+                   "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2",
+                   "sumsel", "sh2")]
 
     def vmem():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -816,17 +829,20 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
                             memory_space=pltpu.VMEM)
 
     step_spec = [
-        pl.BlockSpec((1, B, HW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, HW, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, HW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
 
+    C0 = spec.in_ch
     kshapes = [
-        (M1, F * F), (M1, 1), (M2, F * F * M1), (M2, 1),
+        (M1, F * F * C0), (M1, 1), (M2, F * F * M1), (M2, 1),
         (NF, NH), (1, NH), (NH, NC), (1, NC),
     ]
     param_specs = [
@@ -874,11 +890,25 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
 
     def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts):
         ub, fb, pb, db = bits
-        # accept the dataset in its natural layout ((n,1,H,W)/(n,)) and
-        # re-view it per-step INSIDE the jit — a bitcast for XLA, so the
-        # training set is never duplicated in HBM for the kernel's sake
-        x_steps = x_steps.reshape(n_batches, spec.batch, spec.hw)
+        # accept the dataset in its natural layout ((n,C,H,W)/(n,)) and
+        # rearrange per-step INSIDE the jit to channel-major rows (c*B+b)
+        # — a pure bitcast for 1-channel data (no HBM duplication), one
+        # transient XLA transpose per epoch for multi-channel (Mosaic
+        # cannot concatenate lane-offset slices in-kernel)
+        x_steps = x_steps.reshape(
+            n_batches, spec.batch, spec.in_ch, spec.hw
+        ).transpose(0, 2, 1, 3).reshape(
+            n_batches, spec.in_ch * spec.batch, spec.hw
+        )
         y_steps = y_steps.reshape(n_batches, spec.batch, 1)
+        if spec.pflip and spec.in_ch > 1:
+            ub, fb, pb, db = bits
+            pb = pb.reshape(
+                n_batches, spec.batch, spec.in_ch, spec.hw
+            ).transpose(0, 2, 1, 3).reshape(
+                n_batches, spec.in_ch * spec.batch, spec.hw
+            )
+            bits = (ub, fb, pb, db)
         outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
                     *kparams, *kmoms, *consts)
         new_params = list(outs[0:8])

@@ -253,6 +253,8 @@ class Trainer:
                         and self.n_train_batches >= 1
                         and train_x.shape[2] == train_x.shape[3])
             spec = mega_mod.spec_from_net(net) if eligible else None
+            if spec is not None and train_x.shape[1] != spec.in_ch:
+                spec = None  # data channels disagree with the net spec
             if spec is None and mega_mode is True:
                 # forced but impossible: fail loudly instead of silently
                 # training ~5x slower on the per-layer path
