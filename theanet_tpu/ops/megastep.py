@@ -14,7 +14,7 @@ noise block) instead of ~30,000.
 Supported net pattern (the reference's headline mnist.prms architecture,
 reference params/mnist.prms:2-40): ElasticLayer -> Conv(f x f, valid,
 leaky-relu) -> Pool(2) -> Conv -> Pool(2) -> Hidden(leaky-relu, pdrop) ->
-Softmax(nll), single input channel, f32. The Trainer selects this kernel
+Softmax(nll), any number of input channels, f32. The Trainer selects this kernel
 automatically when the pattern matches (training_params MEGAFUSED, default
 auto) and falls back to the per-layer path otherwise.
 
@@ -93,7 +93,7 @@ class MegaSpec(NamedTuple):
     batch: int
     img: int            # input H = W
     filt: int           # conv filter size (both convs)
-    maps1: int          # conv1 output maps (input channels must be 1)
+    maps1: int          # conv1 output maps
     maps2: int
     n_hid: int
     n_out: int
@@ -166,8 +166,8 @@ def _leaky_slope(actvn):
 def spec_from_net(net):
     """Return a MegaSpec if the net matches the fused-epoch pattern
     (Input/Elastic -> Conv -> Pool -> Conv -> Pool -> Hidden -> Softmax,
-    single input channel, leaky-relu activations, nll loss, plain f32
-    single-chip training), else None."""
+    leaky-relu activations, nll loss, plain f32 single-chip training),
+    else None."""
     from ..layers import (ConvLayer, ElasticLayer, HiddenLayer, InputLayer,
                           PoolLayer, SoftmaxLayer)
 

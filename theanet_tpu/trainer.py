@@ -262,7 +262,7 @@ class Trainer:
                     "MEGAFUSED=True, but this configuration cannot use the "
                     "fused epoch kernel (supported: Input/Elastic -> Conv "
                     "-> Pool2 -> Conv -> Pool2 -> Hidden -> Softmax(nll), "
-                    "1 input channel, leaky-relu-family activations, f32, "
+                    "leaky-relu-family activations, f32, "
                     "no mesh/aux/SHUFFLE, working set within VMEM — see "
                     "docs/tutorial.md). Use MEGAFUSED='auto' to fall back "
                     "silently."
