@@ -240,6 +240,60 @@ def _measure_cli():
     print(measure(jax.devices()[0], int(batch), int(nb), int(reps)))
 
 
+def wide_model_row():
+    """MXU-bound evidence: a wide conv/dense stack (bf16) where the model —
+    not per-op overhead — sets the ceiling, reported with its MFU. The
+    reference-scale model (370k params) is structurally overhead-bound;
+    this row shows the same framework saturating the MXU when given real
+    FLOPs."""
+    import jax
+    import numpy as np
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    B, IMG = 256, 56
+    layers = [
+        ["InputLayer", {"img_sz": IMG}],
+        ["ConvLayer", {"num_maps": 64, "filter_sz": 3, "stride": 1,
+                       "actvn": "relu10"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 128, "filter_sz": 3, "stride": 1,
+                       "actvn": "relu05"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 2048, "pdrop": 0.5}],
+        ["SoftmaxLayer", {"n_out": 1000}],
+    ]
+    tr_prms = {"SEED": 7, "BATCH_SZ": B, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": B,
+               "INIT_LEARNING_RATE": 0.05, "EPOCHS_TO_HALF_RATE": 2,
+               "COMPUTE_DTYPE": "bfloat16"}
+    net = NeuralNet(layers, tr_prms)
+    # analytic model MACs/image (conv1, conv2, dense tail), fwd x3 for bwd
+    c1s, p1s = IMG - 2, (IMG - 2 + 1) // 2
+    c2s, p2s = p1s - 2, (p1s - 2 + 1) // 2
+    macs = (64 * 9 * c1s ** 2 + 128 * 64 * 9 * c2s ** 2
+            + 128 * p2s ** 2 * 2048 + 2048 * 1000)
+    flops_img = 2 * macs * 3
+    rng = np.random.RandomState(0)
+    n = 80 * B
+    x = rng.rand(n, 1, IMG, IMG).astype(np.float32)
+    y = rng.randint(0, 1000, n).astype(np.int32)
+    tr = Trainer(net, x, y, x[:B], y[:B])
+    t0 = time.time()
+    tr.run_epoch()
+    log(f"[wide] compile+first epoch: {time.time() - t0:.1f}s")
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        tr.run_epoch()
+        best = max(best, n / (time.time() - t0))
+    mfu = flops_img * best / 197e12
+    log(f"[wide] conv64+conv128+hidden2048+softmax1000 @ {IMG}x{IMG}, "
+        f"batch {B}, bf16: {best:,.0f} img/s, "
+        f"{flops_img / 1e6:.0f} MFLOP/image -> {100 * mfu:.1f}% MFU "
+        "(197 TF/s bf16 peak)")
+
+
 def _mesh_child(shape):
     """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
     import jax
@@ -297,6 +351,8 @@ if __name__ == "__main__":
         _measure_cli()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mesh-child":
         _mesh_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--wide":
+        wide_model_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mesh":
         shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else [
             "1x1", "2x1", "4x1", "4x2"
