@@ -238,7 +238,13 @@ def spec_from_net(net):
         int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
         for w in lyr_.get_wts()
     )
-    work_bytes = 4 * 8 * max(c1.num_maps * B * hw, B * hid.n_out)
+    # live set through backward: F^2 rolls of the (in_ch*B, hw) augmented
+    # input plus ~5 conv1-sized activation/gradient arrays, and the dense
+    # tail working set
+    work_bytes = 4 * (
+        hw * B * (c1.filter_sz ** 2 * in_ch + 5 * c1.num_maps)
+        + 8 * B * hid.n_out
+    )
     # budget calibrated empirically on v5e: the flagship at batch 20
     # (~13 MB by this formula) runs; batch 128+ (~28 MB+) does not fit
     if const_bytes + state_bytes + work_bytes > 20 * 1024 * 1024:
@@ -450,7 +456,7 @@ def _kernel(spec: MegaSpec,
         for out, inp in state:
             out[:] = inp[:]
 
-    w1, b1 = ow1[:], ob1[:]        # (M1, F^2), (M1, 1)
+    w1, b1 = ow1[:], ob1[:]        # (M1, F^2*C0), (M1, 1)
     w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
     wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
     wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
@@ -543,7 +549,7 @@ def _kernel(spec: MegaSpec,
                      + _roll(e, 1) * ((1 - fy) * fx)
                      + _roll(e, H) * (fy * (1 - fx))
                      + _roll(e, H + 1) * (fy * fx))
-        aug = _mm(x, s_mat, tb=True, hi=spec.exact_movement)  # (B, HW)
+        aug = _mm(x, s_mat, tb=True, hi=spec.exact_movement)  # (C0*B, HW)
     else:
         aug = x
 
@@ -749,9 +755,9 @@ def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):
 def kernel_layout(allwts, spec: MegaSpec):
     """Framework/reference param layout -> kernel layout (8 tensors).
 
-    conv weights flatten their taps: w1 (M1,1,F,F) -> (M1, F^2); w2
-    (M2,M1,F,F) -> (M2, F^2*M1) indexed k*M1+c so per-tap slices are
-    lane-contiguous. Dense tensors pass through; biases become columns/rows.
+    conv weights flatten their taps channel-minor: w1 (M1,C0,F,F) ->
+    (M1, F^2*C0) indexed k*C0+c; w2 (M2,M1,F,F) -> (M2, F^2*M1) indexed
+    k*M1+c — per-tap slices are lane-contiguous. Dense tensors pass through; biases become columns/rows.
     Pure reshape/transpose — works on numpy AND traced jax arrays, so the
     Trainer's jitted layout sync and the host-side checkpoint path share
     this single implementation.
@@ -802,9 +808,13 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
                   debug_stage=None, donate=False):
     """Build the one-launch epoch function.
 
-    Returns f(kparams, kmoms, x_steps, y_steps, bits, lr) ->
-    (kparams, kmoms, cost_minf) where x_steps is (n_batches, B, hw) f32,
-    y_steps is (n_batches, B, 1) int32, bits is the epoch_noise_bits tuple,
+    Returns f(kparams, kmoms, x_steps, y_steps, bits, lr,
+    channel_major=False) -> (kparams, kmoms, cost_minf) where x_steps is
+    the epoch's training data in any layout totaling n_batches*B*in_ch*hw
+    f32 elements (natural (n,C,H,W) with channel_major=False, or
+    pre-arranged channel-major rows with channel_major=True), y_steps is
+    (n_batches, B, 1)-reshapeable int32, bits is the epoch_noise_bits
+    tuple,
     and cost_minf is (n_batches, 2) f32: per-step cost and min true-class
     feature. The returned function also exposes ``.from_key(kparams, kmoms,
     x, y, base_key, epoch_no, lr)``, which derives the epoch's noise inside
@@ -840,7 +850,6 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
 
-    C0 = spec.in_ch
     kshapes = [
         (M1, F * F * C0), (M1, 1), (M2, F * F * M1), (M2, 1),
         (NF, NH), (1, NH), (NH, NC), (1, NC),
@@ -888,27 +897,27 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     # returned function in jax.jit again (that would re-embed them).
     carrs = tuple(jnp.asarray(a) for a in const_arrs)
 
-    def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts):
+    def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts,
+                  channel_major):
         ub, fb, pb, db = bits
-        # accept the dataset in its natural layout ((n,C,H,W)/(n,)) and
-        # rearrange per-step INSIDE the jit to channel-major rows (c*B+b)
-        # — a pure bitcast for 1-channel data (no HBM duplication), one
-        # transient XLA transpose per epoch for multi-channel (Mosaic
-        # cannot concatenate lane-offset slices in-kernel)
-        x_steps = x_steps.reshape(
-            n_batches, spec.batch, spec.in_ch, spec.hw
-        ).transpose(0, 2, 1, 3).reshape(
-            n_batches, spec.in_ch * spec.batch, spec.hw
-        )
-        y_steps = y_steps.reshape(n_batches, spec.batch, 1)
-        if spec.pflip and spec.in_ch > 1:
-            ub, fb, pb, db = bits
-            pb = pb.reshape(
+        # The kernel wants channel-major rows (c*B+b). 1-channel data and
+        # pre-arranged multi-channel data (channel_major=True, the Trainer's
+        # path — arranged ONCE at init) just re-view, a bitcast; otherwise
+        # one XLA transpose runs per epoch (Mosaic cannot concatenate
+        # lane-offset slices in-kernel, so it can't happen inside).
+        if channel_major or spec.in_ch == 1:
+            x_steps = x_steps.reshape(
+                n_batches, spec.in_ch * spec.batch, spec.hw
+            )
+        else:
+            x_steps = x_steps.reshape(
                 n_batches, spec.batch, spec.in_ch, spec.hw
             ).transpose(0, 2, 1, 3).reshape(
                 n_batches, spec.in_ch * spec.batch, spec.hw
             )
-            bits = (ub, fb, pb, db)
+        y_steps = y_steps.reshape(n_batches, spec.batch, 1)
+        # pflip bits are i.i.d.: any fixed re-view is distribution-identical
+        pb = pb.reshape(n_batches, spec.in_ch * spec.batch, spec.hw)
         outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
                     *kparams, *kmoms, *consts)
         new_params = list(outs[0:8])
@@ -921,10 +930,11 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
         )
         return new_params, new_moms, cost_minf
 
-    jitted = jax.jit(raw_epoch, donate_argnums=(0, 1) if donate else ())
+    jitted = jax.jit(raw_epoch, static_argnums=(7,),
+                     donate_argnums=(0, 1) if donate else ())
 
     def raw_epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no,
-                           lr_arr, consts):
+                           lr_arr, consts, channel_major):
         # noise generation fused into the same program: an epoch is ONE
         # device dispatch (each dispatch costs ~36ms through this
         # environment's TPU tunnel — 4 separate rng launches were +140ms
@@ -933,19 +943,22 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
             jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
         )
         return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
-                         consts)
+                         consts, channel_major)
 
-    jitted_key = jax.jit(raw_epoch_from_key,
+    jitted_key = jax.jit(raw_epoch_from_key, static_argnums=(8,),
                          donate_argnums=(0, 1) if donate else ())
 
-    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr):
+    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr,
+              channel_major=False):
         lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
-        return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs)
+        return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs,
+                      channel_major)
 
-    def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr):
+    def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr,
+                       channel_major=False):
         lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
         return jitted_key(kparams, kmoms, x_steps, y_steps, key,
-                          jnp.int32(epoch_no), lr_arr, carrs)
+                          jnp.int32(epoch_no), lr_arr, carrs, channel_major)
 
     epoch._jitted = jitted  # introspection hooks (bench census)
     epoch._carrs = carrs

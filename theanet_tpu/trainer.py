@@ -272,7 +272,18 @@ class Trainer:
                 self._mega_spec = spec
                 nb_m = self.n_train_batches
                 n_use = nb_m * bsz
-                if n_use == self.d_train_x.shape[0]:
+                if spec.in_ch > 1:
+                    # one-time channel-major rearrangement at init: a
+                    # persistent copy only for multi-channel data, instead
+                    # of a per-epoch full-dataset transpose inside the jit
+                    self._mega_x = (
+                        self.d_train_x[:n_use]
+                        .reshape(nb_m, bsz, spec.in_ch, spec.hw)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(nb_m, spec.in_ch * bsz, spec.hw)
+                    )
+                    self._mega_y = self.d_train_y[:n_use]
+                elif n_use == self.d_train_x.shape[0]:
                     # the epoch fn reshapes internally (a bitcast) — no
                     # second HBM copy of the training set
                     self._mega_x = self.d_train_x
@@ -325,6 +336,7 @@ class Trainer:
         self._kp, self._km, cost_minf = self._mega_epoch.from_key(
             self._kp, self._km, self._mega_x, self._mega_y,
             self.net.base_key, epoch_no, jnp.float32(lr),
+            channel_major=True,
         )
         cost_minf = np.asarray(cost_minf)  # ONE device->host transfer
         costs = cost_minf[:, 0]
