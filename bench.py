@@ -294,6 +294,52 @@ def wide_model_row():
         "(197 TF/s bf16 peak)")
 
 
+def flat_mlp_row():
+    """Second-headline-config evidence: the reference's params/3flat.prms
+    pattern (elastic -> hidden1000 -> softmax, batch 20) fused
+    (ops/megastep_mlp.py) vs the scanned per-layer path, on the default
+    accelerator."""
+    import jax
+    import numpy as np
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    def net(mega):
+        layers = [
+            ["ElasticLayer", {"img_sz": 28, "translation": 2, "zoom": 1.1,
+                              "magnitude": 60, "sigma": 15, "pflip": 0.03,
+                              "angle": 5, "nearest": True,
+                              "invert_image": True}],
+            ["HiddenLayer", {"n_out": 1000, "pdrop": 0.5, "actvn": "relu10",
+                             "reg": {"L2": 0.001, "maxnorm": 0}}],
+            ["SoftmaxLayer", {"n_out": 10}],
+        ]
+        tr_prms = {"SEED": 555, "BATCH_SZ": 20, "NUM_EPOCHS": 1,
+                   "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 100,
+                   "INIT_LEARNING_RATE": 0.3, "EPOCHS_TO_HALF_RATE": 1,
+                   "MEGAFUSED": mega}
+        return NeuralNet(layers, tr_prms)
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.RandomState(0)
+    nb = 3000 if on_tpu else 100
+    n = nb * 20
+    x = rng.rand(n, 1, 28, 28).astype(np.float32)
+    y = rng.randint(0, 10, n).astype(np.int32)
+    for mega in ((True, False) if on_tpu else (False,)):
+        tr = Trainer(net(mega), x, y, x[:100], y[:100])
+        t0 = time.time()
+        tr.run_epoch()
+        log(f"[flat mega={mega}] compile+first epoch: {time.time()-t0:.1f}s")
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            tr.run_epoch()
+            best = max(best, n / (time.time() - t0))
+        log(f"[flat mega={mega}] elastic->hidden1000->softmax batch 20: "
+            f"{best:,.0f} img/s")
+
+
 def _mesh_child(shape):
     """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
     import jax
@@ -353,6 +399,8 @@ if __name__ == "__main__":
         _mesh_child(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--wide":
         wide_model_row()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--flat":
+        flat_mlp_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mesh":
         shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else [
             "1x1", "2x1", "4x1", "4x2"

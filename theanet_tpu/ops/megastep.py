@@ -67,7 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["MegaSpec", "LayerReg", "build_constants", "make_epoch_fn",
            "epoch_noise_bits", "params_to_kernel", "params_from_kernel",
            "kernel_layout", "framework_layout", "spec_from_net",
-           "MEGA_LAYER_IDX"]
+           "MEGA_LAYER_IDX", "FusedPlan", "fused_plan"]
 
 # layer indices of the four parameterized layers in the supported pattern
 MEGA_LAYER_IDX = (1, 3, 5, 6)
@@ -260,6 +260,34 @@ def spec_from_net(net):
     )
 
 
+class FusedPlan(NamedTuple):
+    """Everything the Trainer needs to drive one fused-epoch kernel family:
+    the matched spec, which net layers it owns, and its epoch-builder and
+    layout-converter functions."""
+    spec: object
+    layer_idx: tuple
+    make_epoch_fn: object
+    kernel_layout: object
+    framework_layout: object
+
+
+def fused_plan(net):
+    """Match ``net`` against the fused-epoch kernel families (the conv
+    flagship pattern here, the flat-MLP pattern in megastep_mlp) and return
+    a FusedPlan for the first match, else None."""
+    spec = spec_from_net(net)
+    if spec is not None:
+        return FusedPlan(spec, MEGA_LAYER_IDX, make_epoch_fn,
+                         kernel_layout, framework_layout)
+    from . import megastep_mlp as mlp
+
+    mspec = mlp.mlp_spec_from_net(net)
+    if mspec is not None:
+        return FusedPlan(mspec, mlp.MLP_LAYER_IDX, mlp.make_mlp_epoch_fn,
+                         mlp.kernel_layout_mlp, mlp.framework_layout_mlp)
+    return None
+
+
 def _anchor_grid(side_in, side_out, stride_in):
     """One-hot compaction matrix (pix_in, side_out^2): column r=(i,j) selects
     input position (2i)*stride_in + 2j."""
@@ -414,64 +442,17 @@ def _reg_grad(reg: LayerReg, p, g):
     return g
 
 
-def _kernel(spec: MegaSpec,
-            debug_stage,  # None | 'fwd' | 'bwd_dense' | 'bwd_conv2' — dev
-            # timing ablation: truncate the step after the named segment
-            # inputs, in order
-            x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
-            a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
-            aow_ref, aob_ref,
-            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-            em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-            sumsel_ref,
-            sh2_ref,
-            # outputs
-            ow1, ob1, ow2, ob2, owh, obh, owo, obo,
-            oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
-            cost_ref, minf_ref):
-    B, H, F = spec.batch, spec.img, spec.filt
-    M1, M2 = spec.maps1, spec.maps2
+def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
+    """In-kernel elastic augmentation (reference inlayers.py:63-142), shared
+    by the conv (_kernel) and MLP (megastep_mlp._kernel_mlp) fused-epoch
+    programs. ``x`` is the step's input as channel-major rows (c*B+b, HW);
+    returns the augmented batch in the same layout. Reads this step's affine
+    scalars from SMEM (ub_ref), field normals source bits (fb_ref), pflip
+    uniforms (pb_ref), and the constant Gaussian-smoothing matrix (ss_ref).
+    Works with any spec type exposing the elastic config fields."""
+    H = spec.img
     HW = spec.hw
-    P1SQ = spec.p1 * spec.p1
-    P2SQ = spec.p2 * spec.p2
-    NH, NC = spec.n_hid, spec.n_out
-    NF = spec.n_flat
-    step = pl.program_id(0)
 
-    if debug_stage == "noop0":     # floor before ANY kernel structure
-        cost_ref[0, 0, 0] = jnp.sum(x_ref[0])
-        minf_ref[0, 0, 0] = 0.0
-        return
-
-    state = [
-        (ow1, w1_ref), (ob1, b1_ref), (ow2, w2_ref), (ob2, b2_ref),
-        (owh, wh_ref), (obh, bh_ref), (owo, wo_ref), (obo, bo_ref),
-        (oa1w, a1w_ref), (oa1b, a1b_ref), (oa2w, a2w_ref), (oa2b, a2b_ref),
-        (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
-    ]
-
-    @pl.when(step == 0)
-    def _init():
-        for out, inp in state:
-            out[:] = inp[:]
-
-    w1, b1 = ow1[:], ob1[:]        # (M1, F^2*C0), (M1, 1)
-    w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
-    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
-    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
-
-    C0 = spec.in_ch
-    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
-    y = y_ref[0]                   # (B, 1) int32
-    lr = lr_ref[0, 0]
-
-    if debug_stage == "noop":      # pure grid/DMA floor measurement
-        cost_ref[0, 0, 0] = jnp.sum(x)
-        minf_ref[0, 0, 0] = 0.0
-        return
-
-    # ---------------- elastic augmentation (reference inlayers.py:63-142)
     if spec.invert:
         x = 1.0 - x
 
@@ -557,6 +538,127 @@ def _kernel(spec: MegaSpec,
         u = _u01(pb_ref[0])        # (C0*B, HW)
         aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
 
+    return aug
+
+
+def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
+    """Hidden(leaky-relu, dropout) -> Softmax forward + NLL, shared by both
+    fused-epoch kernels. ``f`` is the dense input (B, NF). Returns
+    (cost_nll, min_true_logp, cache) where cache carries what backward
+    needs."""
+    B, NC = spec.batch, spec.n_out
+    z3 = _mm(f, wh) + bh                                  # (B, NH)
+    h3 = _lrelu(z3, spec.slope_h)
+    if spec.pdrop:
+        mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
+        h3d = h3 * mask
+    else:
+        mask = None
+        h3d = h3
+    z4 = _mm(h3d, wo) + bo                                # (B, NC)
+    zc = z4 - jnp.max(z4, axis=1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(zc), axis=1, keepdims=True))
+    logp = zc - lse
+
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
+              == y).astype(jnp.float32)
+    true_logp = jnp.sum(logp * onehot, axis=1, keepdims=True)  # (B, 1)
+    cost_nll = -jnp.sum(true_logp) / B
+    cache = (z3, mask, h3d, logp, onehot)
+    return cost_nll, jnp.min(true_logp), cache
+
+
+def _dense_softmax_bwd(spec, cache, f, wh, wo, *, need_df=True):
+    """Backward of _dense_softmax_fwd. Returns (dwh, dbh, dwo, dbo, df);
+    df is None when need_df=False (nothing learnable below the tail)."""
+    B = spec.batch
+    z3, mask, h3d, logp, onehot = cache
+    dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)            # (B, NC)
+    dwo = _mm(h3d, dz4, ta=True)
+    dbo = jnp.sum(dz4, axis=0, keepdims=True)
+    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
+    dh3 = dh3d * mask if spec.pdrop else dh3d
+    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
+    dwh = _mm(f, dz3, ta=True)                            # (NF, NH)
+    dbh = jnp.sum(dz3, axis=0, keepdims=True)
+    df = _mm(dz3, wh, tb=True) if need_df else None       # (B, NF)
+    return dwh, dbh, dwo, dbo, df
+
+
+def _apply_updates(updates, lr):
+    """Old-accumulator momentum + max-norm in-place VMEM update, shared by
+    both fused-epoch kernels (reference layer.py:82-103). ``updates`` is a
+    list of (param_ref, accum_ref, grad, LayerReg, maxnorm_kind)."""
+    for p_ref, a_ref, g, reg, kind in updates:
+        if not reg.rate:
+            continue
+        g = _reg_grad(reg, p_ref[:], g)
+        a_old = a_ref[:]
+        p_new = p_ref[:] - (reg.rate * lr) * a_old
+        p_new = _maxnorm(p_new, reg.maxnorm, kind)
+        a_ref[:] = reg.momentum * a_old + (1.0 - reg.momentum) * g
+        p_ref[:] = p_new
+
+
+def _kernel(spec: MegaSpec,
+            debug_stage,  # None | 'fwd' | 'bwd_dense' | 'bwd_conv2' — dev
+            # timing ablation: truncate the step after the named segment
+            # inputs, in order
+            x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+            a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
+            aow_ref, aob_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
+            em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
+            sumsel_ref,
+            sh2_ref,
+            # outputs
+            ow1, ob1, ow2, ob2, owh, obh, owo, obo,
+            oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
+            cost_ref, minf_ref):
+    B, H, F = spec.batch, spec.img, spec.filt
+    M1, M2 = spec.maps1, spec.maps2
+    HW = spec.hw
+    P1SQ = spec.p1 * spec.p1
+    P2SQ = spec.p2 * spec.p2
+    NH, NC = spec.n_hid, spec.n_out
+    NF = spec.n_flat
+    step = pl.program_id(0)
+
+    if debug_stage == "noop0":     # floor before ANY kernel structure
+        cost_ref[0, 0, 0] = jnp.sum(x_ref[0])
+        minf_ref[0, 0, 0] = 0.0
+        return
+
+    state = [
+        (ow1, w1_ref), (ob1, b1_ref), (ow2, w2_ref), (ob2, b2_ref),
+        (owh, wh_ref), (obh, bh_ref), (owo, wo_ref), (obo, bo_ref),
+        (oa1w, a1w_ref), (oa1b, a1b_ref), (oa2w, a2w_ref), (oa2b, a2b_ref),
+        (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
+    ]
+
+    @pl.when(step == 0)
+    def _init():
+        for out, inp in state:
+            out[:] = inp[:]
+
+    w1, b1 = ow1[:], ob1[:]        # (M1, F^2*C0), (M1, 1)
+    w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
+    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
+    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
+
+    C0 = spec.in_ch
+    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
+    y = y_ref[0]                   # (B, 1) int32
+    lr = lr_ref[0, 0]
+
+    if debug_stage == "noop":      # pure grid/DMA floor measurement
+        cost_ref[0, 0, 0] = jnp.sum(x)
+        minf_ref[0, 0, 0] = 0.0
+        return
+
+    aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
+
     if debug_stage == "aug":
         cost_ref[0, 0, 0] = jnp.sum(aug)  # consume so nothing is DCE'd
         minf_ref[0, 0, 0] = 0.0
@@ -625,40 +727,19 @@ def _kernel(spec: MegaSpec,
     sumsel = sumsel_ref[:]
     f = _mm(sumsel, p_embed, hi=spec.exact_movement)      # (B, NF)
 
-    z3 = _mm(f, wh) + bh                                  # (B, NH)
-    h3 = _lrelu(z3, spec.slope_h)
-    if spec.pdrop:
-        mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
-        h3d = h3 * mask
-    else:
-        h3d = h3
-    z4 = _mm(h3d, wo) + bo                                # (B, NC)
-    zc = z4 - jnp.max(z4, axis=1, keepdims=True)
-    lse = jnp.log(jnp.sum(jnp.exp(zc), axis=1, keepdims=True))
-    logp = zc - lse
-
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
-              == y).astype(jnp.float32)
-    true_logp = jnp.sum(logp * onehot, axis=1, keepdims=True)  # (B, 1)
-    cost = -jnp.sum(true_logp) / B
+    cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
+                                                 db_ref)
+    cost = cost_nll
     cost = cost + _wt_cost(spec.reg1, (w1, b1)) + _wt_cost(spec.reg2, (w2, b2))
     cost = cost + _wt_cost(spec.reg_h, (wh, bh)) + _wt_cost(spec.reg_o, (wo, bo))
     cost_ref[0, 0, 0] = cost
-    minf_ref[0, 0, 0] = jnp.min(true_logp)
+    minf_ref[0, 0, 0] = min_tl
 
     if debug_stage == "fwd":
         return
 
     # ---------------- backward
-    dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)            # (B, NC)
-    dwo = _mm(h3d, dz4, ta=True)
-    dbo = jnp.sum(dz4, axis=0, keepdims=True)
-    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
-    dh3 = dh3d * mask if spec.pdrop else dh3d
-    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
-    dwh = _mm(f, dz3, ta=True)                            # (NF, NH)
-    dbh = jnp.sum(dz3, axis=0, keepdims=True)
-    df = _mm(dz3, wh, tb=True)                            # (B, NF)
+    dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
 
     if debug_stage == "bwd_dense":
         return
@@ -726,15 +807,7 @@ def _kernel(spec: MegaSpec,
         (owo, oaow, dwo, spec.reg_o, "cols"),
         (obo, oaob, dbo, spec.reg_o, "bias"),
     ]
-    for p_ref, a_ref, g, reg, kind in updates:
-        if not reg.rate:
-            continue
-        g = _reg_grad(reg, p_ref[:], g)
-        a_old = a_ref[:]
-        p_new = p_ref[:] - (reg.rate * lr) * a_old
-        p_new = _maxnorm(p_new, reg.maxnorm, kind)
-        a_ref[:] = reg.momentum * a_old + (1.0 - reg.momentum) * g
-        p_ref[:] = p_new
+    _apply_updates(updates, lr)
 
 
 def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):

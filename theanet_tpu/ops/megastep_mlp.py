@@ -1,0 +1,368 @@
+"""Fused whole-epoch training for the flat-MLP pattern (megastep sibling).
+
+The reference's second headline config (params/3flat.prms: ElasticLayer ->
+HiddenLayer(leaky-relu, pdrop) -> SoftmaxLayer(nll)) is just as launch-bound
+at batch 20 as the CNN flagship — the dense matmuls are microseconds of MXU
+work against ~36ms of per-dispatch latency in this environment. This module
+fuses the entire epoch into ONE pallas_call with grid=(n_batches,), sharing
+the elastic-augmentation block, the dense-tail forward/backward, and the
+old-accumulator momentum update with ops/megastep.py (the conv kernel).
+
+Supported net pattern: Input/Elastic -> Hidden(leaky-relu family, pdrop) ->
+Softmax(nll), any channel count, f32, single chip. The Trainer engages it
+through megastep.fused_plan exactly like the conv kernel (training_params
+MEGAFUSED, default "auto" = on-TPU when the pattern matches).
+
+Differences from the conv kernel:
+  * no conv/pool stages: the augmented batch feeds the dense tail directly.
+    For 1-channel inputs the (B, HW) augmented rows ARE the dense input; for
+    C0 channels the channel-major rows (c*B+b, HW) are embedded into
+    disjoint lane blocks and summed by a constant selector (the conv
+    kernel's flatten trick with maps -> channels), giving (B, C0*HW) rows in
+    the reference's flatten(2) order.
+  * backward stops at the hidden weights — nothing below the dense tail is
+    learnable (ElasticLayer has no parameters), so the d(input) matmul is
+    skipped entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .megastep import (
+    LayerReg,
+    _VMEM_MB,
+    _apply_updates,
+    _augment_block,
+    _dense_softmax_bwd,
+    _dense_softmax_fwd,
+    _leaky_slope,
+    _mm,
+    _wt_cost,
+    epoch_noise_bits,
+)
+
+__all__ = ["MlpSpec", "mlp_spec_from_net", "make_mlp_epoch_fn",
+           "kernel_layout_mlp", "framework_layout_mlp", "MLP_LAYER_IDX"]
+
+# layer indices of the two parameterized layers in the supported pattern
+MLP_LAYER_IDX = (1, 2)
+
+
+class MlpSpec(NamedTuple):
+    batch: int
+    img: int            # input H = W
+    n_hid: int
+    n_out: int
+    slope_h: float      # hidden leaky-relu negative slope
+    pdrop: float
+    # elastic config (reference inlayers.py:30-40)
+    translation: float
+    zoom: float
+    magnitude: float
+    sigma: int
+    pflip: float
+    angle: float
+    invert: bool
+    nearest: bool
+    # per-layer regularization
+    reg_h: LayerReg
+    reg_o: LayerReg
+    exact_movement: bool = False
+    in_ch: int = 1
+
+    @property
+    def hw(self):
+        return self.img * self.img
+
+    @property
+    def n_flat(self):
+        return self.in_ch * self.hw
+
+
+def mlp_spec_from_net(net):
+    """Return an MlpSpec if the net matches the fused flat-MLP pattern
+    (Input/Elastic -> Hidden -> Softmax, leaky-relu hidden, nll loss, plain
+    f32 single-chip training and a VMEM-resident working set), else None."""
+    from ..layers import ElasticLayer, HiddenLayer, InputLayer, SoftmaxLayer
+
+    L = net.net_layers
+    if len(L) != 3:
+        return None
+    if not (type(L[0]) in (InputLayer, ElasticLayer)
+            and type(L[1]) is HiddenLayer and type(L[2]) is SoftmaxLayer):
+        return None
+    hid, head = L[1], L[2]
+    if head.loss != "nll":
+        return None
+    slope = _leaky_slope(hid.actvn)
+    if slope is None:
+        return None
+    if net.compute_dtype is not None or net.remat or net.fused_tail:
+        return None
+    if net.tr_prms.get("SHUFFLE"):
+        return None
+
+    if type(L[0]) is ElasticLayer:
+        cfg = L[0].cfg
+        aug = dict(translation=cfg.translation, zoom=cfg.zoom,
+                   magnitude=cfg.magnitude, sigma=int(cfg.sigma),
+                   pflip=cfg.pflip, angle=cfg.angle,
+                   invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
+    else:
+        aug = dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
+                   angle=0, invert=False, nearest=False)
+
+    def reg_of(lyr):
+        r = lyr.reg
+        return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
+                        momentum=float(r["momentum"]), rate=float(r["rate"]),
+                        maxnorm=float(r["maxnorm"]))
+
+    # frozen layers keep no momentum buffers in the framework layout; the
+    # layout converters assume both layers are live
+    if any(not lyr.reg["rate"] for lyr in (hid, head)):
+        return None
+
+    B = net.batch_sz
+    in_ch = L[0].num_maps
+    hw = L[0].out_sz ** 2
+    nf = in_ch * hw
+    # VMEM feasibility (same empirically-calibrated accounting as the conv
+    # gate): params+momentum live in VMEM as both input and output refs, the
+    # smoothing matrix and resample workspace scale with hw^2, and the
+    # channel embedding scales the dense input by in_ch.
+    state_bytes = 4 * 3 * (nf * hid.n_out + hid.n_out
+                           + hid.n_out * head.n_out + head.n_out)
+    const_bytes = 4 * (hw * hw * 2 + B * in_ch * B)
+    work_bytes = 4 * (in_ch * B * hw * (1 + in_ch) + 8 * B * hid.n_out)
+    # budget verified on v5e: the reference's full 3flat shape (hidden 1000,
+    # 457 classes, ~21 MB by this accounting) compiles and runs (892k img/s)
+    if state_bytes + const_bytes + work_bytes > 24 * 1024 * 1024:
+        return None
+
+    return MlpSpec(
+        batch=B, img=L[0].out_sz, n_hid=hid.n_out, n_out=head.n_out,
+        slope_h=slope, pdrop=float(hid.pdrop), **aug,
+        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
+    )
+
+
+def build_constants_mlp(spec: MlpSpec):
+    """Constant operand tensors (numpy), passed as kernel call arguments."""
+    from .elastic import gaussian_band_matrices
+
+    H, B, C0 = spec.img, spec.batch, spec.in_ch
+    gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
+    return {
+        "s_smooth": np.kron(gh, gw).astype(np.float32),        # (hw, hw)
+        # flatten: f[b, :] = sum over c of lane-embedded rows (c, b)
+        "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, C0)),  # (B, C0*B)
+    }
+
+
+def _kernel_mlp(spec: MlpSpec,
+                # inputs, in order
+                x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
+                wh_ref, bh_ref, wo_ref, bo_ref,
+                ahw_ref, ahb_ref, aow_ref, aob_ref,
+                ss_ref, sumsel_ref,
+                # outputs
+                owh, obh, owo, obo, oahw, oahb, oaow, oaob,
+                cost_ref, minf_ref):
+    B, C0, HW = spec.batch, spec.in_ch, spec.hw
+    step = pl.program_id(0)
+
+    state = [
+        (owh, wh_ref), (obh, bh_ref), (owo, wo_ref), (obo, bo_ref),
+        (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
+    ]
+
+    @pl.when(step == 0)
+    def _init():
+        for out, inp in state:
+            out[:] = inp[:]
+
+    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
+    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
+
+    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
+    y = y_ref[0]                   # (B, 1) int32
+    lr = lr_ref[0, 0]
+
+    aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
+
+    # flatten to the reference's (B, C0*HW) row order (c*HW + p)
+    if C0 == 1:
+        f = aug
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (C0 * B, 1), 0)
+        embed = jnp.concatenate(
+            [aug * (rows // B == c).astype(jnp.float32) for c in range(C0)],
+            axis=1,
+        )                                                  # (C0*B, C0*HW)
+        f = _mm(sumsel_ref[:], embed, hi=spec.exact_movement)  # (B, NF)
+
+    cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
+                                                 db_ref)
+    cost = (cost_nll + _wt_cost(spec.reg_h, (wh, bh))
+            + _wt_cost(spec.reg_o, (wo, bo)))
+    cost_ref[0, 0, 0] = cost
+    minf_ref[0, 0, 0] = min_tl
+
+    # backward stops at the hidden weights: no learnable layer below
+    dwh, dbh, dwo, dbo, _ = _dense_softmax_bwd(spec, cache, f, wh, wo,
+                                               need_df=False)
+
+    _apply_updates([
+        (owh, oahw, dwh, spec.reg_h, "cols"),
+        (obh, oahb, dbh, spec.reg_h, "bias"),
+        (owo, oaow, dwo, spec.reg_o, "cols"),
+        (obo, oaob, dbo, spec.reg_o, "bias"),
+    ], lr)
+
+
+def kernel_layout_mlp(allwts, spec: MlpSpec):
+    """Framework/reference param layout -> kernel layout (4 tensors).
+    Dense matrices pass through; biases become rows. Pure reshapes — works
+    on numpy AND traced jax arrays (shared by the Trainer's jitted layout
+    sync and the host checkpoint path)."""
+    (wh, bh), (wo, bo) = allwts
+    return [wh, bh.reshape(1, spec.n_hid), wo, bo.reshape(1, spec.n_out)]
+
+
+def framework_layout_mlp(kparams, spec: MlpSpec):
+    """Inverse of kernel_layout_mlp (numpy or traced jax arrays)."""
+    wh, bh, wo, bo = kparams
+    return [[wh, bh.reshape(spec.n_hid)], [wo, bo.reshape(spec.n_out)]]
+
+
+def make_mlp_epoch_fn(spec: MlpSpec, n_batches: int, interpret=None,
+                      donate=False):
+    """Build the one-launch epoch function for the flat-MLP pattern.
+
+    Same contract as megastep.make_epoch_fn: returns f(kparams, kmoms,
+    x_steps, y_steps, bits, lr, channel_major=False) -> (kparams, kmoms,
+    cost_minf), with ``.from_key`` deriving the epoch's noise inside the
+    same jit (one device dispatch per epoch). Jits internally with the
+    constant operands as call ARGUMENTS (closed-over constants would
+    re-materialize every grid iteration — see megastep.py); callers must
+    not wrap the result in jax.jit."""
+    B, HW, NH, NC, NF = (spec.batch, spec.hw, spec.n_hid, spec.n_out,
+                         spec.n_flat)
+    C0 = spec.in_ch
+    consts = build_constants_mlp(spec)
+    const_arrs = [consts["s_smooth"], consts["sumsel"]]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    step_spec = [
+        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, HW, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    kshapes = [(NF, NH), (1, NH), (NH, NC), (1, NC)]
+    param_specs = [
+        pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for s in kshapes * 2
+    ]
+    const_specs = [const_spec(a) for a in const_arrs]
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in kshapes * 2]
+        + [jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32),
+           jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32)]
+    )
+    out_specs = (
+        [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for s in kshapes * 2]
+        + [pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)] * 2
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        functools.partial(_kernel_mlp, spec),
+        grid=(n_batches,),
+        in_specs=step_spec + param_specs + const_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        **(
+            {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=int(_VMEM_MB) * 1024 * 1024)}
+            if _VMEM_MB else {}
+        ),
+    )
+
+    carrs = tuple(jnp.asarray(a) for a in const_arrs)
+
+    def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts,
+                  channel_major):
+        ub, fb, pb, db = bits
+        if channel_major or C0 == 1:
+            x_steps = x_steps.reshape(n_batches, C0 * B, HW)
+        else:
+            x_steps = x_steps.reshape(
+                n_batches, B, C0, HW
+            ).transpose(0, 2, 1, 3).reshape(n_batches, C0 * B, HW)
+        y_steps = y_steps.reshape(n_batches, B, 1)
+        pb = pb.reshape(n_batches, C0 * B, HW)
+        outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
+                    *kparams, *kmoms, *consts)
+        new_params = list(outs[0:4])
+        new_moms = list(outs[4:8])
+        cost_minf = jnp.concatenate(
+            [outs[8][:, :, 0], outs[9][:, :, 0]], axis=1
+        )
+        return new_params, new_moms, cost_minf
+
+    jitted = jax.jit(raw_epoch, static_argnums=(7,),
+                     donate_argnums=(0, 1) if donate else ())
+
+    def raw_epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no,
+                           lr_arr, consts, channel_major):
+        bits = epoch_noise_bits(
+            jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
+        )
+        return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
+                         consts, channel_major)
+
+    jitted_key = jax.jit(raw_epoch_from_key, static_argnums=(8,),
+                         donate_argnums=(0, 1) if donate else ())
+
+    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr,
+              channel_major=False):
+        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+        return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs,
+                      channel_major)
+
+    def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr,
+                       channel_major=False):
+        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+        return jitted_key(kparams, kmoms, x_steps, y_steps, key,
+                          jnp.int32(epoch_no), lr_arr, carrs, channel_major)
+
+    epoch._jitted = jitted  # introspection hooks (bench census)
+    epoch._carrs = carrs
+    epoch.from_key = epoch_from_key
+    return epoch

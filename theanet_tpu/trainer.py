@@ -252,23 +252,26 @@ class Trainer:
             eligible = (mesh is None and self.d_train_aux is None
                         and self.n_train_batches >= 1
                         and train_x.shape[2] == train_x.shape[3])
-            spec = mega_mod.spec_from_net(net) if eligible else None
-            if spec is not None and train_x.shape[1] != spec.in_ch:
-                spec = None  # data channels disagree with the net spec
-            if spec is None and mega_mode is True:
+            plan = mega_mod.fused_plan(net) if eligible else None
+            if plan is not None and train_x.shape[1] != plan.spec.in_ch:
+                plan = None  # data channels disagree with the net spec
+            if plan is None and mega_mode is True:
                 # forced but impossible: fail loudly instead of silently
                 # training ~5x slower on the per-layer path
                 raise ValueError(
-                    "MEGAFUSED=True, but this configuration cannot use the "
+                    "MEGAFUSED=True, but this configuration cannot use a "
                     "fused epoch kernel (supported: Input/Elastic -> Conv "
                     "-> Pool2 -> Conv -> Pool2 -> Hidden -> Softmax(nll), "
+                    "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
                     "no mesh/aux/SHUFFLE, working set within VMEM — see "
                     "docs/tutorial.md). Use MEGAFUSED='auto' to fall back "
                     "silently."
                 )
-            if spec is not None:
+            if plan is not None:
+                spec = plan.spec
                 self._mega = mega_mod
+                self._mega_plan = plan
                 self._mega_spec = spec
                 nb_m = self.n_train_batches
                 n_use = nb_m * bsz
@@ -291,24 +294,23 @@ class Trainer:
                 else:
                     self._mega_x = self.d_train_x[:n_use]
                     self._mega_y = self.d_train_y[:n_use]
-                # make_epoch_fn jits internally (donating params/moms) with
-                # the constant operands as call args — do not re-jit it.
-                self._mega_epoch = mega_mod.make_epoch_fn(
+                # the plan's make_epoch_fn jits internally (donating
+                # params/moms) with the constant operands as call args — do
+                # not re-jit it.
+                self._mega_epoch = plan.make_epoch_fn(
                     spec, nb_m, interpret=(data_platform != "tpu"),
                     donate=True,
                 )
-                idx = mega_mod.MEGA_LAYER_IDX
+                idx = plan.layer_idx
 
                 # layout converters shared with the host checkpoint path
-                # (megastep.kernel_layout/framework_layout are traceable)
+                # (the plan's kernel_layout/framework_layout are traceable)
                 def to_kernel(params):
-                    return mega_mod.kernel_layout(
-                        [params[i] for i in idx], spec
-                    )
+                    return plan.kernel_layout([params[i] for i in idx], spec)
 
                 def from_kernel(kt, template):
                     out = [list(lp) for lp in template]
-                    for i, lw in zip(idx, mega_mod.framework_layout(kt, spec)):
+                    for i, lw in zip(idx, plan.framework_layout(kt, spec)):
                         out[i] = lw
                     return out
 
