@@ -113,6 +113,19 @@ def measure(device, batch_sz, n_batches, reps):
         log(f"[{device.platform}] reps: " + ", ".join(f"{v:,.0f}" for v in ips))
         best = max(ips)
 
+        # chained epochs: k dispatches, ONE final sync — measures the chip
+        # without the per-epoch host round trip (a tunnel artifact here;
+        # a local TPU host pays microseconds, not ~36ms, per sync)
+        chained = 0.0
+        if tr._mega is not None and reps > 1:
+            tr.run_epochs(reps)  # warmup: compiles the stacked watchdog pull
+            for _ in range(2):
+                t0 = time.time()
+                tr.run_epochs(reps)
+                chained = max(chained, reps * n / (time.time() - t0))
+            log(f"[{device.platform}] {reps} chained epochs (one sync): "
+                f"{chained:,.0f} img/s")
+
         # kernel-launch census + MFU at the measured rate
         try:
             import jax.numpy as jnp
@@ -144,7 +157,7 @@ def measure(device, batch_sz, n_batches, reps):
             f"MFLOP/image -> {mfu * 100:.2f}% MFU of 197 TF/s bf16 peak at "
             f"{best:,.0f} img/s (370k-param model: launch/VPU-bound by "
             "construction, not MXU-bound)")
-    return best
+    return best, chained
 
 
 def _measure_subprocess(args, timeout_s):
@@ -161,7 +174,8 @@ def _measure_subprocess(args, timeout_s):
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr[-500:])
     log(proc.stderr.strip())
-    return float(proc.stdout.strip().splitlines()[-1])
+    vals = proc.stdout.strip().splitlines()[-1].split()
+    return float(vals[0]), float(vals[1]) if len(vals) > 1 else 0.0
 
 
 def main():
@@ -175,11 +189,12 @@ def main():
     # environment's ~36ms per-dispatch tunnel latency the way a real epoch
     # would.
     accel_batches = 3000 if accel.platform != "cpu" else 300
+    ips_chained = 0.0
     if accel.platform != "cpu":
         ips_accel = None
         for attempt in range(3):
             try:
-                ips_accel = _measure_subprocess(
+                ips_accel, ips_chained = _measure_subprocess(
                     ["accel", str(batch_sz), str(accel_batches), "5"], 1500
                 )
                 break
@@ -199,7 +214,8 @@ def main():
             }))
             return
     else:
-        ips_accel = measure(accel, batch_sz, accel_batches, reps=5)
+        ips_accel, ips_chained = measure(accel, batch_sz, accel_batches,
+                                         reps=5)
     log(f"accelerator ({accel.device_kind}): {ips_accel:,.0f} images/sec")
 
     try:
@@ -209,7 +225,7 @@ def main():
     if cpu is not None and accel.platform != "cpu":
         # best-of-3 so the CPU proxy (the denominator of vs_baseline) is not
         # understated by a transiently loaded host
-        ips_cpu = measure(cpu, batch_sz, 200, reps=3)
+        ips_cpu, _ = measure(cpu, batch_sz, 200, reps=3)
         log(f"cpu baseline proxy: {ips_cpu:,.0f} images/sec")
         vs = ips_accel / ips_cpu
     else:
@@ -218,26 +234,32 @@ def main():
     if accel.platform != "cpu":
         for big in (256, 1024):
             try:
-                ips_big = measure(accel, big, 60000 // big, reps=2)
+                ips_big, _ = measure(accel, big, 60000 // big, reps=2)
                 log(f"batch {big}: {ips_big:,.0f} images/sec (tuned, same config)")
             except Exception as e:
                 log(f"batch {big} measurement failed: {e}")
 
-    print(json.dumps({
+    result = {
         "metric": "MNIST-CNN train images/sec/chip (elastic aug + fwd + bwd, batch 20)",
         "value": round(ips_accel, 1),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2),
-    }))
+    }
+    if ips_chained:
+        # same program, 5 epochs dispatched back-to-back with one final
+        # sync — the chip's rate without the per-epoch host round trip
+        result["value_chained_epochs"] = round(ips_chained, 1)
+    print(json.dumps(result))
 
 
 def _measure_cli():
     """Child-process entry: bench.py --measure accel <batch> <nb> <reps> —
-    prints the measured images/sec as the last stdout line."""
+    prints "<best> <chained>" images/sec as the last stdout line."""
     import jax
 
     _, batch, nb, reps = sys.argv[2:6]
-    print(measure(jax.devices()[0], int(batch), int(nb), int(reps)))
+    best, chained = measure(jax.devices()[0], int(batch), int(nb), int(reps))
+    print(best, chained)
 
 
 def wide_model_row():

@@ -143,3 +143,30 @@ def test_megafused_matches_unfused_on_tied_data():
     for lm, lu in zip(dm["allwts"], du["allwts"]):
         for wm, wu in zip(lm, lu):
             np.testing.assert_allclose(wm, wu, atol=1e-4)
+
+
+def test_run_epochs_chained_matches_sequential():
+    """run_epochs(k) must produce the same trajectory as k run_epoch calls
+    with the schedule advanced in between (same noise keys -> identical
+    bits -> bit-identical fused trajectories), and advance the epoch/LR
+    schedule itself."""
+    x, y = _data()
+    tr_c = Trainer(_net(True), x, y, x, y)
+    tr_s = Trainer(_net(True), x, y, x, y)
+    totals, costs, minf = tr_c.run_epochs(3)
+    assert costs.shape == (3, NB) and minf.shape == (3, NB)
+    assert tr_c.net.get_epoch() == 3
+    for e in range(3):
+        tot_s, costs_s, minf_s = tr_s.run_epoch()
+        np.testing.assert_array_equal(costs[e], costs_s)
+        np.testing.assert_array_equal(minf[e], minf_s)
+        tr_s.net.inc_epoch_set_rate()
+    dm, ds = tr_c.checkpoint_dict(), tr_s.checkpoint_dict()
+    for lm, lu in zip(dm["allwts"], ds["allwts"]):
+        for wm, wu in zip(lm, lu):
+            np.testing.assert_array_equal(wm, wu)
+    # unfused fallback path: same contract
+    tr_u = Trainer(_net(False), x, y, x, y)
+    totals_u, costs_u, minf_u = tr_u.run_epochs(2)
+    assert costs_u.shape == (2, NB) and tr_u.net.get_epoch() == 2
+    assert np.isfinite(totals_u).all()

@@ -359,6 +359,56 @@ class Trainer:
         costs = np.asarray(costs)
         return float(costs.sum()), costs, np.asarray(min_true_f)
 
+    def run_epochs(self, k: int):
+        """Train ``k`` consecutive epochs with ONE final device sync.
+
+        On the fused (MEGAFUSED) path the k epoch programs are dispatched
+        back-to-back and the watchdog stream is pulled once at the end —
+        the per-epoch host round trip (which costs ~2 epoch-times of
+        latency through a remote-TPU tunnel) pipelines away. The LR
+        schedule advances after EVERY epoch, including the last (the
+        caller must not also call inc_epoch_set_rate for these epochs);
+        NaN/divergence watchdogs consequently fire at k-epoch granularity.
+        Falls back to k sequential run_epoch calls off the fused path.
+
+        Returns (totals (k,), costs (k, n_batches), min_true_f
+        (k, n_batches)) as numpy."""
+        if self._mega is None:
+            # scanned per-layer path: dispatch k epoch programs back-to-back
+            # and pull the watchdog streams once at the end
+            outs = []
+            for _ in range(k):
+                epoch_no = self.net.get_epoch()
+                lr = self.net.get_rate()
+                self.params, self.moms, costs, min_true_f = self._train_epoch(
+                    self.params, self.moms, jnp.int32(epoch_no),
+                    jnp.float32(lr)
+                )
+                outs.append((costs, min_true_f))
+                self.net.inc_epoch_set_rate()
+            costs = np.stack([np.asarray(c) for c, _ in outs])
+            minf = np.stack([np.asarray(m) for _, m in outs])
+            return costs.sum(axis=1), costs, minf
+
+        if self._state_src == "frame":
+            self._kp = self._mega_to_kernel(self.params)
+            self._km = self._mega_to_kernel(self.moms)
+            self._state_src = "mega"
+        cms = []
+        for _ in range(k):
+            epoch_no = self.net.get_epoch()
+            lr = self.net.get_rate()
+            self._kp, self._km, cm = self._mega_epoch.from_key(
+                self._kp, self._km, self._mega_x, self._mega_y,
+                self.net.base_key, epoch_no, jnp.float32(lr),
+                channel_major=True,
+            )
+            cms.append(cm)
+            self.net.inc_epoch_set_rate()
+        all_cm = np.asarray(jnp.stack(cms))  # ONE device->host transfer
+        costs = all_cm[:, :, 0]
+        return costs.sum(axis=1), costs, all_cm[:, :, 1]
+
     def run_epoch_streamed(self, pipeline, lr: Optional[float] = None):
         """Train one epoch from a host-side batch producer (e.g.
         theanet_tpu.io.HostPipeline, or any iterable of (x, y) or (x, y, aux)
