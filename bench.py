@@ -137,6 +137,7 @@ def measure(device, batch_sz, n_batches, reps):
                 lowered = tr._mega_epoch._jitted.lower(
                     tr._kp, tr._km, tr._mega_x, tr._mega_y, bits,
                     jnp.float32(0.1).reshape(1, 1), tr._mega_epoch._carrs,
+                    True,  # channel_major (static) — the Trainer's layout
                 )
             else:
                 lowered = tr._train_epoch.lower(

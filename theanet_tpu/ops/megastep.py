@@ -893,19 +893,36 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     x, y, base_key, epoch_no, lr)``, which derives the epoch's noise inside
     the same jit — one device dispatch per epoch.
     """
-    B, HW, NH, NC, NF = (spec.batch, spec.hw, spec.n_hid, spec.n_out,
-                         spec.n_flat)
     M1, M2, F = spec.maps1, spec.maps2, spec.filt
     C0 = spec.in_ch
-    P1SQ, P2SQ = spec.p1 ** 2, spec.p2 ** 2
     consts = build_constants(spec)
     const_arrs = [consts[k] for k in
                   ("s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
                    "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2",
                    "sumsel", "sh2")]
+    kshapes = [
+        (M1, F * F * C0), (M1, 1), (M2, F * F * M1), (M2, 1),
+        (spec.n_flat, spec.n_hid), (1, spec.n_hid),
+        (spec.n_hid, spec.n_out), (1, spec.n_out),
+    ]
+    return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
+                          functools.partial(_kernel, spec, debug_stage),
+                          interpret=interpret, donate=donate)
 
-    def vmem():
-        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
+                   interpret=None, donate=False):
+    """Shared epoch-builder harness for the fused-kernel families (conv
+    here, flat-MLP in megastep_mlp): assembles the pallas_call grid program
+    from the family's state-tensor shapes, constant operands, and kernel
+    body, and wraps it in the internally-jitted epoch/from_key callables.
+    Every family's kernel takes (step inputs, params, moms, consts) refs in
+    that order and writes (params, moms, cost, minf) outputs; ``spec`` only
+    needs batch/img/hw/n_hid/in_ch plus the elastic config fields the
+    kernel body reads."""
+    B, HW, NH = spec.batch, spec.hw, spec.n_hid
+    C0 = spec.in_ch
+    n_state = len(kshapes)
 
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
@@ -923,10 +940,6 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
 
-    kshapes = [
-        (M1, F * F * C0), (M1, 1), (M2, F * F * M1), (M2, 1),
-        (NF, NH), (1, NH), (NH, NC), (1, NC),
-    ]
     param_specs = [
         pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for s in kshapes * 2
@@ -949,7 +962,7 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
         interpret = jax.default_backend() != "tpu"
 
     call = pl.pallas_call(
-        functools.partial(_kernel, spec, debug_stage),
+        kernel_body,
         grid=(n_batches,),
         in_specs=step_spec + param_specs + const_specs,
         out_specs=tuple(out_specs),
@@ -978,28 +991,25 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
         # path — arranged ONCE at init) just re-view, a bitcast; otherwise
         # one XLA transpose runs per epoch (Mosaic cannot concatenate
         # lane-offset slices in-kernel, so it can't happen inside).
-        if channel_major or spec.in_ch == 1:
-            x_steps = x_steps.reshape(
-                n_batches, spec.in_ch * spec.batch, spec.hw
-            )
+        if channel_major or C0 == 1:
+            x_steps = x_steps.reshape(n_batches, C0 * B, HW)
         else:
             x_steps = x_steps.reshape(
-                n_batches, spec.batch, spec.in_ch, spec.hw
-            ).transpose(0, 2, 1, 3).reshape(
-                n_batches, spec.in_ch * spec.batch, spec.hw
-            )
-        y_steps = y_steps.reshape(n_batches, spec.batch, 1)
+                n_batches, B, C0, HW
+            ).transpose(0, 2, 1, 3).reshape(n_batches, C0 * B, HW)
+        y_steps = y_steps.reshape(n_batches, B, 1)
         # pflip bits are i.i.d.: any fixed re-view is distribution-identical
-        pb = pb.reshape(n_batches, spec.in_ch * spec.batch, spec.hw)
+        pb = pb.reshape(n_batches, C0 * B, HW)
         outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
                     *kparams, *kmoms, *consts)
-        new_params = list(outs[0:8])
-        new_moms = list(outs[8:16])
+        new_params = list(outs[0:n_state])
+        new_moms = list(outs[n_state:2 * n_state])
         # one (nb, 2) array: [:, 0] = per-step cost, [:, 1] = min true-class
         # feature — a single array means a single device->host transfer for
         # the watchdogs (each transfer is a ~36ms round trip here)
         cost_minf = jnp.concatenate(
-            [outs[16][:, :, 0], outs[17][:, :, 0]], axis=1
+            [outs[2 * n_state][:, :, 0], outs[2 * n_state + 1][:, :, 0]],
+            axis=1,
         )
         return new_params, new_moms, cost_minf
 

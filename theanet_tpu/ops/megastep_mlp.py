@@ -35,11 +35,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .megastep import (
     LayerReg,
-    _VMEM_MB,
     _apply_updates,
     _augment_block,
     _dense_softmax_bwd,
@@ -47,7 +45,6 @@ from .megastep import (
     _leaky_slope,
     _mm,
     _wt_cost,
-    epoch_noise_bits,
 )
 
 __all__ = ["MlpSpec", "mlp_spec_from_net", "make_mlp_epoch_fn",
@@ -249,120 +246,19 @@ def make_mlp_epoch_fn(spec: MlpSpec, n_batches: int, interpret=None,
                       donate=False):
     """Build the one-launch epoch function for the flat-MLP pattern.
 
-    Same contract as megastep.make_epoch_fn: returns f(kparams, kmoms,
+    Same contract as megastep.make_epoch_fn (both delegate the grid/spec/
+    jit plumbing to megastep.build_epoch_fn): returns f(kparams, kmoms,
     x_steps, y_steps, bits, lr, channel_major=False) -> (kparams, kmoms,
     cost_minf), with ``.from_key`` deriving the epoch's noise inside the
     same jit (one device dispatch per epoch). Jits internally with the
-    constant operands as call ARGUMENTS (closed-over constants would
-    re-materialize every grid iteration — see megastep.py); callers must
-    not wrap the result in jax.jit."""
-    B, HW, NH, NC, NF = (spec.batch, spec.hw, spec.n_hid, spec.n_out,
-                         spec.n_flat)
-    C0 = spec.in_ch
+    constant operands as call ARGUMENTS; callers must not wrap the result
+    in jax.jit."""
+    from .megastep import build_epoch_fn
+
+    NH, NC, NF = spec.n_hid, spec.n_out, spec.n_flat
     consts = build_constants_mlp(spec)
     const_arrs = [consts["s_smooth"], consts["sumsel"]]
-
-    def const_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
-                            memory_space=pltpu.VMEM)
-
-    step_spec = [
-        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, HW, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-    ]
-
     kshapes = [(NF, NH), (1, NH), (NH, NC), (1, NC)]
-    param_specs = [
-        pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for s in kshapes * 2
-    ]
-    const_specs = [const_spec(a) for a in const_arrs]
-
-    out_shapes = (
-        [jax.ShapeDtypeStruct(s, jnp.float32) for s in kshapes * 2]
-        + [jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32),
-           jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32)]
-    )
-    out_specs = (
-        [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
-         for s in kshapes * 2]
-        + [pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM)] * 2
-    )
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    call = pl.pallas_call(
-        functools.partial(_kernel_mlp, spec),
-        grid=(n_batches,),
-        in_specs=step_spec + param_specs + const_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
-        interpret=interpret,
-        **(
-            {"compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=int(_VMEM_MB) * 1024 * 1024)}
-            if _VMEM_MB else {}
-        ),
-    )
-
-    carrs = tuple(jnp.asarray(a) for a in const_arrs)
-
-    def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts,
-                  channel_major):
-        ub, fb, pb, db = bits
-        if channel_major or C0 == 1:
-            x_steps = x_steps.reshape(n_batches, C0 * B, HW)
-        else:
-            x_steps = x_steps.reshape(
-                n_batches, B, C0, HW
-            ).transpose(0, 2, 1, 3).reshape(n_batches, C0 * B, HW)
-        y_steps = y_steps.reshape(n_batches, B, 1)
-        pb = pb.reshape(n_batches, C0 * B, HW)
-        outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
-                    *kparams, *kmoms, *consts)
-        new_params = list(outs[0:4])
-        new_moms = list(outs[4:8])
-        cost_minf = jnp.concatenate(
-            [outs[8][:, :, 0], outs[9][:, :, 0]], axis=1
-        )
-        return new_params, new_moms, cost_minf
-
-    jitted = jax.jit(raw_epoch, static_argnums=(7,),
-                     donate_argnums=(0, 1) if donate else ())
-
-    def raw_epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no,
-                           lr_arr, consts, channel_major):
-        bits = epoch_noise_bits(
-            jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
-        )
-        return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
-                         consts, channel_major)
-
-    jitted_key = jax.jit(raw_epoch_from_key, static_argnums=(8,),
-                         donate_argnums=(0, 1) if donate else ())
-
-    def epoch(kparams, kmoms, x_steps, y_steps, bits, lr,
-              channel_major=False):
-        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
-        return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs,
-                      channel_major)
-
-    def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr,
-                       channel_major=False):
-        lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
-        return jitted_key(kparams, kmoms, x_steps, y_steps, key,
-                          jnp.int32(epoch_no), lr_arr, carrs, channel_major)
-
-    epoch._jitted = jitted  # introspection hooks (bench census)
-    epoch._carrs = carrs
-    epoch.from_key = epoch_from_key
-    return epoch
+    return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
+                          functools.partial(_kernel_mlp, spec),
+                          interpret=interpret, donate=donate)

@@ -386,8 +386,10 @@ class Trainer:
                 )
                 outs.append((costs, min_true_f))
                 self.net.inc_epoch_set_rate()
-            costs = np.stack([np.asarray(c) for c, _ in outs])
-            minf = np.stack([np.asarray(m) for _, m in outs])
+            # stack on device, transfer once (each host pull is a full
+            # round trip — ~36ms through a remote-TPU tunnel)
+            costs = np.asarray(jnp.stack([c for c, _ in outs]))
+            minf = np.asarray(jnp.stack([m for _, m in outs]))
             return costs.sum(axis=1), costs, minf
 
         if self._state_src == "frame":
