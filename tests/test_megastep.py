@@ -36,7 +36,8 @@ REGO = LayerReg(L1=0.0, L2=0.0, momentum=0.95, rate=0.5, maxnorm=0.8)
 
 def _spec(**kw):
     base = dict(
-        batch=B, img=IMG, filt=FILT, maps1=M1, maps2=M2, n_hid=NH, n_out=NC,
+        batch=B, img=IMG, filt1=FILT, filt2=FILT, maps1=M1, maps2=M2,
+        n_hid=NH, n_out=NC,
         slope1=0.05, slope2=0.10, slope_h=0.01, pdrop=0.0,
         translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0, angle=0,
         invert=False, nearest=False,

@@ -16,36 +16,39 @@ from theanet_tpu.ops.megastep import (
 import jax
 
 CASES = [
-    # (batch, img, filt, m1, m2, nh, nc) — chosen to hit odd/even conv
-    # outputs and partial pool2 windows
-    (4, 12, 3, 2, 3, 16, 4),    # c1=10,p1=5,c2=3(odd),p2=2 partial
-    (6, 14, 5, 1, 2, 8, 3),     # filt=5: c1=10,p1=5,c2=1,p2=1 degenerate
-    (8, 16, 3, 3, 4, 24, 5),    # c1=14,p1=7(odd),c2=5(odd),p2=3 partial
-    (2, 9, 3, 1, 1, 4, 2),      # tiny odd img: c1=7,p1=4,c2=2,p2=1
+    # (batch, img, filt1, filt2, m1, m2, nh, nc) — chosen to hit odd/even
+    # conv outputs, partial pool2 windows, and differing filter sizes
+    (4, 12, 3, 3, 2, 3, 16, 4),   # c1=10,p1=5,c2=3(odd),p2=2 partial
+    (6, 14, 5, 5, 1, 2, 8, 3),    # filt=5: c1=10,p1=5,c2=1,p2=1 degenerate
+    (8, 16, 3, 3, 3, 4, 24, 5),   # c1=14,p1=7(odd),c2=5(odd),p2=3 partial
+    (2, 9, 3, 3, 1, 1, 4, 2),     # tiny odd img: c1=7,p1=4,c2=2,p2=1
+    (4, 14, 5, 3, 2, 3, 12, 4),   # 5x5 then 3x3: c1=10,p1=5,c2=3,p2=2
+    (4, 13, 3, 4, 2, 2, 10, 3),   # 3x3 then 4x4: c1=11,p1=6,c2=3,p2=2
 ]
 
 
-@pytest.mark.parametrize("batch,img,filt,m1,m2,nh,nc", CASES)
-def test_fuzz_identity_trajectory(batch, img, filt, m1, m2, nh, nc):
+@pytest.mark.parametrize("batch,img,filt1,filt2,m1,m2,nh,nc", CASES)
+def test_fuzz_identity_trajectory(batch, img, filt1, filt2, m1, m2, nh, nc):
     layers = [
         ["InputLayer", {"img_sz": img}],
-        ["ConvLayer", {"num_maps": m1, "filter_sz": filt, "stride": 1,
+        ["ConvLayer", {"num_maps": m1, "filter_sz": filt1, "stride": 1,
                        "mode": "valid", "actvn": "relu07",
                        "reg": {"L2": 1e-3, "maxnorm": 0.8}}],
         ["PoolLayer", {"pool_sz": 2}],
-        ["ConvLayer", {"num_maps": m2, "filter_sz": filt, "stride": 1,
+        ["ConvLayer", {"num_maps": m2, "filter_sz": filt2, "stride": 1,
                        "mode": "valid", "actvn": "relu15"}],
         ["PoolLayer", {"pool_sz": 2}],
         ["HiddenLayer", {"n_out": nh, "pdrop": 0, "actvn": "relu02",
                          "reg": {"L1": 1e-4, "momentum": 0.9}}],
         ["SoftmaxLayer", {"n_out": nc, "reg": {"maxnorm": 0.9}}],
     ]
-    tr_prms = {"SEED": img * 7 + filt, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+    tr_prms = {"SEED": img * 7 + filt1, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
                "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
                "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2}
     net = NeuralNet(layers, tr_prms)
     spec = spec_from_net(net)
-    assert spec is not None and spec.filt == filt
+    assert spec is not None
+    assert spec.filt1 == filt1 and spec.filt2 == filt2
 
     nb = 3
     rng = np.random.RandomState(1)

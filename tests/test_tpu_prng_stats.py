@@ -99,3 +99,72 @@ def test_megafused_matches_unfused_on_tpu():
     for lm, lu in zip(dm["allwts"], du["allwts"]):
         for wm, wu in zip(lm, lu):
             np.testing.assert_allclose(wm, wu, atol=2e-3)
+
+
+def _mega_consistency(make_fn, spec, kshapes, layer_idx=None, n_batches=8,
+                      atol=2e-2):
+    """Hardware-vs-interpret trajectory check: the fused kernels inject all
+    randomness as bit tensors, so the SAME bits through the Mosaic-compiled
+    kernel and the interpret-mode kernel must give the same trajectory up
+    to MXU rounding (compute matmuls run bf16 passes on hardware). Catches
+    Mosaic miscompiles (roll/layout/masking bugs) that CPU-only tests
+    cannot see."""
+    from theanet_tpu.ops.megastep import epoch_noise_bits
+
+    rng = np.random.RandomState(0)
+    B = spec.batch
+    kp = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+          for s in kshapes]
+    km = [jnp.zeros_like(p) for p in kp]
+    x = jnp.asarray(
+        rng.rand(n_batches, spec.in_ch * B, spec.hw).astype(np.float32))
+    y = jnp.asarray(
+        rng.randint(0, spec.n_out, (n_batches, B, 1)).astype(np.int32))
+    bits = epoch_noise_bits(
+        jax.random.key(7, impl="rbg"), spec, n_batches)
+    outs = {}
+    for interp in (False, True):
+        f = make_fn(spec, n_batches, interpret=interp)
+        p2, m2, cm = f(kp, km, x, y, bits, 0.1, channel_major=True)
+        outs[interp] = (np.asarray(cm),
+                        [np.asarray(t) for t in p2])
+    cm_hw, p_hw = outs[False]
+    cm_it, p_it = outs[True]
+    assert np.isfinite(cm_hw).all()
+    np.testing.assert_allclose(cm_hw[:, 0], cm_it[:, 0], rtol=atol,
+                               atol=atol)
+    for a, b in zip(p_hw, p_it):
+        np.testing.assert_allclose(a, b, rtol=atol, atol=atol)
+
+
+def test_megastep_conv_hardware_matches_interpret():
+    from theanet_tpu.ops import megastep as M
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = M.MegaSpec(
+        batch=8, img=12, filt1=3, filt2=3, maps1=2, maps2=3, n_hid=16,
+        n_out=4,
+        slope1=0.1, slope2=0.05, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        reg1=reg, reg2=reg, reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(2, 9), (2, 1), (3, 18), (3, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(M.make_epoch_fn, spec, kshapes)
+
+
+def test_megastep_mlp_hardware_matches_interpret():
+    from theanet_tpu.ops import megastep_mlp as MM
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=1e-4, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.8)
+    spec = MM.MlpSpec(
+        batch=8, img=12, n_hid=24, n_out=5, slope_h=0.1, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True, reg_h=reg, reg_o=reg,
+        in_ch=3,
+    )
+    kshapes = [(spec.n_flat, 24), (1, 24), (24, 5), (1, 5)]
+    _mega_consistency(MM.make_mlp_epoch_fn, spec, kshapes)

@@ -92,7 +92,8 @@ class LayerReg(NamedTuple):
 class MegaSpec(NamedTuple):
     batch: int
     img: int            # input H = W
-    filt: int           # conv filter size (both convs)
+    filt1: int          # conv1 filter size
+    filt2: int          # conv2 filter size
     maps1: int          # conv1 output maps
     maps2: int
     n_hid: int
@@ -133,7 +134,7 @@ class MegaSpec(NamedTuple):
 
     @property
     def c1(self):  # conv1 valid output side
-        return self.img - self.filt + 1
+        return self.img - self.filt1 + 1
 
     @property
     def p1(self):  # pool1 output side
@@ -141,7 +142,7 @@ class MegaSpec(NamedTuple):
 
     @property
     def c2(self):
-        return self.p1 - self.filt + 1
+        return self.p1 - self.filt2 + 1
 
     @property
     def p2(self):
@@ -183,7 +184,7 @@ def spec_from_net(net):
     in_ch = L[0].num_maps
     if c1.num_prev_maps != in_ch:
         return None
-    if c1.filter_sz != c2.filter_sz or c1.stride != 1 or c2.stride != 1:
+    if c1.stride != 1 or c2.stride != 1:
         return None
     if c1.mode != "valid" or c2.mode != "valid":
         return None
@@ -251,7 +252,8 @@ def spec_from_net(net):
         return None
 
     return MegaSpec(
-        batch=net.batch_sz, img=L[0].out_sz, filt=c1.filter_sz,
+        batch=net.batch_sz, img=L[0].out_sz,
+        filt1=c1.filter_sz, filt2=c2.filter_sz,
         maps1=c1.num_maps, maps2=c2.num_maps, n_hid=hid.n_out,
         n_out=head.n_out, slope1=slopes[0], slope2=slopes[1],
         slope_h=slopes[2], pdrop=float(hid.pdrop), **aug,
@@ -357,8 +359,8 @@ def build_constants(spec: MegaSpec):
 
 def _shift_stack(spec):
     p = spec.p1 * spec.p1
-    sh = np.zeros((spec.filt ** 2 * p, p), np.float32)
-    for k, off in enumerate(_tap_offsets(spec.filt, spec.p1)):
+    sh = np.zeros((spec.filt2 ** 2 * p, p), np.float32)
+    for k, off in enumerate(_tap_offsets(spec.filt2, spec.p1)):
         for q in range(p - off):
             sh[k * p + q + off, q] = 1.0
     return sh
@@ -616,7 +618,8 @@ def _kernel(spec: MegaSpec,
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
             cost_ref, minf_ref):
-    B, H, F = spec.batch, spec.img, spec.filt
+    B, H = spec.batch, spec.img
+    F1, F2 = spec.filt1, spec.filt2
     M1, M2 = spec.maps1, spec.maps2
     HW = spec.hw
     P1SQ = spec.p1 * spec.p1
@@ -668,11 +671,11 @@ def _kernel(spec: MegaSpec,
     # Conv1 keeps a per-tap loop: its rolled pieces are B-row (20) blocks,
     # which Mosaic cannot concatenate on the sublane axis (needs multiples
     # of 8). Conv2's pieces are M1*B-row blocks and stack into one matmul.
-    offs1 = _tap_offsets(F, H)
+    offs1 = _tap_offsets(F1, H)
     em1, ecol1, st1 = em1_ref[:], ecol1_ref[:], st1_ref[:]
     rolls1 = [_roll(aug, -off) for off in offs1]
     z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
-    for k in range(F * F):
+    for k in range(F1 * F1):
         w1k = w1[:, k * C0:(k + 1) * C0]                  # (M1, C0)
         w1k_big = _mm(_mm(em1, w1k), ecol1) * st1         # (R1, C0*B)
         z1 = z1 + _mm(w1k_big, rolls1[k])
@@ -699,13 +702,13 @@ def _kernel(spec: MegaSpec,
     sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
     p1s = jnp.concatenate(
         [_mm(p1, sh2[k * P1SQ:(k + 1) * P1SQ, :], hi=spec.exact_movement)
-         for k in range(F * F)],
+         for k in range(F2 * F2)],
         axis=0,
-    )                                                     # (9*R1, P1SQ)
+    )                                                     # (F2^2*R1, P1SQ)
     w2_big = jnp.concatenate(
         [_mm(_mm(em2, w2[:, k * M1:(k + 1) * M1]), ecol2) * st2
-         for k in range(F * F)], axis=1,
-    )                                                     # (R2, 9*R1)
+         for k in range(F2 * F2)], axis=1,
+    )                                                     # (R2, F2^2*R1)
     z2 = _mm(w2_big, p1s) + _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)
     h2 = _lrelu(z2, spec.slope2)
     v2 = v2_ref[:]
@@ -759,15 +762,15 @@ def _kernel(spec: MegaSpec,
     dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
 
     # conv2 backward: one matmul per contraction against the patch matrix
-    dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, 9*R1)
+    dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, F2^2*R1)
     dw2 = jnp.concatenate(
         [_mm(_mm(em2, dbig_all[:, k * R1:(k + 1) * R1] * st2, ta=True),
              ecol2, tb=True)                              # (M2, M1)
-         for k in range(F * F)], axis=1,
-    )                                                     # (M2, F^2*M1)
-    dp_stack = _mm(w2_big, dz2, ta=True)                  # (9*R1, P1SQ)
+         for k in range(F2 * F2)], axis=1,
+    )                                                     # (M2, F2^2*M1)
+    dp_stack = _mm(w2_big, dz2, ta=True)                  # (F2^2*R1, P1SQ)
     dp1 = jnp.zeros_like(p1)
-    for k in range(F * F):
+    for k in range(F2 * F2):
         # un-shift with the transposed one-hot
         dp1 = dp1 + _mm(dp_stack[k * R1:(k + 1) * R1, :],
                         sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True,
@@ -788,12 +791,12 @@ def _kernel(spec: MegaSpec,
 
     # conv1 backward (weights only; nothing learnable below)
     dw1_cols = []
-    for k in range(F * F):
+    for k in range(F1 * F1):
         dbig = _mm(dz1, rolls1[k], tb=True)               # (R1, C0*B)
         dw1_cols.append(
             _mm(_mm(em1, dbig * st1, ta=True), ecol1, tb=True)  # (M1, C0)
         )
-    dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F^2*C0)
+    dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F1^2*C0)
     db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
 
     # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
@@ -836,11 +839,11 @@ def kernel_layout(allwts, spec: MegaSpec):
     this single implementation.
     """
     (w1, b1), (w2, b2), (wh, bh), (wo, bo) = allwts
-    F = spec.filt
+    F1, F2 = spec.filt1, spec.filt2
     return [
-        w1.transpose(0, 2, 3, 1).reshape(spec.maps1, F * F * spec.in_ch),
+        w1.transpose(0, 2, 3, 1).reshape(spec.maps1, F1 * F1 * spec.in_ch),
         b1.reshape(spec.maps1, 1),
-        w2.transpose(0, 2, 3, 1).reshape(spec.maps2, F * F * spec.maps1),
+        w2.transpose(0, 2, 3, 1).reshape(spec.maps2, F2 * F2 * spec.maps1),
         b2.reshape(spec.maps2, 1),
         wh,
         bh.reshape(1, spec.n_hid),
@@ -852,11 +855,11 @@ def kernel_layout(allwts, spec: MegaSpec):
 def framework_layout(kparams, spec: MegaSpec):
     """Inverse of kernel_layout (numpy or traced jax arrays)."""
     w1, b1, w2, b2, wh, bh, wo, bo = kparams
-    F = spec.filt
+    F1, F2 = spec.filt1, spec.filt2
     return [
-        [w1.reshape(spec.maps1, F, F, spec.in_ch).transpose(0, 3, 1, 2),
+        [w1.reshape(spec.maps1, F1, F1, spec.in_ch).transpose(0, 3, 1, 2),
          b1.reshape(spec.maps1)],
-        [w2.reshape(spec.maps2, F, F, spec.maps1).transpose(0, 3, 1, 2),
+        [w2.reshape(spec.maps2, F2, F2, spec.maps1).transpose(0, 3, 1, 2),
          b2.reshape(spec.maps2)],
         [wh, bh.reshape(spec.n_hid)],
         [wo, bo.reshape(spec.n_out)],
@@ -893,7 +896,8 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     x, y, base_key, epoch_no, lr)``, which derives the epoch's noise inside
     the same jit — one device dispatch per epoch.
     """
-    M1, M2, F = spec.maps1, spec.maps2, spec.filt
+    M1, M2 = spec.maps1, spec.maps2
+    F1, F2 = spec.filt1, spec.filt2
     C0 = spec.in_ch
     consts = build_constants(spec)
     const_arrs = [consts[k] for k in
@@ -901,7 +905,7 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
                    "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2",
                    "sumsel", "sh2")]
     kshapes = [
-        (M1, F * F * C0), (M1, 1), (M2, F * F * M1), (M2, 1),
+        (M1, F1 * F1 * C0), (M1, 1), (M2, F2 * F2 * M1), (M2, 1),
         (spec.n_flat, spec.n_hid), (1, spec.n_hid),
         (spec.n_hid, spec.n_out), (1, spec.n_out),
     ]
