@@ -363,6 +363,42 @@ def flat_mlp_row():
             f"{best:,.0f} img/s")
 
 
+def serve_row():
+    """Serving-path evidence (reference get_data_test_model,
+    neuralnet.py:282-296): jitted batch-1 predict on the flagship net —
+    per-call round-trip latency (includes this environment's ~36ms tunnel
+    hop both ways) and pipelined throughput (N dispatches, one sync, the
+    device-side rate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from theanet_tpu.trainer import Trainer
+
+    net = flagship_net(1)
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 1, 28, 28).astype(np.float32)
+    y = rng.randint(0, 10, 8).astype(np.int32)
+    tr = Trainer(net, x, y, x, y)
+    fn = jax.jit(lambda p, xi: net.predict(p, xi))
+    xi = jnp.asarray(x[:1])
+    np.asarray(fn(tr.params, xi)[1])  # compile
+    lats = []
+    for _ in range(20):
+        t0 = time.time()
+        np.asarray(fn(tr.params, xi)[1])
+        lats.append((time.time() - t0) * 1e3)
+    lats.sort()
+    n_pipe = 200
+    t0 = time.time()
+    outs = [fn(tr.params, xi)[1] for _ in range(n_pipe)]
+    np.asarray(outs[-1])
+    pipe = n_pipe / (time.time() - t0)
+    log(f"[serve] batch-1 predict: p50 {lats[10]:.1f}ms / p90 "
+        f"{lats[18]:.1f}ms round-trip; pipelined {pipe:,.0f} req/s "
+        "(round-trip includes the remote-TPU tunnel hop; a local host "
+        "pays only the device step)")
+
+
 def _mesh_child(shape):
     """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
     import jax
@@ -424,6 +460,8 @@ if __name__ == "__main__":
         wide_model_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--flat":
         flat_mlp_row()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--serve":
+        serve_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mesh":
         shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else [
             "1x1", "2x1", "4x1", "4x2"
