@@ -172,3 +172,90 @@ def test_multichannel_trainer_with_elastic():
     assert np.isfinite(total) and np.isfinite(minf).all()
     err, _ = tr.evaluate_full("test")
     assert 0 <= err <= 100
+
+
+POOL_CASES = [
+    # (img, f1, f2, pool1, pool2, ib1, ib2) — pool sizes other than 2 and
+    # ignore_border windows (out = in//p); matcher requires pool <= filter
+    (15, 3, 3, 3, 2, False, False),  # c1=13,p1=5(partial),c2=3,p2=2 partial
+    (16, 4, 3, 3, 3, False, False),  # pool3 at both levels
+    (14, 3, 3, 2, 2, True, True),    # ignore_border: c1=12,p1=6,c2=4,p2=2
+    (20, 5, 3, 4, 2, True, False),   # pool4 (filter 5 >= 4); ib drops tail
+]
+
+
+@pytest.mark.parametrize("img,f1,f2,pool1,pool2,ib1,ib2", POOL_CASES)
+def test_fuzz_pool_variants(img, f1, f2, pool1, pool2, ib1, ib2):
+    batch, m1, m2, nh, nc = 4, 2, 3, 12, 4
+    layers = [
+        ["InputLayer", {"img_sz": img}],
+        ["ConvLayer", {"num_maps": m1, "filter_sz": f1, "stride": 1,
+                       "mode": "valid", "actvn": "relu07",
+                       "reg": {"L2": 1e-3}}],
+        ["PoolLayer", {"pool_sz": pool1, "ignore_border": ib1}],
+        ["ConvLayer", {"num_maps": m2, "filter_sz": f2, "stride": 1,
+                       "mode": "valid", "actvn": "relu15"}],
+        ["PoolLayer", {"pool_sz": pool2, "ignore_border": ib2}],
+        ["HiddenLayer", {"n_out": nh, "pdrop": 0, "actvn": "relu02"}],
+        ["SoftmaxLayer", {"n_out": nc}],
+    ]
+    tr_prms = {"SEED": img * 3 + pool1, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = spec_from_net(net)
+    assert spec is not None
+    assert (spec.pool1, spec.pool2, spec.ib1, spec.ib2) == (
+        pool1, pool2, ib1, ib2)
+
+    nb = 3
+    rng = np.random.RandomState(4)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.15,
+        )
+        frame_costs.append(float(cost))
+
+    aw = [net.allwts0[i] for i in (1, 3, 5, 6)]
+    epoch_fn = make_epoch_fn(spec, nb, interpret=True)
+    kp = [jnp.asarray(t) for t in params_to_kernel(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km,
+        jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)),
+        bits, 0.15,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = params_from_kernel(kp, spec)
+    want = [params[1], params[3], params[5], params[6]]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), g, rtol=0, atol=1e-4)
+
+
+def test_pool_bigger_than_filter_falls_back():
+    """pool_sz > filter_sz would wrap the lane rolls into live positions;
+    the matcher must refuse (scanned path covers it)."""
+    layers = [
+        ["InputLayer", {"img_sz": 16}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu07"}],
+        ["PoolLayer", {"pool_sz": 4}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu15"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 8, "pdrop": 0, "actvn": "relu02"}],
+        ["SoftmaxLayer", {"n_out": 3}],
+    ]
+    tr_prms = {"SEED": 3, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    assert spec_from_net(NeuralNet(layers, tr_prms)) is None

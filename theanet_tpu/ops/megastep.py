@@ -126,6 +126,10 @@ class MegaSpec(NamedTuple):
     # 20 on v5e). Interpret mode (all CPU tests) is exact either way.
     exact_movement: bool = False
     in_ch: int = 1      # input channels (conv1 becomes conv2-shaped when >1)
+    pool1: int = 2      # pool window/stride after conv1
+    pool2: int = 2
+    ib1: bool = False   # PoolLayer ignore_border (out = in//p, full windows)
+    ib2: bool = False
 
     # ---- derived static shapes
     @property
@@ -138,7 +142,7 @@ class MegaSpec(NamedTuple):
 
     @property
     def p1(self):  # pool1 output side
-        return -(-self.c1 // 2)
+        return self.c1 // self.pool1 if self.ib1 else -(-self.c1 // self.pool1)
 
     @property
     def c2(self):
@@ -146,7 +150,7 @@ class MegaSpec(NamedTuple):
 
     @property
     def p2(self):
-        return -(-self.c2 // 2)
+        return self.c2 // self.pool2 if self.ib2 else -(-self.c2 // self.pool2)
 
     @property
     def n_flat(self):
@@ -188,7 +192,11 @@ def spec_from_net(net):
         return None
     if c1.mode != "valid" or c2.mode != "valid":
         return None
-    if p1.pool_sz != 2 or p2.pool_sz != 2 or p1.ignore_border or p2.ignore_border:
+    # the lane-roll pooling reads up to pool-1 positions past a row's valid
+    # columns; the f-1 lanes of row padding (stride - side_valid) absorb
+    # that ONLY while pool_sz <= filter_sz — larger windows would pull live
+    # values from the next row, so fall back
+    if p1.pool_sz > c1.filter_sz or p2.pool_sz > c2.filter_sz:
         return None
     if head.loss != "nll":
         return None
@@ -254,6 +262,8 @@ def spec_from_net(net):
     return MegaSpec(
         batch=net.batch_sz, img=L[0].out_sz,
         filt1=c1.filter_sz, filt2=c2.filter_sz,
+        pool1=p1.pool_sz, pool2=p2.pool_sz,
+        ib1=bool(p1.ignore_border), ib2=bool(p2.ignore_border),
         maps1=c1.num_maps, maps2=c2.num_maps, n_hid=hid.n_out,
         n_out=head.n_out, slope1=slopes[0], slope2=slopes[1],
         slope_h=slopes[2], pdrop=float(hid.pdrop), **aug,
@@ -290,13 +300,13 @@ def fused_plan(net):
     return None
 
 
-def _anchor_grid(side_in, side_out, stride_in):
+def _anchor_grid(side_in, side_out, stride_in, pool):
     """One-hot compaction matrix (pix_in, side_out^2): column r=(i,j) selects
-    input position (2i)*stride_in + 2j."""
+    the window anchor, input position (pool*i)*stride_in + pool*j."""
     c = np.zeros((stride_in * stride_in, side_out * side_out), np.float32)
     for i in range(side_out):
         for j in range(side_out):
-            c[(2 * i) * stride_in + 2 * j, i * side_out + j] = 1.0
+            c[(pool * i) * stride_in + pool * j, i * side_out + j] = 1.0
     return c
 
 
@@ -307,12 +317,18 @@ def _valid_mask(side_valid, stride):
     return m
 
 
-def _anchor_mask(side_out, stride):
+def _anchor_mask(side_out, stride, pool):
     m = np.zeros((1, stride * stride), np.float32)
     for i in range(side_out):
         for j in range(side_out):
-            m[0, (2 * i) * stride + 2 * j] = 1.0
+            m[0, (pool * i) * stride + pool * j] = 1.0
     return m
+
+
+def _pool_offsets(pool, stride):
+    """Flat lane offsets of a pool window's positions relative to its
+    anchor: {dy*stride + dx} for dy,dx in [0,pool)."""
+    return [dy * stride + dx for dy in range(pool) for dx in range(pool)]
 
 
 def build_constants(spec: MegaSpec):
@@ -331,12 +347,13 @@ def build_constants(spec: MegaSpec):
 
     consts = {
         "s_smooth": s_smooth,                                  # (hw, hw)
-        "c1": _anchor_grid(spec.c1, spec.p1, H),               # (hw, p1^2)
-        "c2": _anchor_grid(spec.c2, spec.p2, spec.p1),         # (p1^2, p2^2)
+        "c1": _anchor_grid(spec.c1, spec.p1, H, spec.pool1),   # (hw, p1^2)
+        "c2": _anchor_grid(spec.c2, spec.p2, spec.p1,
+                           spec.pool2),                        # (p1^2, p2^2)
         "valid1": _valid_mask(spec.c1, H),                     # (1, hw)
         "valid2": _valid_mask(spec.c2, spec.p1),               # (1, p1^2)
-        "a1": _anchor_mask(spec.p1, H),                        # (1, hw)
-        "a2": _anchor_mask(spec.p2, spec.p1),                  # (1, p1^2)
+        "a1": _anchor_mask(spec.p1, H, spec.pool1),            # (1, hw)
+        "a2": _anchor_mask(spec.p2, spec.p1, spec.pool2),      # (1, p1^2)
         # row->map one-hots and batch-stripe masks for the striped matmuls
         "em1": np.repeat(np.eye(M1, dtype=np.float32), B, axis=0),   # (R1, M1)
         "ecol1": np.repeat(np.eye(spec.in_ch, dtype=np.float32), B,
@@ -682,8 +699,10 @@ def _kernel(spec: MegaSpec,
     h1 = _lrelu(z1, spec.slope1)
     v1 = v1_ref[:]
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
-    mx1 = jnp.maximum(jnp.maximum(z1m, _roll(z1m, -1)),
-                      jnp.maximum(_roll(z1m, -H), _roll(z1m, -H - 1)))
+    offs_p1 = _pool_offsets(spec.pool1, H)
+    mx1 = z1m
+    for off in offs_p1[1:]:
+        mx1 = jnp.maximum(mx1, _roll(z1m, -off))
     p1 = _mm(mx1, c1_ref[:], hi=spec.exact_movement)      # (R1, P1SQ)
 
     if debug_stage == "conv1":
@@ -713,9 +732,10 @@ def _kernel(spec: MegaSpec,
     h2 = _lrelu(z2, spec.slope2)
     v2 = v2_ref[:]
     z2m = jnp.where(v2 > 0, h2, BIG_NEG)
-    mx2 = jnp.maximum(jnp.maximum(z2m, _roll(z2m, -1)),
-                      jnp.maximum(_roll(z2m, -spec.p1),
-                                  _roll(z2m, -spec.p1 - 1)))
+    offs_p2 = _pool_offsets(spec.pool2, spec.p1)
+    mx2 = z2m
+    for off in offs_p2[1:]:
+        mx2 = jnp.maximum(mx2, _roll(z2m, -off))
     p2 = _mm(mx2, c2_ref[:], hi=spec.exact_movement)      # (R2, P2SQ)
 
     if debug_stage == "conv2":
@@ -756,7 +776,7 @@ def _kernel(spec: MegaSpec,
     am2 = am2_ref[:]
     dmx2 = _mm(dp2, c2_ref[:], tb=True, hi=spec.exact_movement)  # (R2, P1SQ)
     dz2a = jnp.zeros_like(z2m)
-    for off in (0, 1, spec.p1, spec.p1 + 1):
+    for off in offs_p2:
         gate = (_roll(am2, off) > 0) & (z2m == _roll(mx2, off))
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
     dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
@@ -784,7 +804,7 @@ def _kernel(spec: MegaSpec,
     am1 = am1_ref[:]
     dmx1 = _mm(dp1, c1_ref[:], tb=True, hi=spec.exact_movement)  # (R1, HW)
     dz1a = jnp.zeros_like(z1m)
-    for off in (0, 1, H, H + 1):
+    for off in offs_p1:
         gate = (_roll(am1, off) > 0) & (z1m == _roll(mx1, off))
         dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
     dz1 = dz1a * jnp.where(z1 > 0, 1.0, spec.slope1)      # (R1, HW)

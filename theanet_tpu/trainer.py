@@ -261,7 +261,8 @@ class Trainer:
                 raise ValueError(
                     "MEGAFUSED=True, but this configuration cannot use a "
                     "fused epoch kernel (supported: Input/Elastic -> Conv "
-                    "-> Pool2 -> Conv -> Pool2 -> Hidden -> Softmax(nll), "
+                    "-> Pool -> Conv -> Pool -> Hidden -> Softmax(nll) "
+                    "with pool_sz <= the adjacent filter_sz, "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
                     "no mesh/aux/SHUFFLE, working set within VMEM — see "
