@@ -200,3 +200,21 @@ def test_pool_tie_gradient_routes_to_all_maxima():
     x2 = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4))
     g2 = np.asarray(jax.grad(pooled_sum)(x2))
     assert g2.sum() == 4 and (g2.reshape(-1)[[5, 7, 13, 15]] == 1).all()
+
+
+def test_pool_ignore_border_nondividing_gradient():
+    """ignore_border drops the partial tail window (5 -> 2 windows of 2);
+    positions in the dropped tail must get ZERO gradient, and the backward
+    must not shape-error on the non-dividing input."""
+    lyr = PoolLayer(num_maps=1, in_sz=5, pool_sz=2, ignore_border=True)
+    assert lyr.out_sz == 2
+
+    def pooled_sum(x):
+        return jnp.sum(lyr.apply(None, x, key=KEY, train=True))
+
+    x = jnp.asarray(np.arange(25, dtype=np.float32).reshape(1, 1, 5, 5))
+    g = np.asarray(jax.grad(pooled_sum)(x)).reshape(5, 5)
+    assert g[4, :].sum() == 0 and g[:, 4].sum() == 0  # dropped tail
+    want = np.zeros((5, 5))
+    want[[1, 1, 3, 3], [1, 3, 1, 3]] = 1  # each window's max = its corner
+    np.testing.assert_array_equal(g, want)

@@ -181,6 +181,8 @@ POOL_CASES = [
     (16, 4, 3, 3, 3, False, False),  # pool3 at both levels
     (14, 3, 3, 2, 2, True, True),    # ignore_border: c1=12,p1=6,c2=4,p2=2
     (20, 5, 3, 4, 2, True, False),   # pool4 (filter 5 >= 4); ib drops tail
+    (16, 4, 3, 2, 2, True, False),   # ib1 NON-dividing: c1=13 -> p1=6
+    (16, 3, 3, 2, 2, True, True),    # ib2 NON-dividing: c2=5 -> p2=2
 ]
 
 

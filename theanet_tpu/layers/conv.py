@@ -151,8 +151,16 @@ def _maxpool_bwd(p, out_sz, ignore_border, res, g):
     in_sz = x.shape[2]
     up_max = jnp.repeat(jnp.repeat(pooled, p, axis=2), p, axis=3)
     up_g = jnp.repeat(jnp.repeat(g, p, axis=2), p, axis=3)
-    up_max = up_max[:, :, :in_sz, :in_sz]
-    up_g = up_g[:, :, :in_sz, :in_sz]
+    if ignore_border and up_max.shape[2] < in_sz:
+        # ignore_border drops a partial tail window: no gradient flows to
+        # those input positions (-inf can never equal a real x)
+        pw = (0, in_sz - up_max.shape[2])
+        up_max = jnp.pad(up_max, ((0, 0), (0, 0), pw, pw),
+                         constant_values=-jnp.inf)
+        up_g = jnp.pad(up_g, ((0, 0), (0, 0), pw, pw))
+    else:
+        up_max = up_max[:, :, :in_sz, :in_sz]
+        up_g = up_g[:, :, :in_sz, :in_sz]
     return (jnp.where(x == up_max, up_g, 0.0).astype(x.dtype),)
 
 

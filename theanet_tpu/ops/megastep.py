@@ -26,8 +26,10 @@ TPU-native formulation (everything rides the MXU or the VPU, no gathers):
     plus a constant stripe mask, and the tap's contribution is one
     (R, C)@(C, pixels) matmul against the lane-rolled input. Lane rolls
     replace im2col; a constant validity mask replaces shape shrinking.
-  * pooling as roll-max + compaction matmul: window max = elementwise max
-    of 4 lane-rolled copies; anchor columns are compacted to the pooled
+  * pooling as roll-max + compaction matmul: a pool-p window max is the
+    separable max over p-1 column rolls then p-1 row rolls (any pool_sz up
+    to the adjacent filter_sz, both border modes); anchor columns are
+    compacted to the pooled
     layout by a constant one-hot matrix. Backward re-expands with the
     transpose and routes gradients by max-equality (Theano tie semantics:
     all maxima receive the gradient).
@@ -230,36 +232,7 @@ def spec_from_net(net):
     if any(not lyr.reg["rate"] for lyr in (c1, c2, hid, head)):
         return None
 
-    # VMEM feasibility: the striped-conv constants scale with batch^2
-    # (stripe2 is (maps2*B, maps1*B)) and the working set with batch. Past
-    # ~8 MB of resident constants + state the kernel stops fitting a v5e
-    # core's VMEM; fall back to the scanned per-layer path (which is the
-    # better program at large batch anyway — big batches amortize launches).
-    B = net.batch_sz
-    hw = L[0].out_sz ** 2
-    const_bytes = 4 * (
-        hw * hw * 2                       # s_smooth + tap-matrix workspace
-        + c2.num_maps * B * c1.num_maps * B   # stripe2
-        + c1.num_maps * B * in_ch * B     # stripe1
-        + hw * p1.out_sz ** 2             # c1 compaction
-    )
-    state_bytes = 4 * 3 * sum(
-        int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
-        for w in lyr_.get_wts()
-    )
-    # live set through backward: F^2 rolls of the (in_ch*B, hw) augmented
-    # input plus ~5 conv1-sized activation/gradient arrays, and the dense
-    # tail working set
-    work_bytes = 4 * (
-        hw * B * (c1.filter_sz ** 2 * in_ch + 5 * c1.num_maps)
-        + 8 * B * hid.n_out
-    )
-    # budget calibrated empirically on v5e: the flagship at batch 20
-    # (~13 MB by this formula) runs; batch 128+ (~28 MB+) does not fit
-    if const_bytes + state_bytes + work_bytes > 20 * 1024 * 1024:
-        return None
-
-    return MegaSpec(
+    spec = MegaSpec(
         batch=net.batch_sz, img=L[0].out_sz,
         filt1=c1.filter_sz, filt2=c2.filter_sz,
         pool1=p1.pool_sz, pool2=p2.pool_sz,
@@ -270,6 +243,36 @@ def spec_from_net(net):
         reg1=reg_of(c1), reg2=reg_of(c2), reg_h=reg_of(hid),
         reg_o=reg_of(head), in_ch=in_ch,
     )
+
+    # VMEM feasibility — sized from the ACTUAL constant tensors (sh2 grows
+    # as filt2^2 * p1^4 and the stripe masks as batch^2; computing beats
+    # modeling) plus the traced working set. Past the budget the kernel
+    # stops fitting a v5e core's VMEM, so fall back to the scanned
+    # per-layer path (the better program at large batch anyway — big
+    # batches amortize launches).
+    B = net.batch_sz
+    hw = spec.hw
+    const_bytes = 4 * sum(int(np.prod(c.shape))
+                          for c in build_constants(spec).values())
+    state_bytes = 4 * 3 * sum(
+        int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
+        for w in lyr_.get_wts()
+    )
+    # live set through backward: F^2 rolls of the (in_ch*B, hw) augmented
+    # input, ~5 conv1-sized activation/gradient arrays, the tap-stacked
+    # conv2 patch matrix, ~5 conv2-sized arrays, and the dense tail
+    work_bytes = 4 * (
+        hw * B * (c1.filter_sz ** 2 * in_ch + 5 * c1.num_maps)
+        + c2.filter_sz ** 2 * c1.num_maps * B * spec.p1 ** 2
+        + 5 * c2.num_maps * B * spec.p1 ** 2
+        + 8 * B * hid.n_out
+    )
+    # budget calibrated empirically on v5e: the flagship at batch 20
+    # (~15 MB by this formula) runs; batch 128+ does not fit
+    if const_bytes + state_bytes + work_bytes > 22 * 1024 * 1024:
+        return None
+
+    return spec
 
 
 class FusedPlan(NamedTuple):
@@ -300,9 +303,9 @@ def fused_plan(net):
     return None
 
 
-def _anchor_grid(side_in, side_out, stride_in, pool):
-    """One-hot compaction matrix (pix_in, side_out^2): column r=(i,j) selects
-    the window anchor, input position (pool*i)*stride_in + pool*j."""
+def _anchor_grid(side_out, stride_in, pool):
+    """One-hot compaction matrix (stride_in^2, side_out^2): column r=(i,j)
+    selects the window anchor, input position (pool*i)*stride_in + pool*j."""
     c = np.zeros((stride_in * stride_in, side_out * side_out), np.float32)
     for i in range(side_out):
         for j in range(side_out):
@@ -331,6 +334,19 @@ def _pool_offsets(pool, stride):
     return [dy * stride + dx for dy in range(pool) for dx in range(pool)]
 
 
+def _pool_max(z, pool, stride):
+    """Window max over the pool x pool window anchored at each position,
+    separably: p-1 column rolls then p-1 row rolls (2(p-1) VPU maxes
+    instead of p^2-1 for the direct offset enumeration)."""
+    row = z
+    for dx in range(1, pool):
+        row = jnp.maximum(row, _roll(z, -dx))
+    out = row
+    for dy in range(1, pool):
+        out = jnp.maximum(out, _roll(row, -dy * stride))
+    return out
+
+
 def build_constants(spec: MegaSpec):
     """All constant operand tensors, as numpy. Passed as kernel inputs."""
     B, H = spec.batch, spec.img
@@ -347,9 +363,8 @@ def build_constants(spec: MegaSpec):
 
     consts = {
         "s_smooth": s_smooth,                                  # (hw, hw)
-        "c1": _anchor_grid(spec.c1, spec.p1, H, spec.pool1),   # (hw, p1^2)
-        "c2": _anchor_grid(spec.c2, spec.p2, spec.p1,
-                           spec.pool2),                        # (p1^2, p2^2)
+        "c1": _anchor_grid(spec.p1, H, spec.pool1),            # (hw, p1^2)
+        "c2": _anchor_grid(spec.p2, spec.p1, spec.pool2),      # (p1^2, p2^2)
         "valid1": _valid_mask(spec.c1, H),                     # (1, hw)
         "valid2": _valid_mask(spec.c2, spec.p1),               # (1, p1^2)
         "a1": _anchor_mask(spec.p1, H, spec.pool1),            # (1, hw)
@@ -699,10 +714,7 @@ def _kernel(spec: MegaSpec,
     h1 = _lrelu(z1, spec.slope1)
     v1 = v1_ref[:]
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
-    offs_p1 = _pool_offsets(spec.pool1, H)
-    mx1 = z1m
-    for off in offs_p1[1:]:
-        mx1 = jnp.maximum(mx1, _roll(z1m, -off))
+    mx1 = _pool_max(z1m, spec.pool1, H)
     p1 = _mm(mx1, c1_ref[:], hi=spec.exact_movement)      # (R1, P1SQ)
 
     if debug_stage == "conv1":
@@ -732,10 +744,7 @@ def _kernel(spec: MegaSpec,
     h2 = _lrelu(z2, spec.slope2)
     v2 = v2_ref[:]
     z2m = jnp.where(v2 > 0, h2, BIG_NEG)
-    offs_p2 = _pool_offsets(spec.pool2, spec.p1)
-    mx2 = z2m
-    for off in offs_p2[1:]:
-        mx2 = jnp.maximum(mx2, _roll(z2m, -off))
+    mx2 = _pool_max(z2m, spec.pool2, spec.p1)
     p2 = _mm(mx2, c2_ref[:], hi=spec.exact_movement)      # (R2, P2SQ)
 
     if debug_stage == "conv2":
@@ -776,7 +785,7 @@ def _kernel(spec: MegaSpec,
     am2 = am2_ref[:]
     dmx2 = _mm(dp2, c2_ref[:], tb=True, hi=spec.exact_movement)  # (R2, P1SQ)
     dz2a = jnp.zeros_like(z2m)
-    for off in offs_p2:
+    for off in _pool_offsets(spec.pool2, spec.p1):
         gate = (_roll(am2, off) > 0) & (z2m == _roll(mx2, off))
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
     dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
@@ -804,7 +813,7 @@ def _kernel(spec: MegaSpec,
     am1 = am1_ref[:]
     dmx1 = _mm(dp1, c1_ref[:], tb=True, hi=spec.exact_movement)  # (R1, HW)
     dz1a = jnp.zeros_like(z1m)
-    for off in offs_p1:
+    for off in _pool_offsets(spec.pool1, H):
         gate = (_roll(am1, off) > 0) & (z1m == _roll(mx1, off))
         dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
     dz1 = dz1a * jnp.where(z1 > 0, 1.0, spec.slope1)      # (R1, HW)
