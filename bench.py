@@ -398,6 +398,21 @@ def serve_row():
         "(round-trip includes the remote-TPU tunnel hop; a local host "
         "pays only the device step)")
 
+    # batched serving: the offline/bulk-scoring shape (reference
+    # get_data_test_model takes whole arrays, neuralnet.py:287-292)
+    bserve = 256
+    netb = flagship_net(bserve)
+    xb = jnp.asarray(rng.rand(bserve, 1, 28, 28).astype(np.float32))
+    fnb = jax.jit(lambda p, xi: netb.predict(p, xi))
+    np.asarray(fnb(tr.params, xb)[1])  # compile
+    n_pipe = 100
+    t0 = time.time()
+    outs = [fnb(tr.params, xb)[1] for _ in range(n_pipe)]
+    np.asarray(outs[-1])
+    rate = n_pipe * bserve / (time.time() - t0)
+    log(f"[serve] batch-{bserve} predict pipelined: {rate:,.0f} images/s "
+        "(bulk-scoring path, full elastic-eval-off forward)")
+
 
 def _mesh_child(shape):
     """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""

@@ -155,6 +155,27 @@ def test_megastep_conv_hardware_matches_interpret():
     _mega_consistency(M.make_epoch_fn, spec, kshapes)
 
 
+def test_megastep_pool_variants_hardware_matches_interpret():
+    """Non-default pooling (pool 3, ignore_border) through the Mosaic
+    compiler vs interpret mode — guards the generalized roll-max/anchor
+    constants against layout/wraparound miscompiles."""
+    from theanet_tpu.ops import megastep as M
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = M.MegaSpec(
+        batch=8, img=18, filt1=3, filt2=3, maps1=2, maps2=3, n_hid=16,
+        n_out=4, pool1=3, pool2=2, ib1=False, ib2=True,
+        slope1=0.1, slope2=0.05, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        reg1=reg, reg2=reg, reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(2, 9), (2, 1), (3, 18), (3, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(M.make_epoch_fn, spec, kshapes)
+
+
 def test_megastep_mlp_hardware_matches_interpret():
     from theanet_tpu.ops import megastep_mlp as MM
     from theanet_tpu.ops.megastep import LayerReg

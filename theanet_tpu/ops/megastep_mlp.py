@@ -133,24 +133,31 @@ def mlp_spec_from_net(net):
     in_ch = L[0].num_maps
     hw = L[0].out_sz ** 2
     nf = in_ch * hw
+
+    spec = MlpSpec(
+        batch=B, img=L[0].out_sz, n_hid=hid.n_out, n_out=head.n_out,
+        slope_h=slope, pdrop=float(hid.pdrop), **aug,
+        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
+    )
+
     # VMEM feasibility (same empirically-calibrated accounting as the conv
-    # gate): params+momentum live in VMEM as both input and output refs, the
-    # smoothing matrix and resample workspace scale with hw^2, and the
-    # channel embedding scales the dense input by in_ch.
+    # gate, constants sized from the actual tensors): params+momentum live
+    # in VMEM as both input and output refs, the smoothing matrix and
+    # resample workspace scale with hw^2, and the channel embedding scales
+    # the dense input by in_ch.
     state_bytes = 4 * 3 * (nf * hid.n_out + hid.n_out
                            + hid.n_out * head.n_out + head.n_out)
-    const_bytes = 4 * (hw * hw * 2 + B * in_ch * B)
-    work_bytes = 4 * (in_ch * B * hw * (1 + in_ch) + 8 * B * hid.n_out)
+    const_bytes = 4 * sum(int(np.prod(c.shape))
+                          for c in build_constants_mlp(spec).values())
+    work_bytes = 4 * (hw * hw                       # resample workspace
+                      + in_ch * B * hw * (1 + in_ch)
+                      + 8 * B * hid.n_out)
     # budget verified on v5e: the reference's full 3flat shape (hidden 1000,
     # 457 classes, ~21 MB by this accounting) compiles and runs (892k img/s)
     if state_bytes + const_bytes + work_bytes > 24 * 1024 * 1024:
         return None
 
-    return MlpSpec(
-        batch=B, img=L[0].out_sz, n_hid=hid.n_out, n_out=head.n_out,
-        slope_h=slope, pdrop=float(hid.pdrop), **aug,
-        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
-    )
+    return spec
 
 
 def build_constants_mlp(spec: MlpSpec):
