@@ -1,0 +1,148 @@
+"""Fused-epoch kernel for arbitrary conv depth (ops/megastep_deep.py):
+identity-trajectory parity against the per-layer path for 1-conv and
+3-conv stacks, Trainer auto-engagement, and matcher boundaries."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from theanet_tpu.model import NeuralNet
+from theanet_tpu.ops.megastep import epoch_noise_bits, fused_plan
+from theanet_tpu.ops.megastep_deep import (
+    deep_layer_idx,
+    deep_spec_from_net,
+    framework_layout_deep,
+    kernel_layout_deep,
+    make_deep_epoch_fn,
+)
+from theanet_tpu.trainer import Trainer
+
+
+def conv_stack_net(img, conv_cfgs, nh, nc, batch, elastic=False, pdrop=0.0,
+                   mega="auto"):
+    """conv_cfgs: list of (maps, filter, pool, ignore_border, actvn)."""
+    if elastic:
+        first = ["ElasticLayer", {"img_sz": img, "translation": 1,
+                                  "zoom": 1.05, "magnitude": 8, "sigma": 3,
+                                  "pflip": 0.02, "angle": 3,
+                                  "nearest": True, "invert_image": False}]
+    else:
+        first = ["InputLayer", {"img_sz": img}]
+    layers = [first]
+    for m, f, p, ib, act in conv_cfgs:
+        layers.append(["ConvLayer", {"num_maps": m, "filter_sz": f,
+                                     "stride": 1, "mode": "valid",
+                                     "actvn": act,
+                                     "reg": {"L2": 1e-3, "maxnorm": 0.8}}])
+        layers.append(["PoolLayer", {"pool_sz": p, "ignore_border": ib}])
+    layers.append(["HiddenLayer", {"n_out": nh, "pdrop": pdrop,
+                                   "actvn": "relu02",
+                                   "reg": {"L1": 1e-4, "momentum": 0.9}}])
+    layers.append(["SoftmaxLayer", {"n_out": nc,
+                                    "reg": {"maxnorm": 0.9}}])
+    tr_prms = {"SEED": 17 + img, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+DEPTH_CASES = [
+    # one conv level: img 14, c=12, pool2 -> 6
+    [(3, 3, 2, False, "relu07")],
+    # three levels: 20 -> c18 p9 -> c7 p4 -> c2 p1
+    [(2, 3, 2, False, "relu07"), (3, 3, 2, False, "relu15"),
+     (4, 3, 2, False, "relu05")],
+    # three levels with pool3 + ignore_border in the middle
+    [(2, 3, 2, False, "relu07"), (3, 3, 3, True, "relu15"),
+     (4, 2, 2, False, "relu05")],
+]
+DEPTH_IMGS = [14, 20, 26]
+
+
+@pytest.mark.parametrize("img,cfgs", zip(DEPTH_IMGS, DEPTH_CASES))
+def test_deep_identity_trajectory(img, cfgs):
+    batch, nh, nc = 4, 12, 4
+    net = conv_stack_net(img, cfgs, nh, nc, batch)
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert spec.n_levels == len(cfgs)
+    assert spec.filts == tuple(c[1] for c in cfgs)
+    assert spec.pools == tuple(c[2] for c in cfgs)
+
+    nb = 3
+    rng = np.random.RandomState(2)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.15,
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(spec.n_levels)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    epoch_fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km,
+        jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)),
+        bits, 0.15,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
+def test_deep_trainer_engages_and_trains():
+    """Trainer auto-plan picks the deep family for a 3-conv elastic net
+    (MEGAFUSED=True forces it; CPU runs interpret mode) and the trajectory
+    stays finite with eval/checkpoint layout sync working."""
+    img, batch, nc = 20, 4, 4
+    cfgs = [(2, 3, 2, False, "relu07"), (3, 3, 2, False, "relu15"),
+            (4, 3, 2, False, "relu05")]
+    net = conv_stack_net(img, cfgs, 10, nc, batch, elastic=True, pdrop=0.5,
+                         mega=True)
+    plan = fused_plan(net)
+    assert plan is not None and plan.spec.n_levels == 3
+
+    rng = np.random.RandomState(5)
+    n = 8 * batch
+    x = rng.rand(n, 1, img, img).astype(np.float32)
+    y = rng.randint(0, nc, n).astype(np.int32)
+    tr = Trainer(net, x, y, x[:batch], y[:batch])
+    assert tr._mega is not None
+    total, costs, minf = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(np.asarray(costs)).all()
+    err, _ = tr.evaluate_full("test")
+    assert 0 <= err <= 100
+    # params came back through the deep layout converters for the eval
+    d = tr.checkpoint_dict()
+    assert len(d["allwts"]) == len(net.net_layers)
+
+
+def test_deep_matcher_leaves_two_conv_to_flagship():
+    net = conv_stack_net(16, [(2, 3, 2, False, "relu07"),
+                              (3, 3, 2, False, "relu15")], 8, 3, 4)
+    assert deep_spec_from_net(net) is None       # n == 2 -> flagship family
+    plan = fused_plan(net)
+    assert plan is not None and hasattr(plan.spec, "filt1")
+
+
+def test_deep_matcher_rejects_pool_bigger_than_filter():
+    net = conv_stack_net(22, [(2, 3, 2, False, "relu07"),
+                              (3, 3, 4, False, "relu15"),
+                              (2, 3, 2, False, "relu05")], 8, 3, 4)
+    assert deep_spec_from_net(net) is None

@@ -287,13 +287,21 @@ class FusedPlan(NamedTuple):
 
 
 def fused_plan(net):
-    """Match ``net`` against the fused-epoch kernel families (the conv
-    flagship pattern here, the flat-MLP pattern in megastep_mlp) and return
-    a FusedPlan for the first match, else None."""
+    """Match ``net`` against the fused-epoch kernel families (the 2-conv
+    flagship pattern here, other conv depths in megastep_deep, the
+    flat-MLP pattern in megastep_mlp) and return a FusedPlan for the first
+    match, else None."""
     spec = spec_from_net(net)
     if spec is not None:
         return FusedPlan(spec, MEGA_LAYER_IDX, make_epoch_fn,
                          kernel_layout, framework_layout)
+    from . import megastep_deep as deep
+
+    dspec = deep.deep_spec_from_net(net)
+    if dspec is not None:
+        return FusedPlan(dspec, deep.deep_layer_idx(dspec.n_levels),
+                         deep.make_deep_epoch_fn, deep.kernel_layout_deep,
+                         deep.framework_layout_deep)
     from . import megastep_mlp as mlp
 
     mspec = mlp.mlp_spec_from_net(net)

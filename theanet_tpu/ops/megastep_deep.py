@@ -1,0 +1,503 @@
+"""Fused whole-epoch training for conv stacks of ANY depth (megastep
+generalization).
+
+The flagship kernel (ops/megastep.py) hand-fuses the reference's 2-conv
+headline topology (params/mnist.prms). This module generalizes the same
+design to Input/Elastic -> (Conv -> Pool)*n -> Hidden -> Softmax for n = 1
+or n >= 3 (n == 2 stays on the tuned flagship kernel): level 1 is the
+striped input conv, every deeper level is a tap-stacked shift-matmul conv,
+pooling is the separable roll-max + anchor compaction, and the backward is
+the same hand-derived chain run in reverse over the levels. One pallas_call
+with grid=(n_batches,) trains the whole epoch; parameters and momentum stay
+resident in VMEM across steps (reference semantics: theanet/neuralnet.py
+epoch loop + theanet/layer/layer.py:82-103 updates).
+
+The Trainer engages it through megastep.fused_plan like the other fused
+families (training_params MEGAFUSED, default "auto" = on-TPU when the
+pattern matches and the working set fits VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .megastep import (
+    BIG_NEG,
+    LayerReg,
+    _anchor_grid,
+    _anchor_mask,
+    _apply_updates,
+    _augment_block,
+    _dense_softmax_bwd,
+    _dense_softmax_fwd,
+    _leaky_slope,
+    _lrelu,
+    _mm,
+    _pool_max,
+    _pool_offsets,
+    _roll,
+    _tap_offsets,
+    _valid_mask,
+    _wt_cost,
+    build_epoch_fn,
+)
+
+__all__ = ["DeepSpec", "deep_spec_from_net", "make_deep_epoch_fn",
+           "kernel_layout_deep", "framework_layout_deep",
+           "deep_layer_idx"]
+
+
+class DeepSpec(NamedTuple):
+    batch: int
+    img: int            # input H = W
+    filts: tuple        # filter size per conv level
+    pools: tuple        # pool window/stride per level
+    ibs: tuple          # PoolLayer ignore_border per level
+    maps: tuple         # output maps per conv level
+    slopes: tuple       # conv leaky-relu negative slope per level
+    n_hid: int
+    n_out: int
+    slope_h: float
+    pdrop: float
+    # elastic config (reference inlayers.py:30-40)
+    translation: float
+    zoom: float
+    magnitude: float
+    sigma: int
+    pflip: float
+    angle: float
+    invert: bool
+    nearest: bool
+    # per-layer regularization: one per conv level + hidden + softmax
+    regs: tuple
+    reg_h: LayerReg
+    reg_o: LayerReg
+    exact_movement: bool = False
+    in_ch: int = 1
+
+    @property
+    def hw(self):
+        return self.img * self.img
+
+    @property
+    def n_levels(self):
+        return len(self.filts)
+
+    @property
+    def sides(self):
+        """Per level: (stride_lanes, conv_out_side, pool_out_side). Level
+        k's tensors live on stride_lanes^2 lane grids (level 1: the image,
+        level k>1: the previous pooled grid)."""
+        out = []
+        s = self.img
+        for f, p, ib in zip(self.filts, self.pools, self.ibs):
+            c = s - f + 1
+            po = c // p if ib else -(-c // p)
+            out.append((s, c, po))
+            s = po
+        return tuple(out)
+
+    @property
+    def n_flat(self):
+        return self.maps[-1] * self.sides[-1][2] ** 2
+
+
+def deep_layer_idx(n_levels):
+    """Net-layer indices of the parameterized layers: the conv layers at
+    1, 3, ..., then hidden and softmax."""
+    return tuple(1 + 2 * k for k in range(n_levels)) + (
+        1 + 2 * n_levels, 2 + 2 * n_levels)
+
+
+def deep_spec_from_net(net):
+    """Return a DeepSpec if the net matches Input/Elastic -> (Conv ->
+    Pool)*n -> Hidden -> Softmax for n = 1 or n >= 3 (leaky-relu
+    activations, nll loss, plain f32 single-chip training, VMEM-resident
+    working set), else None. n == 2 is the flagship megastep kernel's
+    pattern and is deliberately not matched here."""
+    from ..layers import (ConvLayer, ElasticLayer, HiddenLayer, InputLayer,
+                          PoolLayer, SoftmaxLayer)
+
+    L = net.net_layers
+    if len(L) < 5 or len(L) % 2 == 0:
+        return None
+    n = (len(L) - 3) // 2
+    if n == 2:
+        return None
+    if type(L[0]) not in (InputLayer, ElasticLayer):
+        return None
+    convs, pools = [], []
+    for k in range(n):
+        c, p = L[1 + 2 * k], L[2 + 2 * k]
+        if type(c) is not ConvLayer or type(p) is not PoolLayer:
+            return None
+        convs.append(c)
+        pools.append(p)
+    hid, head = L[-2], L[-1]
+    if type(hid) is not HiddenLayer or type(head) is not SoftmaxLayer:
+        return None
+    in_ch = L[0].num_maps
+    if convs[0].num_prev_maps != in_ch:
+        return None
+    for c, p in zip(convs, pools):
+        if c.stride != 1 or c.mode != "valid":
+            return None
+        # same lane-roll safety bound as the flagship kernel: the f-1
+        # lanes of row padding absorb pool reads past a row's valid
+        # columns only while pool_sz <= filter_sz
+        if p.pool_sz > c.filter_sz:
+            return None
+    if head.loss != "nll":
+        return None
+    slopes = [_leaky_slope(c.actvn) for c in convs]
+    slope_h = _leaky_slope(hid.actvn)
+    if any(s is None for s in slopes) or slope_h is None:
+        return None
+    if net.compute_dtype is not None or net.remat or net.fused_tail:
+        return None
+    if net.tr_prms.get("SHUFFLE"):
+        return None
+
+    if type(L[0]) is ElasticLayer:
+        cfg = L[0].cfg
+        aug = dict(translation=cfg.translation, zoom=cfg.zoom,
+                   magnitude=cfg.magnitude, sigma=int(cfg.sigma),
+                   pflip=cfg.pflip, angle=cfg.angle,
+                   invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
+    else:
+        aug = dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
+                   angle=0, invert=False, nearest=False)
+
+    def reg_of(lyr):
+        r = lyr.reg
+        return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
+                        momentum=float(r["momentum"]), rate=float(r["rate"]),
+                        maxnorm=float(r["maxnorm"]))
+
+    # frozen layers keep no momentum buffers in the framework layout; the
+    # layout converters assume every fused layer is live
+    if any(not lyr.reg["rate"] for lyr in convs + [hid, head]):
+        return None
+
+    spec = DeepSpec(
+        batch=net.batch_sz, img=L[0].out_sz,
+        filts=tuple(c.filter_sz for c in convs),
+        pools=tuple(p.pool_sz for p in pools),
+        ibs=tuple(bool(p.ignore_border) for p in pools),
+        maps=tuple(c.num_maps for c in convs),
+        slopes=tuple(slopes),
+        n_hid=hid.n_out, n_out=head.n_out, slope_h=slope_h,
+        pdrop=float(hid.pdrop), **aug,
+        regs=tuple(reg_of(c) for c in convs),
+        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
+    )
+    # every level must produce a positive spatial extent
+    if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
+        return None
+
+    # VMEM feasibility — constants sized from the actual tensors, plus the
+    # traced working set (same empirically-calibrated budget as the
+    # flagship gate; the scanned per-layer path is the fallback)
+    B = net.batch_sz
+    const_bytes = 4 * sum(int(np.prod(c.shape))
+                          for c in build_constants_deep(spec).values())
+    state_bytes = 4 * 3 * sum(
+        int(np.prod(w.shape)) for lyr_ in convs + [hid, head]
+        for w in lyr_.get_wts()
+    )
+    work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * in_ch
+                                     + 5 * spec.maps[0]))
+    for k in range(1, n):
+        lanes = spec.sides[k][0] ** 2
+        work_bytes += 4 * (spec.filts[k] ** 2 * spec.maps[k - 1] * B * lanes
+                           + 5 * spec.maps[k] * B * lanes)
+    work_bytes += 4 * 8 * B * hid.n_out
+    if const_bytes + state_bytes + work_bytes > 22 * 1024 * 1024:
+        return None
+
+    return spec
+
+
+def _shift_stack_level(filt, stride):
+    """Tap-shift one-hot stack for a level whose tensors live on stride^2
+    lanes: sh[k*p + q + off_k, q] = 1 (p = stride^2), taps enumerating the
+    REVERSED kernel (true convolution) like megastep._shift_stack."""
+    p = stride * stride
+    sh = np.zeros((filt ** 2 * p, p), np.float32)
+    for k, off in enumerate(_tap_offsets(filt, stride)):
+        for q in range(p - off):
+            sh[k * p + q + off, q] = 1.0
+    return sh
+
+
+def build_constants_deep(spec: DeepSpec):
+    """All constant operand tensors (numpy), in a deterministic order."""
+    from .elastic import gaussian_band_matrices
+
+    B, H = spec.batch, spec.img
+    gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
+    consts = {"s_smooth": np.kron(gh, gw).astype(np.float32)}
+    prev_maps = spec.in_ch
+    for k, (stride, c, po) in enumerate(spec.sides):
+        mk = spec.maps[k]
+        consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k])
+        consts[f"valid{k}"] = _valid_mask(c, stride)
+        consts[f"a{k}"] = _anchor_mask(po, stride, spec.pools[k])
+        consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), B, axis=0)
+        consts[f"ecol{k}"] = np.repeat(np.eye(prev_maps, dtype=np.float32),
+                                       B, axis=1)
+        consts[f"stripe{k}"] = np.tile(np.eye(B, dtype=np.float32),
+                                       (mk, prev_maps))
+        if k > 0:
+            consts[f"sh{k}"] = _shift_stack_level(spec.filts[k], stride)
+        prev_maps = mk
+    consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
+                               (1, spec.maps[-1]))
+    return consts
+
+
+def _kernel_deep(spec: DeepSpec, *refs):
+    n = spec.n_levels
+    B = spec.batch
+    n_state = 2 * n + 4
+    n_consts = 1 + sum(6 if k == 0 else 7 for k in range(n)) + 1
+
+    (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
+    par_refs = refs[7:7 + n_state]
+    i0 = 7 + 2 * n_state           # momentum input refs are copied, not read
+    c_refs = list(refs[i0:i0 + n_consts])
+    o0 = i0 + n_consts
+    out_par = refs[o0:o0 + n_state]
+    out_mom = refs[o0 + n_state:o0 + 2 * n_state]
+    mom_in = refs[7 + n_state:7 + 2 * n_state]
+    cost_ref, minf_ref = refs[o0 + 2 * n_state], refs[o0 + 2 * n_state + 1]
+
+    ss_ref = c_refs[0]
+    lvl = []                        # per level: dict of const refs
+    i = 1
+    for k in range(n):
+        d = {"c": c_refs[i], "valid": c_refs[i + 1], "a": c_refs[i + 2],
+             "em": c_refs[i + 3], "ecol": c_refs[i + 4],
+             "stripe": c_refs[i + 5]}
+        i += 6
+        if k > 0:
+            d["sh"] = c_refs[i]
+            i += 1
+        lvl.append(d)
+    sumsel_ref = c_refs[i]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for out, inp in zip(out_par, par_refs):
+            out[:] = inp[:]
+        for out, inp in zip(out_mom, mom_in):
+            out[:] = inp[:]
+
+    ws = [out_par[2 * k][:] for k in range(n)]       # (Mk, Fk^2*M_{k-1})
+    bs = [out_par[2 * k + 1][:] for k in range(n)]   # (Mk, 1)
+    wh, bh = out_par[2 * n][:], out_par[2 * n + 1][:]
+    wo, bo = out_par[2 * n + 2][:], out_par[2 * n + 3][:]
+
+    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
+    y = y_ref[0]                   # (B, 1) int32
+    lr = lr_ref[0, 0]
+
+    aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
+
+    # ---------------- forward through the conv levels
+    F0, C0 = spec.filts[0], spec.in_ch
+    offs0 = _tap_offsets(F0, spec.img)
+    em0, ecol0, st0 = lvl[0]["em"][:], lvl[0]["ecol"][:], lvl[0]["stripe"][:]
+    rolls0 = [_roll(aug, -off) for off in offs0]
+    lanes0 = spec.hw
+    # striped tap matmuls (the flagship's conv1): each tap's weight block
+    # is embedded into an (R0, C0*B) block matrix and applied to the
+    # lane-rolled augmented input
+    z = _mm(em0, bs[0]) * jnp.ones((1, lanes0), jnp.float32)
+    for k in range(F0 * F0):
+        wk = ws[0][:, k * C0:(k + 1) * C0]               # (M0, C0)
+        wk_big = _mm(_mm(em0, wk), ecol0) * st0          # (R0, C0*B)
+        z = z + _mm(wk_big, rolls0[k])
+
+    saved = []                      # per level: (z, zm, mx, p, extras)
+    patches = [None]                # level k>=1 patch matrices
+    wbigs = [None]
+    for k in range(n):
+        stride, c, po = spec.sides[k]
+        if k > 0:
+            lanes = stride * stride
+            Fk = spec.filts[k]
+            Rp = spec.maps[k - 1] * B
+            emk = lvl[k]["em"][:]
+            ecolk = lvl[k]["ecol"][:]
+            stk = lvl[k]["stripe"][:]
+            sh = lvl[k]["sh"][:]
+            p_prev = saved[k - 1][3]
+            ps = jnp.concatenate(
+                [_mm(p_prev, sh[t * lanes:(t + 1) * lanes, :],
+                     hi=spec.exact_movement)
+                 for t in range(Fk * Fk)], axis=0)       # (Fk^2*Rp, lanes)
+            w_big = jnp.concatenate(
+                [_mm(_mm(emk, ws[k][:, t * spec.maps[k - 1]:
+                                    (t + 1) * spec.maps[k - 1]]), ecolk)
+                 * stk
+                 for t in range(Fk * Fk)], axis=1)       # (Rk, Fk^2*Rp)
+            z = (_mm(w_big, ps)
+                 + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
+            patches.append(ps)
+            wbigs.append(w_big)
+        h = _lrelu(z, spec.slopes[k])
+        v = lvl[k]["valid"][:]
+        zm = jnp.where(v > 0, h, BIG_NEG)
+        mx = _pool_max(zm, spec.pools[k], stride)
+        p = _mm(mx, lvl[k]["c"][:], hi=spec.exact_movement)  # (Rk, po^2)
+        saved.append((z, zm, mx, p))
+
+    # ---------------- flatten + dense tail
+    Mn = spec.maps[-1]
+    pn = saved[-1][3]
+    PNSQ = spec.sides[-1][2] ** 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Mn * B, 1), 0)
+    rowmasks = [(rows // B == m).astype(jnp.float32) for m in range(Mn)]
+    p_embed = jnp.concatenate([pn * rm for rm in rowmasks], axis=1)
+    f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
+
+    cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
+                                                 db_ref)
+    cost = cost_nll
+    for k in range(n):
+        cost = cost + _wt_cost(spec.regs[k], (ws[k], bs[k]))
+    cost = cost + _wt_cost(spec.reg_h, (wh, bh))
+    cost = cost + _wt_cost(spec.reg_o, (wo, bo))
+    cost_ref[0, 0, 0] = cost
+    minf_ref[0, 0, 0] = min_tl
+
+    # ---------------- backward
+    dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
+
+    dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
+    dp = jnp.zeros((Mn * B, PNSQ), jnp.float32)
+    for m in range(Mn):
+        dp = dp + dpe[:, m * PNSQ:(m + 1) * PNSQ] * rowmasks[m]
+
+    dws, dbs = [None] * n, [None] * n
+    for k in range(n - 1, -1, -1):
+        stride, c, po = spec.sides[k]
+        z, zm, mx, _p = saved[k]
+        am = lvl[k]["a"][:]
+        dmx = _mm(dp, lvl[k]["c"][:], tb=True, hi=spec.exact_movement)
+        dza = jnp.zeros_like(zm)
+        for off in _pool_offsets(spec.pools[k], stride):
+            gate = (_roll(am, off) > 0) & (zm == _roll(mx, off))
+            dza = dza + jnp.where(gate, _roll(dmx, off), 0.0)
+        dz = dza * jnp.where(z > 0, 1.0, spec.slopes[k])
+
+        if k > 0:
+            lanes = stride * stride
+            Fk = spec.filts[k]
+            Mp = spec.maps[k - 1]
+            Rp = Mp * B
+            emk = lvl[k]["em"][:]
+            ecolk = lvl[k]["ecol"][:]
+            stk = lvl[k]["stripe"][:]
+            sh = lvl[k]["sh"][:]
+            ps = patches[k]
+            dbig_all = _mm(dz, ps, tb=True)              # (Rk, Fk^2*Rp)
+            dws[k] = jnp.concatenate(
+                [_mm(_mm(emk, dbig_all[:, t * Rp:(t + 1) * Rp] * stk,
+                         ta=True), ecolk, tb=True)
+                 for t in range(Fk * Fk)], axis=1)       # (Mk, Fk^2*Mp)
+            dstack = _mm(wbigs[k], dz, ta=True)          # (Fk^2*Rp, lanes)
+            dp = jnp.zeros((Rp, lanes), jnp.float32)
+            for t in range(Fk * Fk):
+                dp = dp + _mm(dstack[t * Rp:(t + 1) * Rp, :],
+                              sh[t * lanes:(t + 1) * lanes, :], tb=True,
+                              hi=spec.exact_movement)
+            dbs[k] = _mm(emk, jnp.sum(dz, axis=1, keepdims=True), ta=True)
+        else:
+            dw_cols = []
+            for t in range(F0 * F0):
+                dbig = _mm(dz, rolls0[t], tb=True)       # (R0, C0*B)
+                dw_cols.append(
+                    _mm(_mm(em0, dbig * st0, ta=True), ecol0, tb=True))
+            dws[0] = jnp.concatenate(dw_cols, axis=1)    # (M0, F0^2*C0)
+            dbs[0] = _mm(em0, jnp.sum(dz, axis=1, keepdims=True), ta=True)
+
+    # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
+    updates = []
+    for k in range(n):
+        updates.append((out_par[2 * k], out_mom[2 * k], dws[k],
+                        spec.regs[k], "rows"))
+        updates.append((out_par[2 * k + 1], out_mom[2 * k + 1], dbs[k],
+                        spec.regs[k], "bias"))
+    updates += [
+        (out_par[2 * n], out_mom[2 * n], dwh, spec.reg_h, "cols"),
+        (out_par[2 * n + 1], out_mom[2 * n + 1], dbh, spec.reg_h, "bias"),
+        (out_par[2 * n + 2], out_mom[2 * n + 2], dwo, spec.reg_o, "cols"),
+        (out_par[2 * n + 3], out_mom[2 * n + 3], dbo, spec.reg_o, "bias"),
+    ]
+    _apply_updates(updates, lr)
+
+
+def kernel_layout_deep(allwts, spec: DeepSpec):
+    """Framework/reference param layout -> kernel layout (2n+4 tensors):
+    conv weights (M, Mprev, F, F) -> (M, F^2*Mprev) channel-minor per tap
+    (like megastep.kernel_layout); biases become columns/rows; dense pass
+    through. Pure reshapes/transposes (numpy or traced jax arrays)."""
+    out = []
+    prev = spec.in_ch
+    for k in range(spec.n_levels):
+        w, b = allwts[k]
+        F = spec.filts[k]
+        out.append(w.transpose(0, 2, 3, 1).reshape(spec.maps[k],
+                                                   F * F * prev))
+        out.append(b.reshape(spec.maps[k], 1))
+        prev = spec.maps[k]
+    (wh, bh), (wo, bo) = allwts[spec.n_levels], allwts[spec.n_levels + 1]
+    out += [wh, bh.reshape(1, spec.n_hid), wo, bo.reshape(1, spec.n_out)]
+    return out
+
+
+def framework_layout_deep(kparams, spec: DeepSpec):
+    """Inverse of kernel_layout_deep (numpy or traced jax arrays)."""
+    out = []
+    prev = spec.in_ch
+    for k in range(spec.n_levels):
+        F = spec.filts[k]
+        w = kparams[2 * k].reshape(spec.maps[k], F, F, prev)
+        out.append([w.transpose(0, 3, 1, 2), kparams[2 * k + 1].reshape(
+            spec.maps[k])])
+        prev = spec.maps[k]
+    wh, bh = kparams[2 * spec.n_levels], kparams[2 * spec.n_levels + 1]
+    wo, bo = kparams[2 * spec.n_levels + 2], kparams[2 * spec.n_levels + 3]
+    out += [[wh, bh.reshape(spec.n_hid)], [wo, bo.reshape(spec.n_out)]]
+    return out
+
+
+def make_deep_epoch_fn(spec: DeepSpec, n_batches: int, interpret=None,
+                       donate=False):
+    """Build the one-launch epoch function for an n-level conv stack.
+    Same contract as megastep.make_epoch_fn (shared build_epoch_fn
+    harness); callers must not wrap the result in jax.jit."""
+    consts = build_constants_deep(spec)
+    const_arrs = list(consts.values())
+    kshapes = []
+    prev = spec.in_ch
+    for k in range(spec.n_levels):
+        F = spec.filts[k]
+        kshapes += [(spec.maps[k], F * F * prev), (spec.maps[k], 1)]
+        prev = spec.maps[k]
+    kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
+                (spec.n_hid, spec.n_out), (1, spec.n_out)]
+    return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
+                          functools.partial(_kernel_deep, spec),
+                          interpret=interpret, donate=donate)

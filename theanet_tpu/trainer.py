@@ -260,9 +260,9 @@ class Trainer:
                 # training ~5x slower on the per-layer path
                 raise ValueError(
                     "MEGAFUSED=True, but this configuration cannot use a "
-                    "fused epoch kernel (supported: Input/Elastic -> Conv "
-                    "-> Pool -> Conv -> Pool -> Hidden -> Softmax(nll) "
-                    "with pool_sz <= the adjacent filter_sz, "
+                    "fused epoch kernel (supported: Input/Elastic -> "
+                    "(Conv -> Pool)*n -> Hidden -> Softmax(nll), any "
+                    "depth n >= 1, pool_sz <= the adjacent filter_sz, "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
                     "no mesh/aux/SHUFFLE, working set within VMEM — see "
