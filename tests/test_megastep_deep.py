@@ -133,6 +133,108 @@ def test_deep_trainer_engages_and_trains():
     assert len(d["allwts"]) == len(net.net_layers)
 
 
+def test_deep_multichannel_identity_trajectory():
+    """3-channel input through the 3-conv deep kernel must reproduce the
+    per-layer trajectory exactly (identity augmentation): pins the
+    level-0 channel striping constants for in_ch > 1."""
+    img, batch, c0, nc = 14, 4, 3, 4
+    cfgs = [(2, 3, 2, False, "relu07"), (4, 3, 2, False, "relu15"),
+            (2, 2, 2, False, "relu05")]
+    net0 = conv_stack_net(img, cfgs, 10, nc, batch)
+    net0.layers[0][1]["num_maps"] = c0  # as train.py injects for RGB data
+    net = NeuralNet(net0.layers, dict(net0.tr_prms))
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.in_ch == c0
+
+    nb = 3
+    rng = np.random.RandomState(9)
+    xs = rng.rand(nb, batch, c0, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.15,
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(spec.n_levels)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    epoch_fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    # channel-major rows (c*B+b, HW), the Trainer's one-time arrangement
+    xcm = xs.reshape(nb, batch, c0, img * img).transpose(0, 2, 1, 3)
+    kp, km, cm = epoch_fn(
+        kp, km, jnp.asarray(xcm.reshape(nb, c0 * batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)),
+        bits, 0.15, channel_major=True,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
+def test_deep_pflip_one_matches_per_layer():
+    """pflip=1.0 flips EVERY pixel deterministically (u in [0,1) < 1), so
+    the per-layer path and the deep fused kernel must agree exactly even
+    with the pflip noise path ACTIVE — pins the pflip bits plumbing."""
+    img, batch, nc = 14, 4, 3
+    layers = [
+        ["ElasticLayer", {"img_sz": img, "translation": 0, "zoom": 1,
+                          "magnitude": 0, "sigma": 1, "pflip": 1.0,
+                          "angle": 0, "nearest": False,
+                          "invert_image": False}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu07"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 8, "pdrop": 0, "actvn": "relu02"}],
+        ["SoftmaxLayer", {"n_out": nc}],
+    ]
+    tr_prms = {"SEED": 23, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.pflip == 1.0
+
+    nb = 3
+    rng = np.random.RandomState(4)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.15,
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(spec.n_levels)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    epoch_fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km, jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)), bits, 0.15,
+    )
+    # 2e-4: f32 reduction-order difference between the striped-matmul conv
+    # and lax.conv (measured ~1e-4 on this geometry); a pflip plumbing bug
+    # (wrong stream, wrong reshape, wrong polarity) diverges at O(0.1-1)
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=2e-4)
+
+
 def test_deep_matcher_leaves_two_conv_to_flagship():
     net = conv_stack_net(16, [(2, 3, 2, False, "relu07"),
                               (3, 3, 2, False, "relu15")], 8, 3, 4)

@@ -176,6 +176,26 @@ def test_megastep_pool_variants_hardware_matches_interpret():
     _mega_consistency(M.make_epoch_fn, spec, kshapes)
 
 
+def test_megastep_deep_hardware_matches_interpret():
+    """The 3-conv deep family (ops/megastep_deep.py) through Mosaic vs
+    interpret, full augmentation + dropout noise from the same bits."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=18, filts=(3, 3, 2), pools=(2, 2, 2),
+        ibs=(False, False, False), maps=(1, 2, 2), slopes=(0.1, 0.05, 0.1),
+        n_hid=16, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg, reg, reg), reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(1, 9), (1, 1), (2, 9 * 1), (2, 1), (2, 4 * 2), (2, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
 def test_megastep_mlp_hardware_matches_interpret():
     from theanet_tpu.ops import megastep_mlp as MM
     from theanet_tpu.ops.megastep import LayerReg

@@ -170,6 +170,48 @@ def _leaky_slope(actvn):
     return None
 
 
+# ---- matcher scaffolding shared by all three fused-family matchers
+# (spec_from_net here, megastep_deep.deep_spec_from_net,
+# megastep_mlp.mlp_spec_from_net) — one copy of the eligibility rules.
+
+def aug_of(layer0):
+    """Elastic config dict for a spec, from the net's first layer (identity
+    augmentation when it is a plain InputLayer)."""
+    from ..layers import ElasticLayer
+
+    if type(layer0) is ElasticLayer:
+        cfg = layer0.cfg
+        return dict(translation=cfg.translation, zoom=cfg.zoom,
+                    magnitude=cfg.magnitude, sigma=int(cfg.sigma),
+                    pflip=cfg.pflip, angle=cfg.angle,
+                    invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
+    return dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
+                angle=0, invert=False, nearest=False)
+
+
+def reg_of(lyr):
+    """Layer reg dict -> LayerReg."""
+    r = lyr.reg
+    return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
+                    momentum=float(r["momentum"]), rate=float(r["rate"]),
+                    maxnorm=float(r["maxnorm"]))
+
+
+def common_disqualifiers(net):
+    """Net-level features no fused-epoch family supports (the scanned
+    per-layer path handles them)."""
+    return (net.compute_dtype is not None or net.remat or net.fused_tail
+            or bool(net.tr_prms.get("SHUFFLE")))
+
+
+def sublane_concat_ok(piece_rows):
+    """Mosaic can only concatenate sublane-axis pieces whose row count is a
+    multiple of the f32 sublane (8); on TPU a kernel that violates this
+    dies at compile, so matchers must reject such shapes there. Interpret
+    mode (CPU tests) has no such constraint."""
+    return jax.default_backend() != "tpu" or piece_rows % 8 == 0
+
+
 def spec_from_net(net):
     """Return a MegaSpec if the net matches the fused-epoch pattern
     (Input/Elastic -> Conv -> Pool -> Conv -> Pool -> Hidden -> Softmax,
@@ -206,30 +248,18 @@ def spec_from_net(net):
               _leaky_slope(hid.actvn)]
     if any(s is None for s in slopes):
         return None
-    if net.compute_dtype is not None or net.remat or net.fused_tail:
-        return None
-    if net.tr_prms.get("SHUFFLE"):
+    if common_disqualifiers(net):
         return None
 
-    if type(L[0]) is ElasticLayer:
-        cfg = L[0].cfg
-        aug = dict(translation=cfg.translation, zoom=cfg.zoom,
-                   magnitude=cfg.magnitude, sigma=int(cfg.sigma),
-                   pflip=cfg.pflip, angle=cfg.angle,
-                   invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
-    else:
-        aug = dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
-                   angle=0, invert=False, nearest=False)
-
-    def reg_of(lyr):
-        r = lyr.reg
-        return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
-                        momentum=float(r["momentum"]), rate=float(r["rate"]),
-                        maxnorm=float(r["maxnorm"]))
+    aug = aug_of(L[0])
 
     # frozen layers (rate 0) keep no momentum buffers in the framework
     # layout; the layout converters assume all four layers are live
     if any(not lyr.reg["rate"] for lyr in (c1, c2, hid, head)):
+        return None
+
+    # conv2's patch matrix sublane-concatenates M1*B-row pieces
+    if not sublane_concat_ok(c1.num_maps * net.batch_sz):
         return None
 
     spec = MegaSpec(
@@ -392,15 +422,18 @@ def build_constants(spec: MegaSpec):
         # iff r == q + off_k. Shift-by-matmul results (unlike pltpu.roll
         # outputs) have plain layouts, so all 9 taps CONCATENATE into one
         # (9*R1, P1SQ) patch matrix and conv2 fwd/bwd become single matmuls.
-        "sh2": _shift_stack(spec),
+        "sh2": _shift_stack(spec.filt2, spec.p1),
     }
     return consts
 
 
-def _shift_stack(spec):
-    p = spec.p1 * spec.p1
-    sh = np.zeros((spec.filt2 ** 2 * p, p), np.float32)
-    for k, off in enumerate(_tap_offsets(spec.filt2, spec.p1)):
+def _shift_stack(filt, stride):
+    """Tap-shift one-hot stack for a conv level whose tensors live on
+    stride^2 lanes: sh[k*p + q + off_k, q] = 1 (p = stride^2), taps
+    enumerating the REVERSED kernel (true convolution)."""
+    p = stride * stride
+    sh = np.zeros((filt ** 2 * p, p), np.float32)
+    for k, off in enumerate(_tap_offsets(filt, stride)):
         for q in range(p - off):
             sh[k * p + q + off, q] = 1.0
     return sh

@@ -43,10 +43,15 @@ from .megastep import (
     _pool_max,
     _pool_offsets,
     _roll,
+    _shift_stack,
     _tap_offsets,
     _valid_mask,
     _wt_cost,
+    aug_of,
     build_epoch_fn,
+    common_disqualifiers,
+    reg_of,
+    sublane_concat_ok,
 )
 
 __all__ = ["DeepSpec", "deep_spec_from_net", "make_deep_epoch_fn",
@@ -160,30 +165,20 @@ def deep_spec_from_net(net):
     slope_h = _leaky_slope(hid.actvn)
     if any(s is None for s in slopes) or slope_h is None:
         return None
-    if net.compute_dtype is not None or net.remat or net.fused_tail:
-        return None
-    if net.tr_prms.get("SHUFFLE"):
+    if common_disqualifiers(net):
         return None
 
-    if type(L[0]) is ElasticLayer:
-        cfg = L[0].cfg
-        aug = dict(translation=cfg.translation, zoom=cfg.zoom,
-                   magnitude=cfg.magnitude, sigma=int(cfg.sigma),
-                   pflip=cfg.pflip, angle=cfg.angle,
-                   invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
-    else:
-        aug = dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
-                   angle=0, invert=False, nearest=False)
-
-    def reg_of(lyr):
-        r = lyr.reg
-        return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
-                        momentum=float(r["momentum"]), rate=float(r["rate"]),
-                        maxnorm=float(r["maxnorm"]))
+    aug = aug_of(L[0])
 
     # frozen layers keep no momentum buffers in the framework layout; the
     # layout converters assume every fused layer is live
     if any(not lyr.reg["rate"] for lyr in convs + [hid, head]):
+        return None
+
+    # every deep level's patch matrix sublane-concatenates
+    # maps[k-1]*B-row pieces
+    if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
+           for k in range(1, n)):
         return None
 
     spec = DeepSpec(
@@ -216,25 +211,18 @@ def deep_spec_from_net(net):
                                      + 5 * spec.maps[0]))
     for k in range(1, n):
         lanes = spec.sides[k][0] ** 2
-        work_bytes += 4 * (spec.filts[k] ** 2 * spec.maps[k - 1] * B * lanes
-                           + 5 * spec.maps[k] * B * lanes)
+        fk2 = spec.filts[k] ** 2
+        rp = spec.maps[k - 1] * B
+        work_bytes += 4 * (
+            2 * fk2 * rp * lanes                # patch fwd + dstack bwd
+            + 2 * fk2 * spec.maps[k] * rp * B   # w_big + dbig_all (B^2!)
+            + 5 * spec.maps[k] * B * lanes      # z/zm/mx/dz live set
+        )
     work_bytes += 4 * 8 * B * hid.n_out
     if const_bytes + state_bytes + work_bytes > 22 * 1024 * 1024:
         return None
 
     return spec
-
-
-def _shift_stack_level(filt, stride):
-    """Tap-shift one-hot stack for a level whose tensors live on stride^2
-    lanes: sh[k*p + q + off_k, q] = 1 (p = stride^2), taps enumerating the
-    REVERSED kernel (true convolution) like megastep._shift_stack."""
-    p = stride * stride
-    sh = np.zeros((filt ** 2 * p, p), np.float32)
-    for k, off in enumerate(_tap_offsets(filt, stride)):
-        for q in range(p - off):
-            sh[k * p + q + off, q] = 1.0
-    return sh
 
 
 def build_constants_deep(spec: DeepSpec):
@@ -256,7 +244,7 @@ def build_constants_deep(spec: DeepSpec):
         consts[f"stripe{k}"] = np.tile(np.eye(B, dtype=np.float32),
                                        (mk, prev_maps))
         if k > 0:
-            consts[f"sh{k}"] = _shift_stack_level(spec.filts[k], stride)
+            consts[f"sh{k}"] = _shift_stack(spec.filts[k], stride)
         prev_maps = mk
     consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
                                (1, spec.maps[-1]))

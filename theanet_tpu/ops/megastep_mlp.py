@@ -45,6 +45,9 @@ from .megastep import (
     _leaky_slope,
     _mm,
     _wt_cost,
+    aug_of,
+    common_disqualifiers,
+    reg_of,
 )
 
 __all__ = ["MlpSpec", "mlp_spec_from_net", "make_mlp_epoch_fn",
@@ -103,26 +106,10 @@ def mlp_spec_from_net(net):
     slope = _leaky_slope(hid.actvn)
     if slope is None:
         return None
-    if net.compute_dtype is not None or net.remat or net.fused_tail:
-        return None
-    if net.tr_prms.get("SHUFFLE"):
+    if common_disqualifiers(net):
         return None
 
-    if type(L[0]) is ElasticLayer:
-        cfg = L[0].cfg
-        aug = dict(translation=cfg.translation, zoom=cfg.zoom,
-                   magnitude=cfg.magnitude, sigma=int(cfg.sigma),
-                   pflip=cfg.pflip, angle=cfg.angle,
-                   invert=bool(cfg.invert_image), nearest=bool(cfg.nearest))
-    else:
-        aug = dict(translation=0, zoom=1, magnitude=0, sigma=1, pflip=0.0,
-                   angle=0, invert=False, nearest=False)
-
-    def reg_of(lyr):
-        r = lyr.reg
-        return LayerReg(L1=float(r["L1"]), L2=float(r["L2"]),
-                        momentum=float(r["momentum"]), rate=float(r["rate"]),
-                        maxnorm=float(r["maxnorm"]))
+    aug = aug_of(L[0])
 
     # frozen layers keep no momentum buffers in the framework layout; the
     # layout converters assume both layers are live
