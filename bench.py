@@ -414,6 +414,59 @@ def serve_row():
         "(bulk-scoring path, full elastic-eval-off forward)")
 
 
+def deep_row():
+    """Deep fused-family evidence: a 3-conv elastic stack (pattern the
+    2-conv flagship kernel cannot fuse) through ops/megastep_deep.py on
+    the default accelerator, fused vs scanned."""
+    import jax
+    import numpy as np
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    def net(mega):
+        layers = [
+            ["ElasticLayer", {"img_sz": 28, "translation": 2, "zoom": 1.1,
+                              "magnitude": 60, "sigma": 15, "pflip": 0.03,
+                              "angle": 5, "nearest": True,
+                              "invert_image": True}],
+            ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                           "actvn": "relu10"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["ConvLayer", {"num_maps": 8, "filter_sz": 3, "stride": 1,
+                           "actvn": "relu05"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["ConvLayer", {"num_maps": 16, "filter_sz": 3, "stride": 1,
+                           "actvn": "relu05"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["HiddenLayer", {"n_out": 200, "pdrop": 0.5}],
+            ["SoftmaxLayer", {"n_out": 10}],
+        ]
+        tr_prms = {"SEED": 555, "BATCH_SZ": 20, "NUM_EPOCHS": 1,
+                   "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 100,
+                   "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 1,
+                   "MEGAFUSED": mega}
+        return NeuralNet(layers, tr_prms)
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.RandomState(0)
+    nb = 3000 if on_tpu else 50
+    n = nb * 20
+    x = rng.rand(n, 1, 28, 28).astype(np.float32)
+    y = rng.randint(0, 10, n).astype(np.int32)
+    for mega in ((True, False) if on_tpu else (False,)):
+        tr = Trainer(net(mega), x, y, x[:100], y[:100])
+        t0 = time.time()
+        tr.run_epoch()
+        log(f"[deep mega={mega}] compile+first epoch: {time.time()-t0:.1f}s")
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            tr.run_epoch()
+            best = max(best, n / (time.time() - t0))
+        log(f"[deep mega={mega}] elastic->conv4->conv8->conv16->hidden200"
+            f"->softmax10 batch 20: {best:,.0f} img/s")
+
+
 def _mesh_child(shape):
     """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
     import jax
@@ -475,6 +528,8 @@ if __name__ == "__main__":
         wide_model_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--flat":
         flat_mlp_row()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--deep":
+        deep_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--serve":
         serve_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mesh":
