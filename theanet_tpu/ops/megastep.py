@@ -199,9 +199,9 @@ def reg_of(lyr):
 
 def common_disqualifiers(net):
     """Net-level features no fused-epoch family supports (the scanned
-    per-layer path handles them)."""
-    return (net.compute_dtype is not None or net.remat or net.fused_tail
-            or bool(net.tr_prms.get("SHUFFLE")))
+    per-layer path handles them). SHUFFLE is NOT one: the fused path
+    permutes the epoch's step tensors inside the same jit."""
+    return net.compute_dtype is not None or net.remat or net.fused_tail
 
 
 def sublane_concat_ok(piece_rows):
@@ -1091,18 +1091,37 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
                      donate_argnums=(0, 1) if donate else ())
 
     def raw_epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no,
-                           lr_arr, consts, channel_major):
+                           lr_arr, consts, channel_major, shuffle):
         # noise generation fused into the same program: an epoch is ONE
         # device dispatch (each dispatch costs ~36ms through this
         # environment's TPU tunnel — 4 separate rng launches were +140ms
         # per epoch)
+        if shuffle:
+            # same per-epoch permutation derivation as the scanned path
+            # (trainer.train_epoch), so SHUFFLE trajectories agree across
+            # paths when the rest of the step is deterministic
+            perm = jax.random.permutation(
+                jax.random.fold_in(key, epoch_no + (1 << 29)), n_batches * B
+            )
+            y_steps = y_steps.reshape(n_batches * B)[perm]
+            if channel_major and C0 > 1:
+                xv = (x_steps.reshape(n_batches, C0, B, HW)
+                      .transpose(1, 0, 2, 3).reshape(C0, n_batches * B, HW))
+                x_steps = (xv[:, perm]
+                           .reshape(C0, n_batches, B, HW)
+                           .transpose(1, 0, 2, 3)
+                           .reshape(n_batches, C0 * B, HW))
+            else:
+                # natural (image-major) layouts: one gather at image
+                # granularity, any channel count
+                x_steps = x_steps.reshape(n_batches * B, C0 * HW)[perm]
         bits = epoch_noise_bits(
             jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
         )
         return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
                          consts, channel_major)
 
-    jitted_key = jax.jit(raw_epoch_from_key, static_argnums=(8,),
+    jitted_key = jax.jit(raw_epoch_from_key, static_argnums=(8, 9),
                          donate_argnums=(0, 1) if donate else ())
 
     def epoch(kparams, kmoms, x_steps, y_steps, bits, lr,
@@ -1112,10 +1131,11 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
                       channel_major)
 
     def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr,
-                       channel_major=False):
+                       channel_major=False, shuffle=False):
         lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
         return jitted_key(kparams, kmoms, x_steps, y_steps, key,
-                          jnp.int32(epoch_no), lr_arr, carrs, channel_major)
+                          jnp.int32(epoch_no), lr_arr, carrs, channel_major,
+                          shuffle)
 
     epoch._jitted = jitted  # introspection hooks (bench census)
     epoch._carrs = carrs

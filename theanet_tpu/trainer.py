@@ -265,7 +265,7 @@ class Trainer:
                     "depth n >= 1, pool_sz <= the adjacent filter_sz, "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
-                    "no mesh/aux/SHUFFLE, working set within VMEM — see "
+                    "no mesh/aux, working set within VMEM — see "
                     "docs/tutorial.md). Use MEGAFUSED='auto' to fall back "
                     "silently."
                 )
@@ -339,7 +339,7 @@ class Trainer:
         self._kp, self._km, cost_minf = self._mega_epoch.from_key(
             self._kp, self._km, self._mega_x, self._mega_y,
             self.net.base_key, epoch_no, jnp.float32(lr),
-            channel_major=True,
+            channel_major=True, shuffle=self.shuffle,
         )
         cost_minf = np.asarray(cost_minf)  # ONE device->host transfer
         costs = cost_minf[:, 0]
@@ -404,7 +404,7 @@ class Trainer:
             self._kp, self._km, cm = self._mega_epoch.from_key(
                 self._kp, self._km, self._mega_x, self._mega_y,
                 self.net.base_key, epoch_no, jnp.float32(lr),
-                channel_major=True,
+                channel_major=True, shuffle=self.shuffle,
             )
             cms.append(cm)
             self.net.inc_epoch_set_rate()
