@@ -243,6 +243,69 @@ def test_deep_matcher_leaves_two_conv_to_flagship():
     assert plan is not None and hasattr(plan.spec, "filt1")
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_deep_random_geometry_fuzz(seed):
+    """Randomly assembled 1- and 3-level conv stacks: wherever the deep
+    matcher accepts, the fused trajectory must equal the per-layer path
+    (identity augmentation)."""
+    rng = np.random.RandomState(100 + seed)
+    n = int(rng.choice([1, 3]))
+    img = int(rng.choice([14, 18, 22, 26]))
+    cfgs, sz = [], img
+    for _ in range(n):
+        f = int(rng.choice([2, 3, 4, 5]))
+        f = min(f, max(2, sz - 2))
+        p = int(rng.choice([2, 3]))
+        p = min(p, f)
+        ib = bool(rng.randint(2))
+        m = int(rng.choice([1, 2, 3, 4]))
+        act = "relu%02d" % rng.randint(0, 30)
+        cfgs.append((m, f, p, ib, act))
+        c = sz - f + 1
+        sz = c // p if ib else -(-c // p)
+        if sz < 4 and len(cfgs) < n:
+            break
+    batch = int(rng.choice([2, 4, 5]))
+    nc = int(rng.choice([3, 5]))
+    net = conv_stack_net(img, cfgs, int(rng.choice([6, 12])), nc, batch)
+    spec = deep_spec_from_net(net)
+    if spec is None or len(cfgs) == 2:
+        pytest.skip("matcher (correctly) declined this geometry")
+    assert spec.n_levels == len(cfgs)
+
+    nb = 2
+    rng2 = np.random.RandomState(seed)
+    xs = rng2.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng2.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1,
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(spec.n_levels)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    epoch_fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km, jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)), bits, 0.1,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
 def test_deep_matcher_rejects_pool_bigger_than_filter():
     net = conv_stack_net(22, [(2, 3, 2, False, "relu07"),
                               (3, 3, 4, False, "relu15"),
