@@ -306,6 +306,107 @@ def test_deep_random_geometry_fuzz(seed):
                                        rtol=0, atol=1e-4)
 
 
+def centered_net(img, kind, learn_centers, nf, nc, batch, n_conv=1,
+                 junk=None):
+    layers = [["InputLayer", {"img_sz": img}]]
+    maps = [2, 3, 2]
+    for k in range(n_conv):
+        layers.append(["ConvLayer", {"num_maps": maps[k], "filter_sz": 3,
+                                     "stride": 1, "mode": "valid",
+                                     "actvn": "relu07",
+                                     "reg": {"L2": 1e-3}}])
+        layers.append(["PoolLayer", {"pool_sz": 2}])
+    layers.append(["HiddenLayer", {"n_out": 10, "pdrop": 0,
+                                   "actvn": "relu02"}])
+    head = {"n_features": nf, "n_classes": nc, "kind": kind,
+            "learn_centers": learn_centers,
+            "reg": {"L2": 1e-3, "maxnorm": 0.9}}
+    if junk is not None:
+        head["junk_dist"] = junk
+    layers.append(["CenteredOutLayer", head])
+    tr_prms = {"SEED": 41 + img, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    return NeuralNet(layers, tr_prms)
+
+
+@pytest.mark.parametrize("kind,learn,junk,n_conv", [
+    ("LOGIT", False, None, 1),
+    ("RBF", False, 50.0, 1),
+    ("RBF", True, 50.0, 2),    # n=2 + centered head -> deep family
+    ("RBF", True, None, 1),    # default junk_dist = inf
+])
+def test_centered_head_identity_trajectory(kind, learn, junk, n_conv):
+    """CenteredOut (LOGIT/RBF) fused tails must reproduce the per-layer
+    trajectory exactly (identity augmentation), incl. learned centers."""
+    img, batch, nf, nc = 14, 4, 12, 5
+    net = centered_net(img, kind, learn, nf, nc, batch, n_conv=n_conv,
+                       junk=junk)
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert spec.head == kind.lower() and spec.n_out == nf
+    assert spec.n_classes == nc and spec.learn_centers == learn
+
+    nb = 3
+    rng = np.random.RandomState(3)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1,
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(spec.n_levels)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    epoch_fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = epoch_fn(
+        kp, km, jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)), bits, 0.1,
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        if learn:
+            assert len(lw) == len(lg) == 3 or len(lw) == len(lg)
+        # frozen heads: the params pytree carries the constant centers
+        # (mirroring get_wts) while the kernel state rightly excludes them
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
+def test_centered_trainer_end_to_end():
+    """Trainer auto-engages the fused path for the logit_centered.prms
+    pattern (forced here; CPU interpret) and eval/checkpoint round-trips
+    through the layout sync."""
+    from theanet_tpu.trainer import Trainer
+
+    net = centered_net(16, "LOGIT", False, 8, 4, 4, n_conv=1)
+    net.tr_prms["MEGAFUSED"] = True
+    net2 = NeuralNet(net.layers, dict(net.tr_prms))
+    rng = np.random.RandomState(7)
+    x = rng.rand(16, 1, 16, 16).astype(np.float32)
+    y = rng.randint(0, 4, 16).astype(np.int32)
+    tr = Trainer(net2, x, y, x[:4], y[:4])
+    assert tr._mega is not None
+    total, costs, minf = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(np.asarray(minf)).all()
+    err, _ = tr.evaluate_full("test")
+    assert 0 <= err <= 100
+    d = tr.checkpoint_dict()
+    # reference packing: CenteredOut allwts entry carries centers
+    assert len(d["allwts"][-1]) == 3
+
+
 def test_deep_matcher_rejects_pool_bigger_than_filter():
     net = conv_stack_net(22, [(2, 3, 2, False, "relu07"),
                               (3, 3, 4, False, "relu15"),

@@ -386,10 +386,14 @@ class NeuralNet:
 
     def snapshot_params(self, params):
         """Copy current device params back into the layers so get_wts() /
-        get_init_params() reflect training progress. (Non-learnable
-        CenteredOut centers live outside params and stay as initialized.)"""
+        get_init_params() reflect training progress. Only the layer's
+        TRAINABLE tensors write back: the params pytree mirrors get_wts(),
+        which for a frozen-centers CenteredOut layer appends the constant
+        centers — those must not grow params_init (a write-back of all of
+        lp once duplicated centers in checkpoints)."""
         for lyr, lp in zip(self.net_layers, params):
-            lyr.params_init = [np.asarray(p) for p in lp]
+            lyr.params_init = [np.asarray(p)
+                               for p in lp[: len(lyr.params_init)]]
 
     def get_rate(self):
         return learning_rate(self.tr_prms)

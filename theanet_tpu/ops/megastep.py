@@ -643,6 +643,103 @@ def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
     return cost_nll, jnp.min(true_logp), cache
 
 
+def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
+    """Hidden(leaky-relu, dropout) -> CenteredOut head forward + NLL
+    (reference outlayers.py:153-224 via layers/out.py). ``centers`` is a
+    (n_classes, n_feats) array (constant operand when frozen, state when
+    learn_centers). head == 'logit': sigmoid features squeezed into
+    [eps, 1-eps], per-bit probability c*v + (1-c)(1-v), log prob = sum of
+    bit log-probs. head == 'rbf': scaled_tanh features, squared distances
+    + junk_dist column, probs = softmax(-dists). Training needs only the
+    true-class log-prob (loss nll = -mean(logprob[b, y])), which for LOGIT
+    collapses to the true-class bit-probs — no (B, nC, NF) tensor."""
+    B, NF, NC = spec.batch, spec.n_out, spec.n_classes
+    EPS = 0.001
+    z3 = _mm(f, wh) + bh                                  # (B, NH)
+    h3 = _lrelu(z3, spec.slope_h)
+    if spec.pdrop:
+        mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
+        h3d = h3 * mask
+    else:
+        mask = None
+        h3d = h3
+    z4 = _mm(h3d, wo) + bo                                # (B, NF)
+    onehot_y = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
+                == y).astype(jnp.float32)                 # (B, NC)
+
+    if spec.head == "logit":
+        s = 1.0 / (1.0 + jnp.exp(-z4))
+        v = s * (1.0 - 2.0 * EPS) + EPS                   # (B, NF)
+        cy = _mm(onehot_y, centers)                       # (B, NF)
+        bp = cy * v + (1.0 - cy) * (1.0 - v)
+        true_logp = jnp.sum(jnp.log(bp), axis=1, keepdims=True)  # (B, 1)
+        feats = s  # per-layer head reports the raw sigmoid as features
+        cache = (z3, mask, h3d, s, cy, bp)
+    else:  # rbf
+        t = jnp.tanh(z4 * (2.0 / 3.0))
+        v = 1.7 * t                                       # (B, NF)
+        # dists via the expansion ||v||^2 - 2 v.c^T + ||c||^2; the ||c||^2
+        # row reduction runs as a matmul (Mosaic dislikes transposes)
+        csq_row = _mm(jnp.ones((1, NF), jnp.float32),
+                      centers * centers, tb=True)         # (1, NC)
+        d = (jnp.sum(v * v, axis=1, keepdims=True)
+             - 2.0 * _mm(v, centers, tb=True)
+             + csq_row)                                   # (B, NC)
+        zc = -d
+        # log softmax over (-dists ‖ -junk): junk contributes a constant
+        # exp(-junk - m) term to the partition sum
+        m = jnp.maximum(jnp.max(zc, axis=1, keepdims=True), -spec.junk_dist)
+        lse = jnp.log(jnp.sum(jnp.exp(zc - m), axis=1, keepdims=True)
+                      + jnp.exp(-spec.junk_dist - m))
+        logp = zc - m - lse                               # (B, NC)
+        true_logp = jnp.sum(logp * onehot_y, axis=1, keepdims=True)
+        feats = v
+        cache = (z3, mask, h3d, t, v, logp, onehot_y)
+    cost_nll = -jnp.sum(true_logp) / B
+    # watchdog stat mirrors the scanned path: min over b of feats[b, y]
+    onehot_f = (jax.lax.broadcasted_iota(jnp.int32, (B, NF), 1)
+                == y).astype(jnp.float32)
+    min_tf = jnp.min(jnp.sum(feats * onehot_f, axis=1))
+    return cost_nll, min_tf, cache
+
+
+def _dense_centered_bwd(spec, cache, f, wh, wo, centers, *, need_df=True):
+    """Backward of _dense_centered_fwd. Returns (dwh, dbh, dwo, dbo,
+    dcenters, df); dcenters is None unless spec.learn_centers."""
+    B = spec.batch
+    EPS = 0.001
+    if spec.head == "logit":
+        z3, mask, h3d, s, cy, bp = cache
+        # L = -1/B sum_b sum_f log bp;  dbp = -1/(B*bp);  dv = dbp*(2cy-1)
+        dv = (1.0 - 2.0 * cy) / (B * bp)
+        dz4 = dv * (1.0 - 2.0 * EPS) * s * (1.0 - s)      # (B, NF)
+        dcenters = None  # LOGIT centers are never learnable
+    else:  # rbf
+        z3, mask, h3d, t, v, logp, onehot_y = cache
+        # dL/dzc = (softmax - onehot)/B over the real classes (the junk
+        # column's probability has no v/centers dependence)
+        dzc = (jnp.exp(logp) - onehot_y) * (1.0 / B)      # (B, NC)
+        dd = -dzc                                         # dL/d dists
+        rs = jnp.sum(dd, axis=1, keepdims=True)           # (B, 1)
+        dv = 2.0 * (v * rs - _mm(dd, centers))            # (B, NF)
+        dz4 = dv * 1.7 * (2.0 / 3.0) * (1.0 - t * t)
+        if spec.learn_centers:
+            cs_col = _mm(dd, jnp.ones((spec.batch, 1), jnp.float32),
+                         ta=True)                         # (NC, 1)
+            dcenters = 2.0 * (centers * cs_col - _mm(dd, v, ta=True))
+        else:
+            dcenters = None
+    dwo = _mm(h3d, dz4, ta=True)
+    dbo = jnp.sum(dz4, axis=0, keepdims=True)
+    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
+    dh3 = dh3d * mask if spec.pdrop else dh3d
+    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
+    dwh = _mm(f, dz3, ta=True)
+    dbh = jnp.sum(dz3, axis=0, keepdims=True)
+    df = _mm(dz3, wh, tb=True) if need_df else None
+    return dwh, dbh, dwo, dbo, dcenters, df
+
+
 def _dense_softmax_bwd(spec, cache, f, wh, wo, *, need_df=True):
     """Backward of _dense_softmax_fwd. Returns (dwh, dbh, dwo, dbo, df);
     df is None when need_df=False (nothing learnable below the tail)."""

@@ -35,6 +35,8 @@ from .megastep import (
     _anchor_mask,
     _apply_updates,
     _augment_block,
+    _dense_centered_bwd,
+    _dense_centered_fwd,
     _dense_softmax_bwd,
     _dense_softmax_fwd,
     _leaky_slope,
@@ -80,12 +82,19 @@ class DeepSpec(NamedTuple):
     angle: float
     invert: bool
     nearest: bool
-    # per-layer regularization: one per conv level + hidden + softmax
+    # per-layer regularization: one per conv level + hidden + head
     regs: tuple
     reg_h: LayerReg
     reg_o: LayerReg
     exact_movement: bool = False
     in_ch: int = 1
+    # output head: 'softmax' (n_out = classes) or a CenteredOut head
+    # ('logit' / 'rbf', n_out = n_features, reference outlayers.py:153-224)
+    head: str = "softmax"
+    n_classes: int = 0
+    junk_dist: float = 0.0
+    learn_centers: bool = False
+    centers_bytes: bytes = b""   # frozen centers payload (f32 row-major)
 
     @property
     def hw(self):
@@ -123,19 +132,18 @@ def deep_layer_idx(n_levels):
 
 def deep_spec_from_net(net):
     """Return a DeepSpec if the net matches Input/Elastic -> (Conv ->
-    Pool)*n -> Hidden -> Softmax for n = 1 or n >= 3 (leaky-relu
-    activations, nll loss, plain f32 single-chip training, VMEM-resident
-    working set), else None. n == 2 is the flagship megastep kernel's
-    pattern and is deliberately not matched here."""
-    from ..layers import (ConvLayer, ElasticLayer, HiddenLayer, InputLayer,
-                          PoolLayer, SoftmaxLayer)
+    Pool)*n -> Hidden -> Head for n >= 1 (leaky-relu activations, nll
+    loss, plain f32 single-chip training, VMEM-resident working set),
+    else None. Head is SoftmaxLayer or CenteredOutLayer (LOGIT/RBF).
+    n == 2 with a Softmax head is the flagship megastep kernel's pattern
+    and is deliberately not matched here."""
+    from ..layers import (CenteredOutLayer, ConvLayer, ElasticLayer,
+                          HiddenLayer, InputLayer, PoolLayer, SoftmaxLayer)
 
     L = net.net_layers
     if len(L) < 5 or len(L) % 2 == 0:
         return None
     n = (len(L) - 3) // 2
-    if n == 2:
-        return None
     if type(L[0]) not in (InputLayer, ElasticLayer):
         return None
     convs, pools = [], []
@@ -146,7 +154,21 @@ def deep_spec_from_net(net):
         convs.append(c)
         pools.append(p)
     hid, head = L[-2], L[-1]
-    if type(hid) is not HiddenLayer or type(head) is not SoftmaxLayer:
+    if type(hid) is not HiddenLayer:
+        return None
+    if type(head) is SoftmaxLayer:
+        if n == 2:
+            return None  # the flagship family's pattern
+        head_cfg = dict(head="softmax", n_classes=head.n_out)
+    elif type(head) is CenteredOutLayer:
+        jd = float(head.junk_dist)
+        head_cfg = dict(head=head.kind.lower(), n_classes=head.n_classes,
+                        junk_dist=min(jd, 1e30),  # inf-safe for f32 math
+                        learn_centers=bool(head.learn_centers))
+        if not head.learn_centers:
+            head_cfg["centers_bytes"] = np.ascontiguousarray(
+                head.centers_init, np.float32).tobytes()
+    else:
         return None
     in_ch = L[0].num_maps
     if convs[0].num_prev_maps != in_ch:
@@ -191,7 +213,7 @@ def deep_spec_from_net(net):
         n_hid=hid.n_out, n_out=head.n_out, slope_h=slope_h,
         pdrop=float(hid.pdrop), **aug,
         regs=tuple(reg_of(c) for c in convs),
-        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
+        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch, **head_cfg,
     )
     # every level must produce a positive spatial extent
     if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
@@ -219,6 +241,10 @@ def deep_spec_from_net(net):
             + 5 * spec.maps[k] * B * lanes      # z/zm/mx/dz live set
         )
     work_bytes += 4 * 8 * B * hid.n_out
+    if spec.head != "softmax":
+        # centers (state or constant, counted in state/const above via
+        # get_wts) + the (B, NF)/(B, NC) head working set
+        work_bytes += 4 * 6 * B * (spec.n_out + spec.n_classes)
     if const_bytes + state_bytes + work_bytes > 22 * 1024 * 1024:
         return None
 
@@ -248,14 +274,20 @@ def build_constants_deep(spec: DeepSpec):
         prev_maps = mk
     consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
                                (1, spec.maps[-1]))
+    if spec.head != "softmax" and not spec.learn_centers:
+        consts["centers"] = np.frombuffer(
+            spec.centers_bytes, np.float32
+        ).reshape(spec.n_classes, spec.n_out).copy()
     return consts
 
 
 def _kernel_deep(spec: DeepSpec, *refs):
     n = spec.n_levels
     B = spec.batch
-    n_state = 2 * n + 4
-    n_consts = 1 + sum(6 if k == 0 else 7 for k in range(n)) + 1
+    centered = spec.head != "softmax"
+    n_state = 2 * n + 4 + (1 if centered and spec.learn_centers else 0)
+    n_consts = (1 + sum(6 if k == 0 else 7 for k in range(n)) + 1
+                + (1 if centered and not spec.learn_centers else 0))
 
     (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
     par_refs = refs[7:7 + n_state]
@@ -359,18 +391,32 @@ def _kernel_deep(spec: DeepSpec, *refs):
     p_embed = jnp.concatenate([pn * rm for rm in rowmasks], axis=1)
     f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
-    cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
-                                                 db_ref)
+    if centered:
+        centers = (out_par[2 * n + 4][:] if spec.learn_centers
+                   else c_refs[-1][:])
+        cost_nll, min_tl, cache = _dense_centered_fwd(
+            spec, f, wh, bh, wo, bo, y, db_ref, centers)
+    else:
+        centers = None
+        cost_nll, min_tl, cache = _dense_softmax_fwd(
+            spec, f, wh, bh, wo, bo, y, db_ref)
     cost = cost_nll
     for k in range(n):
         cost = cost + _wt_cost(spec.regs[k], (ws[k], bs[k]))
     cost = cost + _wt_cost(spec.reg_h, (wh, bh))
-    cost = cost + _wt_cost(spec.reg_o, (wo, bo))
+    head_wts = ((wo, bo, centers) if centered and spec.learn_centers
+                else (wo, bo))
+    cost = cost + _wt_cost(spec.reg_o, head_wts)
     cost_ref[0, 0, 0] = cost
     minf_ref[0, 0, 0] = min_tl
 
     # ---------------- backward
-    dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
+    if centered:
+        dwh, dbh, dwo, dbo, dcenters, df = _dense_centered_bwd(
+            spec, cache, f, wh, wo, centers)
+    else:
+        dcenters = None
+        dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
 
     dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
     dp = jnp.zeros((Mn * B, PNSQ), jnp.float32)
@@ -433,6 +479,9 @@ def _kernel_deep(spec: DeepSpec, *refs):
         (out_par[2 * n + 2], out_mom[2 * n + 2], dwo, spec.reg_o, "cols"),
         (out_par[2 * n + 3], out_mom[2 * n + 3], dbo, spec.reg_o, "bias"),
     ]
+    if dcenters is not None:
+        updates.append((out_par[2 * n + 4], out_mom[2 * n + 4], dcenters,
+                        spec.reg_o, "cols"))
     _apply_updates(updates, lr)
 
 
@@ -450,8 +499,12 @@ def kernel_layout_deep(allwts, spec: DeepSpec):
                                                    F * F * prev))
         out.append(b.reshape(spec.maps[k], 1))
         prev = spec.maps[k]
-    (wh, bh), (wo, bo) = allwts[spec.n_levels], allwts[spec.n_levels + 1]
-    out += [wh, bh.reshape(1, spec.n_hid), wo, bo.reshape(1, spec.n_out)]
+    wh, bh = allwts[spec.n_levels]
+    head = allwts[spec.n_levels + 1]
+    out += [wh, bh.reshape(1, spec.n_hid), head[0],
+            head[1].reshape(1, spec.n_out)]
+    if spec.head != "softmax" and spec.learn_centers:
+        out.append(head[2])  # centers (n_classes, n_feats)
     return out
 
 
@@ -467,7 +520,10 @@ def framework_layout_deep(kparams, spec: DeepSpec):
         prev = spec.maps[k]
     wh, bh = kparams[2 * spec.n_levels], kparams[2 * spec.n_levels + 1]
     wo, bo = kparams[2 * spec.n_levels + 2], kparams[2 * spec.n_levels + 3]
-    out += [[wh, bh.reshape(spec.n_hid)], [wo, bo.reshape(spec.n_out)]]
+    head = [wo, bo.reshape(spec.n_out)]
+    if spec.head != "softmax" and spec.learn_centers:
+        head.append(kparams[2 * spec.n_levels + 4])
+    out += [[wh, bh.reshape(spec.n_hid)], head]
     return out
 
 
@@ -486,6 +542,8 @@ def make_deep_epoch_fn(spec: DeepSpec, n_batches: int, interpret=None,
         prev = spec.maps[k]
     kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
                 (spec.n_hid, spec.n_out), (1, spec.n_out)]
+    if spec.head != "softmax" and spec.learn_centers:
+        kshapes.append((spec.n_classes, spec.n_out))
     return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
                           functools.partial(_kernel_deep, spec),
                           interpret=interpret, donate=donate)

@@ -44,11 +44,15 @@ def init_momentum(layers, params):
 
 def weight_cost(layers, params):
     """Sum of per-layer L1/L2 costs (layer.py:109-117). Layers without a reg
-    dict contribute 0 (the reference's AttributeError fallback)."""
+    dict contribute 0 (the reference's AttributeError fallback). Only the
+    layer's TRAINABLE tensors are charged — the reference iterates
+    self.params, which excludes e.g. frozen CenteredOut centers even
+    though get_wts() (and so our params pytree) carries them."""
     cost = 0.0
     for lyr, lp in zip(layers, params):
         if lyr.reg is None or not lp:
             continue
+        lp = lp[: len(getattr(lyr, "params_init", lp))]
         l1, l2 = lyr.reg["L1"], lyr.reg["L2"]
         if l1:
             cost = cost + l1 * sum(jnp.sum(jnp.abs(p)) for p in lp)
@@ -83,8 +87,15 @@ def apply_updates(layers, params, moms, grads, lr):
         m = lyr.reg["momentum"]
         rate = lyr.reg["rate"]
         maxnorm = lyr.reg["maxnorm"]
+        # frozen extras (e.g. constant CenteredOut centers in the pytree)
+        # pass through untouched
+        n_train = len(getattr(lyr, "params_init", lp))
         ps, as_ = [], []
-        for p, a, g in zip(lp, lm, lg):
+        for j, (p, a, g) in enumerate(zip(lp, lm, lg)):
+            if j >= n_train:
+                ps.append(p)
+                as_.append(a)
+                continue
             a_new = m * a + (1.0 - m) * g
             p_new = p - rate * lr * a  # OLD accumulator — see module docstring
             if maxnorm:

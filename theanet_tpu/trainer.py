@@ -261,8 +261,9 @@ class Trainer:
                 raise ValueError(
                     "MEGAFUSED=True, but this configuration cannot use a "
                     "fused epoch kernel (supported: Input/Elastic -> "
-                    "(Conv -> Pool)*n -> Hidden -> Softmax(nll), any "
-                    "depth n >= 1, pool_sz <= the adjacent filter_sz, "
+                    "(Conv -> Pool)*n -> Hidden -> Softmax(nll)/"
+                    "CenteredOut, any depth n >= 1, pool_sz <= the "
+                    "adjacent filter_sz, "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
                     "no mesh/aux, working set within VMEM — see "
