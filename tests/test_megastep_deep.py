@@ -374,11 +374,11 @@ def test_centered_head_identity_trajectory(kind, learn, junk, n_conv):
     np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
     got = framework_layout_deep([np.asarray(t) for t in kp], spec)
     want = [params[i] for i in idx]
+    if learn:  # the head entry must carry centers on BOTH sides
+        assert len(want[-1]) == 3 and len(got[-1]) == 3
+    # frozen heads: the params pytree carries the constant centers
+    # (mirroring get_wts) while the kernel state rightly excludes them
     for lw, lg in zip(want, got):
-        if learn:
-            assert len(lw) == len(lg) == 3 or len(lw) == len(lg)
-        # frozen heads: the params pytree carries the constant centers
-        # (mirroring get_wts) while the kernel state rightly excludes them
         for w, g in zip(lw, lg):
             np.testing.assert_allclose(np.asarray(w), np.asarray(g),
                                        rtol=0, atol=1e-4)

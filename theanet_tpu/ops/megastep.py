@@ -616,12 +616,9 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
     return aug
 
 
-def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
-    """Hidden(leaky-relu, dropout) -> Softmax forward + NLL, shared by both
-    fused-epoch kernels. ``f`` is the dense input (B, NF). Returns
-    (cost_nll, min_true_logp, cache) where cache carries what backward
-    needs."""
-    B, NC = spec.batch, spec.n_out
+def _hidden_fwd(spec, f, wh, bh, db_ref):
+    """Shared hidden block of the fused dense tails: leaky-relu + optional
+    in-kernel dropout mask. Returns (z3, mask, h3d)."""
     z3 = _mm(f, wh) + bh                                  # (B, NH)
     h3 = _lrelu(z3, spec.slope_h)
     if spec.pdrop:
@@ -630,6 +627,30 @@ def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
     else:
         mask = None
         h3d = h3
+    return z3, mask, h3d
+
+
+def _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, *, need_df):
+    """Shared backward of the dense tail below the head: given dL/dz4,
+    produce the hidden/output weight grads and (optionally) dL/df."""
+    dwo = _mm(h3d, dz4, ta=True)
+    dbo = jnp.sum(dz4, axis=0, keepdims=True)
+    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
+    dh3 = dh3d * mask if spec.pdrop else dh3d
+    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
+    dwh = _mm(f, dz3, ta=True)
+    dbh = jnp.sum(dz3, axis=0, keepdims=True)
+    df = _mm(dz3, wh, tb=True) if need_df else None
+    return dwh, dbh, dwo, dbo, df
+
+
+def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
+    """Hidden(leaky-relu, dropout) -> Softmax forward + NLL, shared by both
+    fused-epoch kernels. ``f`` is the dense input (B, NF). Returns
+    (cost_nll, min_true_logp, cache) where cache carries what backward
+    needs."""
+    B, NC = spec.batch, spec.n_out
+    z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref)
     z4 = _mm(h3d, wo) + bo                                # (B, NC)
     zc = z4 - jnp.max(z4, axis=1, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(zc), axis=1, keepdims=True))
@@ -655,14 +676,7 @@ def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
     collapses to the true-class bit-probs — no (B, nC, NF) tensor."""
     B, NF, NC = spec.batch, spec.n_out, spec.n_classes
     EPS = 0.001
-    z3 = _mm(f, wh) + bh                                  # (B, NH)
-    h3 = _lrelu(z3, spec.slope_h)
-    if spec.pdrop:
-        mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
-        h3d = h3 * mask
-    else:
-        mask = None
-        h3d = h3
+    z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref)
     z4 = _mm(h3d, wo) + bo                                # (B, NF)
     onehot_y = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
                 == y).astype(jnp.float32)                 # (B, NC)
@@ -670,7 +684,7 @@ def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
     if spec.head == "logit":
         s = 1.0 / (1.0 + jnp.exp(-z4))
         v = s * (1.0 - 2.0 * EPS) + EPS                   # (B, NF)
-        cy = _mm(onehot_y, centers)                       # (B, NF)
+        cy = _mm(onehot_y, centers, hi=True)  # row selection — exact
         bp = cy * v + (1.0 - cy) * (1.0 - v)
         true_logp = jnp.sum(jnp.log(bp), axis=1, keepdims=True)  # (B, 1)
         feats = s  # per-layer head reports the raw sigmoid as features
@@ -679,11 +693,15 @@ def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
         t = jnp.tanh(z4 * (2.0 / 3.0))
         v = 1.7 * t                                       # (B, NF)
         # dists via the expansion ||v||^2 - 2 v.c^T + ||c||^2; the ||c||^2
-        # row reduction runs as a matmul (Mosaic dislikes transposes)
+        # row reduction runs as a matmul (Mosaic dislikes transposes).
+        # hi=True throughout: the expansion cancels catastrophically as
+        # features approach their center (d -> 0), so bf16-pass operand
+        # rounding would diverge from the per-layer path's exact
+        # elementwise (v-c)^2; these are tiny matmuls.
         csq_row = _mm(jnp.ones((1, NF), jnp.float32),
-                      centers * centers, tb=True)         # (1, NC)
+                      centers * centers, tb=True, hi=True)  # (1, NC)
         d = (jnp.sum(v * v, axis=1, keepdims=True)
-             - 2.0 * _mm(v, centers, tb=True)
+             - 2.0 * _mm(v, centers, tb=True, hi=True)
              + csq_row)                                   # (B, NC)
         zc = -d
         # log softmax over (-dists ‖ -junk): junk contributes a constant
@@ -696,9 +714,12 @@ def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
         feats = v
         cache = (z3, mask, h3d, t, v, logp, onehot_y)
     cost_nll = -jnp.sum(true_logp) / B
-    # watchdog stat mirrors the scanned path: min over b of feats[b, y]
+    # watchdog stat mirrors the scanned path: min over b of feats[b, y],
+    # with y CLAMPED to the feature width like jax's default out-of-bounds
+    # indexing in trainer.py (centered heads can have n_classes > n_feats)
+    yc = jnp.minimum(y, NF - 1)
     onehot_f = (jax.lax.broadcasted_iota(jnp.int32, (B, NF), 1)
-                == y).astype(jnp.float32)
+                == yc).astype(jnp.float32)
     min_tf = jnp.min(jnp.sum(feats * onehot_f, axis=1))
     return cost_nll, min_tf, cache
 
@@ -721,22 +742,17 @@ def _dense_centered_bwd(spec, cache, f, wh, wo, centers, *, need_df=True):
         dzc = (jnp.exp(logp) - onehot_y) * (1.0 / B)      # (B, NC)
         dd = -dzc                                         # dL/d dists
         rs = jnp.sum(dd, axis=1, keepdims=True)           # (B, 1)
-        dv = 2.0 * (v * rs - _mm(dd, centers))            # (B, NF)
+        dv = 2.0 * (v * rs - _mm(dd, centers, hi=True))   # (B, NF)
         dz4 = dv * 1.7 * (2.0 / 3.0) * (1.0 - t * t)
         if spec.learn_centers:
             cs_col = _mm(dd, jnp.ones((spec.batch, 1), jnp.float32),
-                         ta=True)                         # (NC, 1)
-            dcenters = 2.0 * (centers * cs_col - _mm(dd, v, ta=True))
+                         ta=True, hi=True)                # (NC, 1)
+            dcenters = 2.0 * (centers * cs_col
+                              - _mm(dd, v, ta=True, hi=True))
         else:
             dcenters = None
-    dwo = _mm(h3d, dz4, ta=True)
-    dbo = jnp.sum(dz4, axis=0, keepdims=True)
-    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
-    dh3 = dh3d * mask if spec.pdrop else dh3d
-    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
-    dwh = _mm(f, dz3, ta=True)
-    dbh = jnp.sum(dz3, axis=0, keepdims=True)
-    df = _mm(dz3, wh, tb=True) if need_df else None
+    dwh, dbh, dwo, dbo, df = _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo,
+                                       need_df=need_df)
     return dwh, dbh, dwo, dbo, dcenters, df
 
 
@@ -746,15 +762,7 @@ def _dense_softmax_bwd(spec, cache, f, wh, wo, *, need_df=True):
     B = spec.batch
     z3, mask, h3d, logp, onehot = cache
     dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)            # (B, NC)
-    dwo = _mm(h3d, dz4, ta=True)
-    dbo = jnp.sum(dz4, axis=0, keepdims=True)
-    dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
-    dh3 = dh3d * mask if spec.pdrop else dh3d
-    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
-    dwh = _mm(f, dz3, ta=True)                            # (NF, NH)
-    dbh = jnp.sum(dz3, axis=0, keepdims=True)
-    df = _mm(dz3, wh, tb=True) if need_df else None       # (B, NF)
-    return dwh, dbh, dwo, dbo, df
+    return _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, need_df=need_df)
 
 
 def _apply_updates(updates, lr):
