@@ -85,7 +85,7 @@ def test_deep_identity_trajectory(img, cfgs):
         )
         frame_costs.append(float(cost))
 
-    idx = deep_layer_idx(spec.n_levels)
+    idx = deep_layer_idx(net)
     aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
     kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
     km = [jnp.zeros_like(t) for t in kp]
@@ -160,7 +160,7 @@ def test_deep_multichannel_identity_trajectory():
         )
         frame_costs.append(float(cost))
 
-    idx = deep_layer_idx(spec.n_levels)
+    idx = deep_layer_idx(net)
     aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
     kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
     km = [jnp.zeros_like(t) for t in kp]
@@ -219,7 +219,7 @@ def test_deep_pflip_one_matches_per_layer():
         )
         frame_costs.append(float(cost))
 
-    idx = deep_layer_idx(spec.n_levels)
+    idx = deep_layer_idx(net)
     aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
     kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
     km = [jnp.zeros_like(t) for t in kp]
@@ -287,7 +287,7 @@ def test_deep_random_geometry_fuzz(seed):
         )
         frame_costs.append(float(cost))
 
-    idx = deep_layer_idx(spec.n_levels)
+    idx = deep_layer_idx(net)
     aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
     kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
     km = [jnp.zeros_like(t) for t in kp]
@@ -361,7 +361,7 @@ def test_centered_head_identity_trajectory(kind, learn, junk, n_conv):
         )
         frame_costs.append(float(cost))
 
-    idx = deep_layer_idx(spec.n_levels)
+    idx = deep_layer_idx(net)
     aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
     kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
     km = [jnp.zeros_like(t) for t in kp]
@@ -405,6 +405,112 @@ def test_centered_trainer_end_to_end():
     d = tr.checkpoint_dict()
     # reference packing: CenteredOut allwts entry carries centers
     assert len(d["allwts"][-1]) == 3
+
+
+def test_color_rows_matches_numpy_reference():
+    """The in-kernel ColorLayer transform (megastep._color_rows) against an
+    independent numpy replica of reference color.py:37-43 on the same
+    bits."""
+    from types import SimpleNamespace
+    from theanet_tpu.ops.megastep import _color_rows
+
+    rng = np.random.RandomState(11)
+    rows, hw = 12, 49
+    x = rng.rand(rows, hw).astype(np.float32) * 0.9
+    bits = rng.randint(0, 2 ** 32, (rows, 3), dtype=np.uint64).astype(
+        np.uint32)
+    spec = SimpleNamespace(balance=1.2, gamma=1.3, maxval=0.9)
+
+    got = np.asarray(_color_rows(spec, jnp.asarray(x), jnp.asarray(bits)))
+
+    u = (bits & 0xFFFFFF).astype(np.float64) / (1 << 24) * 2.0 - 1.0
+    bal = np.exp(np.log(spec.balance) * u[:, 0:1])
+    g1 = np.exp(np.log(spec.gamma) * u[:, 1:2])
+    g2 = np.exp(np.log(spec.gamma) * u[:, 2:3])
+    e = np.clip(x / spec.maxval * bal, 0.0, 1.0)
+    e = e ** g1
+    e = 1.0 - (1.0 - e) ** g2
+    e = e * spec.maxval
+    np.testing.assert_allclose(got, e, rtol=2e-5, atol=2e-6)
+    assert got.min() >= 0 and got.max() <= spec.maxval + 1e-6
+
+
+def test_galaxy_pattern_fuses_end_to_end():
+    """The full shipped galaxy_rbf.prms pipeline — ColorLayer -> Elastic ->
+    2x(Conv->Pool) -> Hidden -> DropOut -> CenteredOut(RBF, learn_centers)
+    — matches the deep family (color in-kernel, DropOut folded into an
+    effective pdrop) and trains fused (interpret) with finite costs."""
+    import ast
+
+    cfg = ast.literal_eval(open("params/galaxy_rbf.prms").read())
+    layers = [list(l) for l in cfg["layers"]]
+    layers[0] = [layers[0][0], dict(layers[0][1], img_sz=12, num_maps=3)]
+    tp = dict(cfg["training_params"])
+    tp.update(SEED=99, BATCH_SZ=4, NUM_EPOCHS=1, TEST_SAMP_SZ=4,
+              MEGAFUSED=True)
+    net = NeuralNet(layers, tp)
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert spec.color and spec.balance == 1.2 and spec.maxval == 1
+    assert spec.head == "rbf" and spec.learn_centers
+    assert spec.n_levels == 2  # 2-conv + non-plain prefix -> deep family
+    assert abs(spec.pdrop - (1 - (1 - 0.5) * (1 - 0.25))) < 1e-9
+    assert spec.junk_dist == 50.0
+
+    rng = np.random.RandomState(12)
+    x = rng.rand(16, 3, 12, 12).astype(np.float32)
+    y = rng.randint(0, 10, 16).astype(np.int32)
+    net2 = NeuralNet(layers, dict(tp))
+    tr = Trainer(net2, x, y, x[:4], y[:4])
+    assert tr._mega is not None and tr._mega_spec.color
+    total, costs, minf = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(np.asarray(costs)).all()
+    err, _ = tr.evaluate_full("test")
+    assert 0 <= err <= 100
+    d = tr.checkpoint_dict()
+    assert len(d["allwts"][-1]) == 3  # RBF head checkpoints centers
+
+
+def test_color_identity_layer_does_not_block_fusion():
+    """A balance=gamma=1 ColorLayer is the identity; the matcher treats it
+    as a plain prefix and the fused trajectory still matches per-layer."""
+    layers = [
+        ["ColorLayer", {"img_sz": 14, "num_maps": 1, "balance": 1,
+                        "gamma": 1}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu07"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 8, "pdrop": 0, "actvn": "relu02"}],
+        ["SoftmaxLayer", {"n_out": 3}],
+    ]
+    tr_prms = {"SEED": 5, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and not spec.color
+
+    nb = 2
+    rng = np.random.RandomState(2)
+    xs = rng.rand(nb, 4, 1, 14, 14).astype(np.float32)
+    ys = rng.randint(0, 3, (nb, 4)).astype(np.int32)
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1,
+        )
+        frame_costs.append(float(cost))
+    idx = deep_layer_idx(net)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = fn(kp, km, jnp.asarray(xs.reshape(nb, 4, 196)),
+                    jnp.asarray(ys.reshape(nb, 4, 1)), bits, 0.1)
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
 
 
 def test_deep_matcher_rejects_pool_bigger_than_filter():

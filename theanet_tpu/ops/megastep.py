@@ -329,7 +329,7 @@ def fused_plan(net):
 
     dspec = deep.deep_spec_from_net(net)
     if dspec is not None:
-        return FusedPlan(dspec, deep.deep_layer_idx(dspec.n_levels),
+        return FusedPlan(dspec, deep.deep_layer_idx(net),
                          deep.make_deep_epoch_fn, deep.kernel_layout_deep,
                          deep.framework_layout_deep)
     from . import megastep_mlp as mlp
@@ -517,6 +517,30 @@ def _reg_grad(reg: LayerReg, p, g):
     return g
 
 
+def _pow01(x, g):
+    """x**g for x in [0,1], per-row positive exponents g (N, 1) — via
+    exp(g*log x) with the x==0 branch taken exactly (avoids -inf*g)."""
+    return jnp.where(x > 0.0,
+                     jnp.exp(g * jnp.log(jnp.maximum(x, 1e-30))), 0.0)
+
+
+def _color_rows(spec, x, cbits):
+    """In-kernel ColorLayer train transform (reference color.py:37-43) on
+    channel-major rows (c*B+b, HW): per-row white balance exp(ln b * u),
+    clip to [0,1], gamma x**g1, inverse-gamma 1-(1-x)**g2, with u drawn
+    from ``cbits`` (rows, 3) uint32. Pure jnp — unit-testable outside the
+    kernel."""
+    def pos_rand(col, a):
+        u = 2.0 * _u01(cbits[:, col:col + 1]) - 1.0       # (rows, 1)
+        return jnp.exp(math.log(a) * u)
+
+    xm = x * (1.0 / spec.maxval)
+    xm = jnp.clip(xm * pos_rand(0, spec.balance), 0.0, 1.0)
+    xm = _pow01(xm, pos_rand(1, spec.gamma))
+    xm = 1.0 - _pow01(1.0 - xm, pos_rand(2, spec.gamma))
+    return xm * spec.maxval
+
+
 def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
     """In-kernel elastic augmentation (reference inlayers.py:63-142), shared
     by the conv (_kernel) and MLP (megastep_mlp._kernel_mlp) fused-epoch
@@ -527,6 +551,13 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
     Works with any spec type exposing the elastic config fields."""
     H = spec.img
     HW = spec.hw
+
+    if getattr(spec, "color", False):
+        # color jitter precedes the elastic pipeline (a ColorLayer ahead
+        # of the ElasticLayer, e.g. params/galaxy_rbf.prms); its three
+        # per-(sample, channel) draws ride in lanes 4:7 of the widened
+        # field-bits block
+        x = _color_rows(spec, x, fb_ref[0][:x.shape[0], 4:7])
 
     if spec.invert:
         x = 1.0 - x
@@ -994,9 +1025,10 @@ def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):
     pflip uniforms, dropout uniforms."""
     ks = jax.random.split(key, 4)
     u32 = jnp.uint32
+    fb_lanes = 8 if getattr(spec, "color", False) else 4
     return (
         jax.random.bits(ks[0], (n_batches, 1, 8), u32),
-        jax.random.bits(ks[1], (n_batches, spec.hw, 4), u32),
+        jax.random.bits(ks[1], (n_batches, spec.hw, fb_lanes), u32),
         jax.random.bits(ks[2], (n_batches, spec.batch, spec.in_ch * spec.hw),
                         u32),
         jax.random.bits(ks[3], (n_batches, spec.batch, spec.n_hid), u32),
@@ -1107,12 +1139,14 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
+    fb_lanes = 8 if getattr(spec, "color", False) else 4
     step_spec = [
         pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, HW, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, HW, fb_lanes), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

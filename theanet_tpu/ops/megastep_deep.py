@@ -95,6 +95,14 @@ class DeepSpec(NamedTuple):
     junk_dist: float = 0.0
     learn_centers: bool = False
     centers_bytes: bytes = b""   # frozen centers payload (f32 row-major)
+    # leading ColorLayer (reference color.py:9-52), applied in-kernel
+    # before the elastic pipeline; a trailing standalone DropOutLayer
+    # folds into pdrop (independent masks multiply -> one Bernoulli draw
+    # with keep = (1-p1)(1-p2), distribution-identical)
+    color: bool = False
+    balance: float = 1.0
+    gamma: float = 1.0
+    maxval: float = 1.0
 
     @property
     def hw(self):
@@ -123,41 +131,77 @@ class DeepSpec(NamedTuple):
         return self.maps[-1] * self.sides[-1][2] ** 2
 
 
-def deep_layer_idx(n_levels):
-    """Net-layer indices of the parameterized layers: the conv layers at
-    1, 3, ..., then hidden and softmax."""
-    return tuple(1 + 2 * k for k in range(n_levels)) + (
-        1 + 2 * n_levels, 2 + 2 * n_levels)
+def deep_layer_idx(net):
+    """Net-layer indices of the parameterized layers of a matched deep
+    pattern: the conv layers, the hidden layer, and the head — positions
+    shift with the optional Color/Elastic prefix and DropOut layer, so
+    scan by type (Softmax/CenteredOut heads are HiddenLayer subclasses)."""
+    from ..layers import ConvLayer, HiddenLayer
+
+    return tuple(i for i, lyr in enumerate(net.net_layers)
+                 if isinstance(lyr, (ConvLayer, HiddenLayer)))
 
 
 def deep_spec_from_net(net):
-    """Return a DeepSpec if the net matches Input/Elastic -> (Conv ->
-    Pool)*n -> Hidden -> Head for n >= 1 (leaky-relu activations, nll
-    loss, plain f32 single-chip training, VMEM-resident working set),
-    else None. Head is SoftmaxLayer or CenteredOutLayer (LOGIT/RBF).
-    n == 2 with a Softmax head is the flagship megastep kernel's pattern
-    and is deliberately not matched here."""
-    from ..layers import (CenteredOutLayer, ConvLayer, ElasticLayer,
-                          HiddenLayer, InputLayer, PoolLayer, SoftmaxLayer)
+    """Return a DeepSpec if the net matches [Color ->] [Elastic/Input ->]
+    (Conv -> Pool)*n -> Hidden -> [DropOut ->] Head for n >= 1 (leaky-relu
+    conv/hidden activations, nll loss, plain f32 single-chip training,
+    VMEM-resident working set), else None. Head is SoftmaxLayer or
+    CenteredOutLayer (LOGIT/RBF). The bare n == 2 Softmax pattern is the
+    flagship megastep kernel's and is deliberately not matched here."""
+    from ..layers import (CenteredOutLayer, ColorLayer, ConvLayer,
+                          DropOutLayer, ElasticLayer, HiddenLayer,
+                          InputLayer, PoolLayer, SoftmaxLayer)
 
     L = net.net_layers
-    if len(L) < 5 or len(L) % 2 == 0:
+    if len(L) < 5:
         return None
-    n = (len(L) - 3) // 2
-    if type(L[0]) not in (InputLayer, ElasticLayer):
+
+    i = 0
+    color_cfg = dict(color=False)
+    aug_src = L[0]
+    if type(L[0]) is ColorLayer:
+        cl = L[0]
+        if not cl.identity:
+            # the in-kernel draws ride in the field-bits block's first
+            # C0*B rows — always true at real image sizes, but gate it
+            if cl.num_maps * net.batch_sz > cl.out_sz ** 2:
+                return None
+            color_cfg = dict(color=True, balance=float(cl.balance),
+                             gamma=float(cl.gamma), maxval=float(cl.maxval))
+        i = 1
+        aug_src = L[1] if len(L) > 1 and type(L[1]) is ElasticLayer else L[0]
+        if type(L[1]) is ElasticLayer:
+            i = 2
+    elif type(L[0]) in (InputLayer, ElasticLayer):
+        i = 1
+    else:
         return None
+
     convs, pools = [], []
-    for k in range(n):
-        c, p = L[1 + 2 * k], L[2 + 2 * k]
-        if type(c) is not ConvLayer or type(p) is not PoolLayer:
-            return None
-        convs.append(c)
-        pools.append(p)
-    hid, head = L[-2], L[-1]
-    if type(hid) is not HiddenLayer:
+    while (i + 1 < len(L) and type(L[i]) is ConvLayer
+           and type(L[i + 1]) is PoolLayer):
+        convs.append(L[i])
+        pools.append(L[i + 1])
+        i += 2
+    n = len(convs)
+    if n < 1 or i >= len(L):
         return None
+    hid = L[i]
+    if type(hid) is not HiddenLayer or isinstance(hid, (SoftmaxLayer,
+                                                        CenteredOutLayer)):
+        return None
+    i += 1
+    pdrop2 = 0.0
+    if i < len(L) and type(L[i]) is DropOutLayer:
+        pdrop2 = float(L[i].pdrop)
+        i += 1
+    if i != len(L) - 1:
+        return None
+    head = L[i]
+    plain_prefix = (not color_cfg["color"]) and pdrop2 == 0.0
     if type(head) is SoftmaxLayer:
-        if n == 2:
+        if n == 2 and plain_prefix:
             return None  # the flagship family's pattern
         head_cfg = dict(head="softmax", n_classes=head.n_out)
     elif type(head) is CenteredOutLayer:
@@ -190,7 +234,7 @@ def deep_spec_from_net(net):
     if common_disqualifiers(net):
         return None
 
-    aug = aug_of(L[0])
+    aug = aug_of(aug_src)
 
     # frozen layers keep no momentum buffers in the framework layout; the
     # layout converters assume every fused layer is live
@@ -211,9 +255,12 @@ def deep_spec_from_net(net):
         maps=tuple(c.num_maps for c in convs),
         slopes=tuple(slopes),
         n_hid=hid.n_out, n_out=head.n_out, slope_h=slope_h,
-        pdrop=float(hid.pdrop), **aug,
+        # a trailing DropOutLayer folds in: independent masks multiply, so
+        # keep = (1-p_hidden)(1-p_drop) is one Bernoulli draw
+        pdrop=1.0 - (1.0 - float(hid.pdrop)) * (1.0 - pdrop2), **aug,
         regs=tuple(reg_of(c) for c in convs),
-        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch, **head_cfg,
+        reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
+        **head_cfg, **color_cfg,
     )
     # every level must produce a positive spatial extent
     if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
