@@ -196,6 +196,27 @@ def test_megastep_deep_hardware_matches_interpret():
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
 
 
+def test_megastep_deep_color_hardware_matches_interpret():
+    """Deep family with the in-kernel ColorLayer active (widened
+    field-bits block, pow/exp/log math) through Mosaic vs interpret."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=12, filts=(3,), pools=(2,), ibs=(False,),
+        maps=(2,), slopes=(0.1,),
+        n_hid=16, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=False, nearest=True,
+        regs=(reg,), reg_h=reg, reg_o=reg, in_ch=3,
+        color=True, balance=1.2, gamma=1.3, maxval=1.0,
+    )
+    kshapes = [(2, 9 * 3), (2, 1), (spec.n_flat, 16), (1, 16), (16, 4),
+               (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
 def test_megastep_mlp_hardware_matches_interpret():
     from theanet_tpu.ops import megastep_mlp as MM
     from theanet_tpu.ops.megastep import LayerReg
