@@ -467,6 +467,72 @@ def deep_row():
             f"->softmax10 batch 20: {best:,.0f} img/s")
 
 
+def heads_row():
+    """Centered-head + full-galaxy fused evidence: LOGIT (frozen centers),
+    RBF (learned centers), and the complete shipped galaxy_rbf.prms
+    pipeline (Color + Elastic + 2 conv + folded DropOut + RBF), each as
+    one fused kernel per epoch on the default accelerator."""
+    import ast
+
+    import jax
+    import numpy as np
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    on_tpu = jax.default_backend() == "tpu"
+    nb = 3000 if on_tpu else 30
+    n = nb * 20
+    rng = np.random.RandomState(0)
+
+    def run(tag, net, channels):
+        x = rng.rand(n, channels, 28, 28).astype(np.float32)
+        y = rng.randint(0, 10, n).astype(np.int32)
+        tr = Trainer(net, x, y, x[:100], y[:100])
+        t0 = time.time()
+        tr.run_epoch()
+        log(f"[heads {tag}] fused: "
+            f"{'ON' if tr._mega is not None else 'off'}; "
+            f"compile+first epoch {time.time() - t0:.1f}s")
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            tr.run_epoch()
+            best = max(best, n / (time.time() - t0))
+        log(f"[heads {tag}]: {best:,.0f} img/s")
+
+    def centered(kind, learn):
+        layers = [
+            ["InputLayer", {"img_sz": 28}],
+            ["ConvLayer", {"num_maps": 6, "filter_sz": 5, "stride": 1,
+                           "actvn": "relu10"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["HiddenLayer", {"n_out": 64, "pdrop": 0.25}],
+            ["CenteredOutLayer", {"n_features": 24, "n_classes": 10,
+                                  "kind": kind, "learn_centers": learn,
+                                  "junk_dist": 50.0}],
+        ]
+        tp = {"SEED": 424242, "BATCH_SZ": 20, "NUM_EPOCHS": 1,
+              "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 100,
+              "INIT_LEARNING_RATE": 0.05, "EPOCHS_TO_HALF_RATE": 2,
+              "MEGAFUSED": "auto" if on_tpu else True}
+        return NeuralNet(layers, tp)
+
+    run("LOGIT frozen (logit_centered.prms shape)",
+        centered("LOGIT", False), 1)
+    run("RBF learn_centers", centered("RBF", True), 1)
+
+    cfg = ast.literal_eval(
+        open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "params", "galaxy_rbf.prms")).read())
+    layers = [list(l) for l in cfg["layers"]]
+    layers[0] = [layers[0][0], dict(layers[0][1], img_sz=28, num_maps=3)]
+    tp = dict(cfg["training_params"])
+    tp.update(SEED=99, NUM_EPOCHS=1, TEST_SAMP_SZ=100,
+              MEGAFUSED="auto" if on_tpu else True)
+    run("galaxy_rbf.prms (Color+Elastic+2conv+Drop+RBF)",
+        NeuralNet(layers, tp), 3)
+
+
 def _mesh_child(shape):
     """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
     import jax
@@ -530,6 +596,8 @@ if __name__ == "__main__":
         flat_mlp_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--deep":
         deep_row()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--heads":
+        heads_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--serve":
         serve_row()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mesh":
