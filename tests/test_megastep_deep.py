@@ -513,6 +513,68 @@ def test_color_identity_layer_does_not_block_fusion():
     np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_matcher_prefix_suffix_fuzz(seed):
+    """Random Color/Elastic prefixes and DropOut suffixes around random
+    conv stacks: the matcher must either produce a spec whose fields
+    mirror the structure, or decline — never crash — and a Trainer with
+    MEGAFUSED forced must train one finite epoch when it matches."""
+    rng = np.random.RandomState(200 + seed)
+    img, batch, nc = 16, 4, 4
+    layers = []
+    color = bool(rng.randint(2))
+    elastic = bool(rng.randint(2))
+    if color:
+        layers.append(["ColorLayer", {"img_sz": img, "num_maps": 1,
+                                      "balance": 1.2, "gamma": 1.1}])
+        if elastic:
+            layers.append(["ElasticLayer", {"translation": 1, "zoom": 1,
+                                            "magnitude": 0, "sigma": 1,
+                                            "pflip": 0.02, "angle": 0,
+                                            "nearest": True}])
+    elif elastic:
+        layers.append(["ElasticLayer", {"img_sz": img, "translation": 1,
+                                        "zoom": 1, "magnitude": 0,
+                                        "sigma": 1, "pflip": 0.02,
+                                        "angle": 0, "nearest": True}])
+    else:
+        layers.append(["InputLayer", {"img_sz": img}])
+    n = int(rng.choice([1, 2]))
+    for _ in range(n):
+        layers.append(["ConvLayer", {"num_maps": 2, "filter_sz": 3,
+                                     "stride": 1, "mode": "valid",
+                                     "actvn": "relu07"}])
+        layers.append(["PoolLayer", {"pool_sz": 2}])
+    layers.append(["HiddenLayer", {"n_out": 8, "pdrop": 0.5,
+                                   "actvn": "relu02"}])
+    drop = bool(rng.randint(2))
+    if drop:
+        layers.append(["DropOutLayer", {"pdrop": 0.25}])
+    layers.append(["SoftmaxLayer", {"n_out": nc}])
+    tr_prms = {"SEED": seed, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = deep_spec_from_net(net)
+    if n == 2 and not color and not drop:
+        assert spec is None  # plain 2-conv Softmax -> flagship family
+        return
+    assert spec is not None
+    assert spec.color == color
+    assert spec.pflip == (0.02 if elastic else 0.0)
+    want_pdrop = 1 - (1 - 0.5) * (1 - (0.25 if drop else 0.0))
+    assert abs(spec.pdrop - want_pdrop) < 1e-9
+
+    rng2 = np.random.RandomState(seed)
+    x = rng2.rand(8, 1, img, img).astype(np.float32)
+    y = rng2.randint(0, nc, 8).astype(np.int32)
+    net2 = NeuralNet(layers, dict(tr_prms, MEGAFUSED=True))
+    tr = Trainer(net2, x, y, x[:batch], y[:batch])
+    assert tr._mega is not None
+    total, costs, _ = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(np.asarray(costs)).all()
+
+
 def test_deep_matcher_rejects_pool_bigger_than_filter():
     net = conv_stack_net(22, [(2, 3, 2, False, "relu07"),
                               (3, 3, 4, False, "relu15"),
