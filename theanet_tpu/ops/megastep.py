@@ -951,6 +951,10 @@ def _kernel(spec: MegaSpec,
     dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
 
     if debug_stage == "bwd_dense":
+        # consume the grads so Mosaic cannot dead-code-eliminate the
+        # segment being timed
+        cost_ref[0, 0, 0] = (jnp.sum(dwh) + jnp.sum(dwo) + jnp.sum(df)
+                             + jnp.sum(dbh) + jnp.sum(dbo))
         return
 
     dpe = _mm(sumsel, df, ta=True, hi=spec.exact_movement)  # (R2, NF)
@@ -984,6 +988,7 @@ def _kernel(spec: MegaSpec,
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
 
     if debug_stage == "bwd_conv2":
+        cost_ref[0, 0, 0] = jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2)
         return
 
     # pool1 backward
