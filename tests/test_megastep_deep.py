@@ -575,6 +575,89 @@ def test_matcher_prefix_suffix_fuzz(seed):
     assert np.isfinite(total) and np.isfinite(np.asarray(costs)).all()
 
 
+def softaux_net(img, batch, nc, mega="auto"):
+    layers = [
+        ["InputLayer", {"img_sz": img}],
+        ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu10",
+                       "reg": {"L2": 1e-3}}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["SoftAuxLayer", {"n_out": nc, "n_aux": (5, 9),
+                          "aux_type": "LocationInfo",
+                          "reg": {"L2": 1e-3, "maxnorm": 0.9}}],
+    ]
+    tr_prms = {"SEED": 2718, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+def test_softaux_identity_trajectory():
+    """SoftAux head (synth_aux.prms pattern) fused vs per-layer: with the
+    aux tensor's two rows EQUAL, the random convex mix is irrelevant, so
+    the trajectories must match exactly (identity augmentation)."""
+    img, batch, nc = 14, 4, 5
+    net = softaux_net(img, batch, nc)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.head == "softaux"
+    assert spec.has_aux and spec.n_aux == (5, 9)
+
+    nb = 3
+    rng = np.random.RandomState(6)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+    row = rng.rand(nb, batch, 1, 2).astype(np.float32)
+    auxs = np.tile(row, (1, 1, 2, 1))  # rows equal -> mix-independent
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1, aux=jnp.asarray(auxs[i]),
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(net)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = fn(
+        kp, km, jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)), bits, 0.1,
+        aux_steps=jnp.asarray(auxs.reshape(nb, batch, 4)),
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        assert len(lw) == len(lg)
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
+def test_softaux_trainer_end_to_end():
+    """Trainer engages the fused path for synth_aux-style nets (aux data
+    supplied) and trains a finite epoch with random aux mixing active."""
+    net = softaux_net(14, 4, 5, mega=True)
+    rng = np.random.RandomState(8)
+    x = rng.rand(16, 1, 14, 14).astype(np.float32)
+    y = rng.randint(0, 5, 16).astype(np.int32)
+    aux = rng.rand(16, 2, 2).astype(np.float32)
+    tr = Trainer(net, x, y, x[:4], y[:4], train_aux=aux, test_aux=aux[:4])
+    assert tr._mega is not None
+    total, costs, minf = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(np.asarray(costs)).all()
+    err, _ = tr.evaluate_full("test")
+    assert 0 <= err <= 100
+    d = tr.checkpoint_dict()
+    assert len(d["allwts"][-1]) == 8  # SoftAux packs 8 tensors
+
+
 def test_deep_matcher_rejects_pool_bigger_than_filter():
     net = conv_stack_net(22, [(2, 3, 2, False, "relu07"),
                               (3, 3, 4, False, "relu15"),

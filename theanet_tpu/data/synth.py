@@ -61,3 +61,21 @@ def make_dataset(n_train=12000, n_test=2000, img_sz=28, seed=42):
 
 
 training_x, training_y, testing_x, testing_y = make_dataset()
+
+# Auxiliary location tensors (batch, 2, 2) for aux-head configs
+# (params/synth_aux.prms): deterministic pseudo-locations derived from the
+# labels with per-row jitter, matching the reference's aux-data contract
+# (train.py:131-135 loads data.training_aux when the net takes aux).
+_aux_rng = np.random.RandomState(31415)
+
+
+def _make_aux(ys):
+    base = np.stack([ys % 5, ys // 5], axis=1).astype(np.float32) / 5.0
+    rows = base[:, None, :] + _aux_rng.uniform(
+        -0.1, 0.1, size=(len(ys), 2, 2)
+    ).astype(np.float32)
+    return np.clip(rows, 0.0, 1.0)
+
+
+training_aux = _make_aux(training_y)
+testing_aux = _make_aux(testing_y)

@@ -1157,6 +1157,13 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
+    has_aux = bool(getattr(spec, "has_aux", False))
+    if has_aux:
+        # aux-input families (SoftAux head): the (B, 2, 2) location tensor
+        # rides as a flattened (B, 4) per-step block AFTER lr, so the
+        # fixed-signature families are unaffected
+        step_spec.append(pl.BlockSpec((1, B, 4), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
 
     param_specs = [
         pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -1202,7 +1209,7 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
     carrs = tuple(jnp.asarray(a) for a in const_arrs)
 
     def raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr, consts,
-                  channel_major):
+                  channel_major, aux_steps=None):
         ub, fb, pb, db = bits
         # The kernel wants channel-major rows (c*B+b). 1-channel data and
         # pre-arranged multi-channel data (channel_major=True, the Trainer's
@@ -1218,8 +1225,10 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         y_steps = y_steps.reshape(n_batches, B, 1)
         # pflip bits are i.i.d.: any fixed re-view is distribution-identical
         pb = pb.reshape(n_batches, C0 * B, HW)
-        outs = call(x_steps, y_steps, ub, fb, pb, db, lr_arr,
-                    *kparams, *kmoms, *consts)
+        step_args = [x_steps, y_steps, ub, fb, pb, db, lr_arr]
+        if has_aux:
+            step_args.append(aux_steps.reshape(n_batches, B, 4))
+        outs = call(*step_args, *kparams, *kmoms, *consts)
         new_params = list(outs[0:n_state])
         new_moms = list(outs[n_state:2 * n_state])
         # one (nb, 2) array: [:, 0] = per-step cost, [:, 1] = min true-class
@@ -1235,7 +1244,8 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
                      donate_argnums=(0, 1) if donate else ())
 
     def raw_epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no,
-                           lr_arr, consts, channel_major, shuffle):
+                           lr_arr, consts, channel_major, shuffle,
+                           aux_steps=None):
         # noise generation fused into the same program: an epoch is ONE
         # device dispatch (each dispatch costs ~36ms through this
         # environment's TPU tunnel — 4 separate rng launches were +140ms
@@ -1259,27 +1269,29 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
                 # natural (image-major) layouts: one gather at image
                 # granularity, any channel count
                 x_steps = x_steps.reshape(n_batches * B, C0 * HW)[perm]
+            if has_aux:
+                aux_steps = aux_steps.reshape(n_batches * B, 4)[perm]
         bits = epoch_noise_bits(
             jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
         )
         return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
-                         consts, channel_major)
+                         consts, channel_major, aux_steps)
 
     jitted_key = jax.jit(raw_epoch_from_key, static_argnums=(8, 9),
                          donate_argnums=(0, 1) if donate else ())
 
     def epoch(kparams, kmoms, x_steps, y_steps, bits, lr,
-              channel_major=False):
+              channel_major=False, aux_steps=None):
         lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
         return jitted(kparams, kmoms, x_steps, y_steps, bits, lr_arr, carrs,
-                      channel_major)
+                      channel_major, aux_steps)
 
     def epoch_from_key(kparams, kmoms, x_steps, y_steps, key, epoch_no, lr,
-                       channel_major=False, shuffle=False):
+                       channel_major=False, shuffle=False, aux_steps=None):
         lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
         return jitted_key(kparams, kmoms, x_steps, y_steps, key,
                           jnp.int32(epoch_no), lr_arr, carrs, channel_major,
-                          shuffle)
+                          shuffle, aux_steps)
 
     epoch._jitted = jitted  # introspection hooks (bench census)
     epoch._carrs = carrs

@@ -47,6 +47,7 @@ from .megastep import (
     _roll,
     _shift_stack,
     _tap_offsets,
+    _u01,
     _valid_mask,
     _wt_cost,
     aug_of,
@@ -103,6 +104,15 @@ class DeepSpec(NamedTuple):
     balance: float = 1.0
     gamma: float = 1.0
     maxval: float = 1.0
+    # SoftAux head (head == 'softaux', reference auxiliary.py:102-160):
+    # softmax(f@W + b + cross_b + LocationInfo(aux)@cross_w); the aux
+    # (B, 2, 2) tensor rides as an extra per-step input block
+    n_aux: tuple = ()
+    boost: float = 1.0
+
+    @property
+    def has_aux(self):
+        return self.head == "softaux"
 
     @property
     def hw(self):
@@ -154,7 +164,7 @@ def deep_spec_from_net(net):
                           InputLayer, PoolLayer, SoftmaxLayer)
 
     L = net.net_layers
-    if len(L) < 5:
+    if len(L) < 4:  # shortest match: Input -> Conv -> Pool -> SoftAux
         return None
 
     i = 0
@@ -187,6 +197,50 @@ def deep_spec_from_net(net):
     n = len(convs)
     if n < 1 or i >= len(L):
         return None
+
+    from ..layers import SoftAuxLayer
+
+    if type(L[i]) is SoftAuxLayer and i == len(L) - 1:
+        # SoftAux head directly on the conv features (synth_aux.prms):
+        # its built-in linear "hidden" plays the tail's hidden-layer role
+        head = L[i]
+        if head.loss != "nll" or head.aux_type != "LocationInfo":
+            return None
+        slopes = [_leaky_slope(c.actvn) for c in convs]
+        if any(s is None for s in slopes):
+            return None
+        if common_disqualifiers(net):
+            return None
+        for c, p in zip(convs, pools):
+            if c.stride != 1 or c.mode != "valid":
+                return None
+            if p.pool_sz > c.filter_sz:
+                return None
+        if any(not lyr.reg["rate"] for lyr in convs + [head]):
+            return None
+        if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
+               for k in range(1, n)):
+            return None
+        spec = DeepSpec(
+            batch=net.batch_sz, img=L[0].out_sz,
+            filts=tuple(c.filter_sz for c in convs),
+            pools=tuple(p.pool_sz for p in pools),
+            ibs=tuple(bool(p.ignore_border) for p in pools),
+            maps=tuple(c.num_maps for c in convs),
+            slopes=tuple(slopes),
+            n_hid=head.n_out, n_out=head.n_out, slope_h=1.0, pdrop=0.0,
+            **aug_of(aug_src),
+            regs=tuple(reg_of(c) for c in convs),
+            reg_h=reg_of(head), reg_o=reg_of(head), in_ch=L[0].num_maps,
+            head="softaux", n_classes=head.n_out,
+            n_aux=tuple(head.n_aux), boost=float(head.boost), **color_cfg,
+        )
+        if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
+            return None
+        if convs[0].num_prev_maps != spec.in_ch:
+            return None
+        return spec if _fits_vmem(spec, convs + [head], net) else None
+
     hid = L[i]
     if type(hid) is not HiddenLayer or isinstance(hid, (SoftmaxLayer,
                                                         CenteredOutLayer)):
@@ -266,19 +320,23 @@ def deep_spec_from_net(net):
     if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
         return None
 
-    # VMEM feasibility — constants sized from the actual tensors, plus the
-    # traced working set (same empirically-calibrated budget as the
-    # flagship gate; the scanned per-layer path is the fallback)
+    return spec if _fits_vmem(spec, convs + [hid, head], net) else None
+
+
+def _fits_vmem(spec, param_layers, net):
+    """VMEM feasibility — constants sized from the actual tensors, plus
+    the traced working set (same empirically-calibrated budget as the
+    flagship gate; the scanned per-layer path is the fallback)."""
     B = net.batch_sz
     const_bytes = 4 * sum(int(np.prod(c.shape))
                           for c in build_constants_deep(spec).values())
     state_bytes = 4 * 3 * sum(
-        int(np.prod(w.shape)) for lyr_ in convs + [hid, head]
+        int(np.prod(w.shape)) for lyr_ in param_layers
         for w in lyr_.get_wts()
     )
-    work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * in_ch
+    work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
                                      + 5 * spec.maps[0]))
-    for k in range(1, n):
+    for k in range(1, spec.n_levels):
         lanes = spec.sides[k][0] ** 2
         fk2 = spec.filts[k] ** 2
         rp = spec.maps[k - 1] * B
@@ -287,15 +345,12 @@ def deep_spec_from_net(net):
             + 2 * fk2 * spec.maps[k] * rp * B   # w_big + dbig_all (B^2!)
             + 5 * spec.maps[k] * B * lanes      # z/zm/mx/dz live set
         )
-    work_bytes += 4 * 8 * B * hid.n_out
+    work_bytes += 4 * 8 * B * spec.n_hid
     if spec.head != "softmax":
-        # centers (state or constant, counted in state/const above via
-        # get_wts) + the (B, NF)/(B, NC) head working set
+        # centers/aux-MLP state is counted above via get_wts; add the
+        # (B, NF)/(B, NC) head working set
         work_bytes += 4 * 6 * B * (spec.n_out + spec.n_classes)
-    if const_bytes + state_bytes + work_bytes > 22 * 1024 * 1024:
-        return None
-
-    return spec
+    return const_bytes + state_bytes + work_bytes <= 22 * 1024 * 1024
 
 
 def build_constants_deep(spec: DeepSpec):
@@ -321,7 +376,7 @@ def build_constants_deep(spec: DeepSpec):
         prev_maps = mk
     consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
                                (1, spec.maps[-1]))
-    if spec.head != "softmax" and not spec.learn_centers:
+    if spec.head in ("logit", "rbf") and not spec.learn_centers:
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
         ).reshape(spec.n_classes, spec.n_out).copy()
@@ -331,19 +386,26 @@ def build_constants_deep(spec: DeepSpec):
 def _kernel_deep(spec: DeepSpec, *refs):
     n = spec.n_levels
     B = spec.batch
-    centered = spec.head != "softmax"
-    n_state = 2 * n + 4 + (1 if centered and spec.learn_centers else 0)
+    softaux = spec.head == "softaux"
+    centered = spec.head in ("logit", "rbf")
+    n_state = (2 * n + (8 if softaux else 4)
+               + (1 if centered and spec.learn_centers else 0))
     n_consts = (1 + sum(6 if k == 0 else 7 for k in range(n)) + 1
                 + (1 if centered and not spec.learn_centers else 0))
 
     (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
-    par_refs = refs[7:7 + n_state]
-    i0 = 7 + 2 * n_state           # momentum input refs are copied, not read
+    n_step = 7
+    aux_ref = None
+    if softaux:
+        aux_ref = refs[7]
+        n_step = 8
+    par_refs = refs[n_step:n_step + n_state]
+    i0 = n_step + 2 * n_state      # momentum input refs are copied, not read
     c_refs = list(refs[i0:i0 + n_consts])
     o0 = i0 + n_consts
     out_par = refs[o0:o0 + n_state]
     out_mom = refs[o0 + n_state:o0 + 2 * n_state]
-    mom_in = refs[7 + n_state:7 + 2 * n_state]
+    mom_in = refs[n_step + n_state:n_step + 2 * n_state]
     cost_ref, minf_ref = refs[o0 + 2 * n_state], refs[o0 + 2 * n_state + 1]
 
     ss_ref = c_refs[0]
@@ -371,8 +433,9 @@ def _kernel_deep(spec: DeepSpec, *refs):
 
     ws = [out_par[2 * k][:] for k in range(n)]       # (Mk, Fk^2*M_{k-1})
     bs = [out_par[2 * k + 1][:] for k in range(n)]   # (Mk, 1)
-    wh, bh = out_par[2 * n][:], out_par[2 * n + 1][:]
-    wo, bo = out_par[2 * n + 2][:], out_par[2 * n + 3][:]
+    tail = [out_par[2 * n + j][:] for j in range(n_state - 2 * n)]
+    if not softaux:
+        wh, bh, wo, bo = tail[0], tail[1], tail[2], tail[3]
 
     x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
     y = y_ref[0]                   # (B, 1) int32
@@ -438,7 +501,28 @@ def _kernel_deep(spec: DeepSpec, *refs):
     p_embed = jnp.concatenate([pn * rm for rm in rowmasks], axis=1)
     f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
-    if centered:
+    if softaux:
+        # SoftAux head (reference auxiliary.py:102-160): softmax of the
+        # linear features plus additive aux logits from the LocationInfo
+        # encoder (random convex row-mix -> 2 -> nah(relu50) -> nao(relu01))
+        Wt, bt, w1a, b1a, w2a, b2a, cw, cb = tail
+        u = _u01(db_ref[0][:, 0:1])               # (B, 1) convex-mix draw
+        a4 = aux_ref[0]                           # (B, 4): [row0 | row1]
+        x2 = (a4[:, 0:2] * u + a4[:, 2:4] * (1.0 - u)) * spec.boost
+        z1a = _mm(x2, w1a) + b1a
+        h1a = _lrelu(z1a, 0.50)
+        z2a = _mm(h1a, w2a) + b2a
+        h2a = _lrelu(z2a, 0.01)
+        z4 = _mm(f, Wt) + bt + cb + _mm(h2a, cw)  # (B, NC)
+        zc = z4 - jnp.max(z4, axis=1, keepdims=True)
+        lse = jnp.log(jnp.sum(jnp.exp(zc), axis=1, keepdims=True))
+        logp = zc - lse
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, spec.n_out), 1)
+                  == y).astype(jnp.float32)
+        true_logp = jnp.sum(logp * onehot, axis=1, keepdims=True)
+        cost_nll, min_tl = -jnp.sum(true_logp) / B, jnp.min(true_logp)
+        cache = None
+    elif centered:
         centers = (out_par[2 * n + 4][:] if spec.learn_centers
                    else c_refs[-1][:])
         cost_nll, min_tl, cache = _dense_centered_fwd(
@@ -450,15 +534,34 @@ def _kernel_deep(spec: DeepSpec, *refs):
     cost = cost_nll
     for k in range(n):
         cost = cost + _wt_cost(spec.regs[k], (ws[k], bs[k]))
-    cost = cost + _wt_cost(spec.reg_h, (wh, bh))
-    head_wts = ((wo, bo, centers) if centered and spec.learn_centers
-                else (wo, bo))
-    cost = cost + _wt_cost(spec.reg_o, head_wts)
+    if softaux:
+        cost = cost + _wt_cost(spec.reg_o, tuple(tail))
+    else:
+        cost = cost + _wt_cost(spec.reg_h, (wh, bh))
+        head_wts = ((wo, bo, centers) if centered and spec.learn_centers
+                    else (wo, bo))
+        cost = cost + _wt_cost(spec.reg_o, head_wts)
     cost_ref[0, 0, 0] = cost
     minf_ref[0, 0, 0] = min_tl
 
     # ---------------- backward
-    if centered:
+    if softaux:
+        dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)
+        dWt = _mm(f, dz4, ta=True)
+        dbt = jnp.sum(dz4, axis=0, keepdims=True)  # == dcross_b
+        dcw = _mm(h2a, dz4, ta=True)
+        dh2a = _mm(dz4, cw, tb=True)
+        dz2a = dh2a * jnp.where(z2a > 0, 1.0, 0.01)
+        dw2a = _mm(h1a, dz2a, ta=True)
+        db2a = jnp.sum(dz2a, axis=0, keepdims=True)
+        dh1a = _mm(dz2a, w2a, tb=True)
+        dz1a = dh1a * jnp.where(z1a > 0, 1.0, 0.50)
+        dw1a = _mm(x2, dz1a, ta=True)
+        db1a = jnp.sum(dz1a, axis=0, keepdims=True)
+        df = _mm(dz4, Wt, tb=True)
+        tail_grads = [dWt, dbt, dw1a, db1a, dw2a, db2a, dcw, dbt]
+        dcenters = None
+    elif centered:
         dwh, dbh, dwo, dbo, dcenters, df = _dense_centered_bwd(
             spec, cache, f, wh, wo, centers)
     else:
@@ -520,15 +623,25 @@ def _kernel_deep(spec: DeepSpec, *refs):
                         spec.regs[k], "rows"))
         updates.append((out_par[2 * k + 1], out_mom[2 * k + 1], dbs[k],
                         spec.regs[k], "bias"))
-    updates += [
-        (out_par[2 * n], out_mom[2 * n], dwh, spec.reg_h, "cols"),
-        (out_par[2 * n + 1], out_mom[2 * n + 1], dbh, spec.reg_h, "bias"),
-        (out_par[2 * n + 2], out_mom[2 * n + 2], dwo, spec.reg_o, "cols"),
-        (out_par[2 * n + 3], out_mom[2 * n + 3], dbo, spec.reg_o, "bias"),
-    ]
-    if dcenters is not None:
-        updates.append((out_par[2 * n + 4], out_mom[2 * n + 4], dcenters,
-                        spec.reg_o, "cols"))
+    if softaux:
+        kinds = ["cols", "bias", "cols", "bias", "cols", "bias", "cols",
+                 "bias"]
+        for j, (g, kind) in enumerate(zip(tail_grads, kinds)):
+            updates.append((out_par[2 * n + j], out_mom[2 * n + j], g,
+                            spec.reg_o, kind))
+    else:
+        updates += [
+            (out_par[2 * n], out_mom[2 * n], dwh, spec.reg_h, "cols"),
+            (out_par[2 * n + 1], out_mom[2 * n + 1], dbh, spec.reg_h,
+             "bias"),
+            (out_par[2 * n + 2], out_mom[2 * n + 2], dwo, spec.reg_o,
+             "cols"),
+            (out_par[2 * n + 3], out_mom[2 * n + 3], dbo, spec.reg_o,
+             "bias"),
+        ]
+        if dcenters is not None:
+            updates.append((out_par[2 * n + 4], out_mom[2 * n + 4],
+                            dcenters, spec.reg_o, "cols"))
     _apply_updates(updates, lr)
 
 
@@ -546,11 +659,19 @@ def kernel_layout_deep(allwts, spec: DeepSpec):
                                                    F * F * prev))
         out.append(b.reshape(spec.maps[k], 1))
         prev = spec.maps[k]
+    if spec.head == "softaux":
+        h = allwts[spec.n_levels]  # [W, b, w1, b1, w2, b2, cross_w, cross_b]
+        nah, nao = spec.n_aux
+        out += [h[0], h[1].reshape(1, spec.n_out),
+                h[2], h[3].reshape(1, nah),
+                h[4], h[5].reshape(1, nao),
+                h[6], h[7].reshape(1, spec.n_out)]
+        return out
     wh, bh = allwts[spec.n_levels]
     head = allwts[spec.n_levels + 1]
     out += [wh, bh.reshape(1, spec.n_hid), head[0],
             head[1].reshape(1, spec.n_out)]
-    if spec.head != "softmax" and spec.learn_centers:
+    if spec.head in ("logit", "rbf") and spec.learn_centers:
         out.append(head[2])  # centers (n_classes, n_feats)
     return out
 
@@ -565,11 +686,19 @@ def framework_layout_deep(kparams, spec: DeepSpec):
         out.append([w.transpose(0, 3, 1, 2), kparams[2 * k + 1].reshape(
             spec.maps[k])])
         prev = spec.maps[k]
-    wh, bh = kparams[2 * spec.n_levels], kparams[2 * spec.n_levels + 1]
-    wo, bo = kparams[2 * spec.n_levels + 2], kparams[2 * spec.n_levels + 3]
+    j = 2 * spec.n_levels
+    if spec.head == "softaux":
+        nah, nao = spec.n_aux
+        out.append([kparams[j], kparams[j + 1].reshape(spec.n_out),
+                    kparams[j + 2], kparams[j + 3].reshape(nah),
+                    kparams[j + 4], kparams[j + 5].reshape(nao),
+                    kparams[j + 6], kparams[j + 7].reshape(spec.n_out)])
+        return out
+    wh, bh = kparams[j], kparams[j + 1]
+    wo, bo = kparams[j + 2], kparams[j + 3]
     head = [wo, bo.reshape(spec.n_out)]
-    if spec.head != "softmax" and spec.learn_centers:
-        head.append(kparams[2 * spec.n_levels + 4])
+    if spec.head in ("logit", "rbf") and spec.learn_centers:
+        head.append(kparams[j + 4])
     out += [[wh, bh.reshape(spec.n_hid)], head]
     return out
 
@@ -587,10 +716,16 @@ def make_deep_epoch_fn(spec: DeepSpec, n_batches: int, interpret=None,
         F = spec.filts[k]
         kshapes += [(spec.maps[k], F * F * prev), (spec.maps[k], 1)]
         prev = spec.maps[k]
-    kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
-                (spec.n_hid, spec.n_out), (1, spec.n_out)]
-    if spec.head != "softmax" and spec.learn_centers:
-        kshapes.append((spec.n_classes, spec.n_out))
+    if spec.head == "softaux":
+        nah, nao = spec.n_aux
+        kshapes += [(spec.n_flat, spec.n_out), (1, spec.n_out),
+                    (2, nah), (1, nah), (nah, nao), (1, nao),
+                    (nao, spec.n_out), (1, spec.n_out)]
+    else:
+        kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
+                    (spec.n_hid, spec.n_out), (1, spec.n_out)]
+        if spec.head in ("logit", "rbf") and spec.learn_centers:
+            kshapes.append((spec.n_classes, spec.n_out))
     return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
                           functools.partial(_kernel_deep, spec),
                           interpret=interpret, donate=donate)

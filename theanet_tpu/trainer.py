@@ -61,6 +61,10 @@ class Trainer:
         self.d_train_y = jnp.asarray(train_y, dtype=jnp.int32)
         self.d_test_x = jnp.asarray(test_x, dtype=jnp.float32)
         self.d_test_y = jnp.asarray(test_y, dtype=jnp.int32)
+        if not net.takes_aux():
+            # aux tensors are consumed only by aux-head nets (reference
+            # train.py:131-135); datasets may still ship them
+            train_aux = test_aux = None
         self.d_train_aux = (
             jnp.asarray(train_aux, dtype=jnp.float32) if train_aux is not None else None
         )
@@ -249,12 +253,16 @@ class Trainer:
         if want_mega:
             from .ops import megastep as mega_mod
 
-            eligible = (mesh is None and self.d_train_aux is None
-                        and self.n_train_batches >= 1
+            eligible = (mesh is None and self.n_train_batches >= 1
                         and train_x.shape[2] == train_x.shape[3])
             plan = mega_mod.fused_plan(net) if eligible else None
             if plan is not None and train_x.shape[1] != plan.spec.in_ch:
                 plan = None  # data channels disagree with the net spec
+            if plan is not None:
+                # aux-input families need the aux tensor present
+                if (getattr(plan.spec, "has_aux", False)
+                        and self.d_train_aux is None):
+                    plan = None
             if plan is None and mega_mode is True:
                 # forced but impossible: fail loudly instead of silently
                 # training ~5x slower on the per-layer path
@@ -296,6 +304,10 @@ class Trainer:
                 else:
                     self._mega_x = self.d_train_x[:n_use]
                     self._mega_y = self.d_train_y[:n_use]
+                self._mega_aux = (
+                    self.d_train_aux[: nb_m * bsz].reshape(nb_m, bsz, 4)
+                    if getattr(spec, "has_aux", False) else None
+                )
                 # the plan's make_epoch_fn jits internally (donating
                 # params/moms) with the constant operands as call args — do
                 # not re-jit it.
@@ -341,6 +353,7 @@ class Trainer:
             self._kp, self._km, self._mega_x, self._mega_y,
             self.net.base_key, epoch_no, jnp.float32(lr),
             channel_major=True, shuffle=self.shuffle,
+            aux_steps=self._mega_aux,
         )
         cost_minf = np.asarray(cost_minf)  # ONE device->host transfer
         costs = cost_minf[:, 0]
@@ -406,6 +419,7 @@ class Trainer:
                 self._kp, self._km, self._mega_x, self._mega_y,
                 self.net.base_key, epoch_no, jnp.float32(lr),
                 channel_major=True, shuffle=self.shuffle,
+                aux_steps=self._mega_aux,
             )
             cms.append(cm)
             self.net.inc_epoch_set_rate()
