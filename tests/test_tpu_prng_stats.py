@@ -122,10 +122,14 @@ def _mega_consistency(make_fn, spec, kshapes, layer_idx=None, n_batches=8,
         rng.randint(0, spec.n_out, (n_batches, B, 1)).astype(np.int32))
     bits = epoch_noise_bits(
         jax.random.key(7, impl="rbg"), spec, n_batches)
+    extra = {}
+    if getattr(spec, "has_aux", False):
+        extra["aux_steps"] = jnp.asarray(
+            rng.rand(n_batches, B, 4).astype(np.float32))
     outs = {}
     for interp in (False, True):
         f = make_fn(spec, n_batches, interpret=interp)
-        p2, m2, cm = f(kp, km, x, y, bits, 0.1, channel_major=True)
+        p2, m2, cm = f(kp, km, x, y, bits, 0.1, channel_major=True, **extra)
         outs[interp] = (np.asarray(cm),
                         [np.asarray(t) for t in p2])
     cm_hw, p_hw = outs[False]
@@ -214,6 +218,27 @@ def test_megastep_deep_color_hardware_matches_interpret():
     )
     kshapes = [(2, 9 * 3), (2, 1), (spec.n_flat, 16), (1, 16), (16, 4),
                (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
+def test_megastep_softaux_hardware_matches_interpret():
+    """SoftAux head (aux step input + LocationInfo encoder + cross logits)
+    through Mosaic vs interpret on the same bits."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=12, filts=(3,), pools=(2,), ibs=(False,),
+        maps=(2,), slopes=(0.1,),
+        n_hid=4, n_out=4, slope_h=1.0, pdrop=0.0,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg,), reg_h=reg, reg_o=reg,
+        head="softaux", n_classes=4, n_aux=(5, 9), boost=1.0,
+    )
+    kshapes = [(2, 9), (2, 1), (spec.n_flat, 4), (1, 4),
+               (2, 5), (1, 5), (5, 9), (1, 9), (9, 4), (1, 4)]
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
 
 
