@@ -101,8 +101,7 @@ def test_megafused_matches_unfused_on_tpu():
             np.testing.assert_allclose(wm, wu, atol=2e-3)
 
 
-def _mega_consistency(make_fn, spec, kshapes, layer_idx=None, n_batches=8,
-                      atol=2e-2):
+def _mega_consistency(make_fn, spec, kshapes, n_batches=8, atol=2e-2):
     """Hardware-vs-interpret trajectory check: the fused kernels inject all
     randomness as bit tensors, so the SAME bits through the Mosaic-compiled
     kernel and the interpret-mode kernel must give the same trajectory up

@@ -152,13 +152,41 @@ def deep_layer_idx(net):
                  if isinstance(lyr, (ConvLayer, HiddenLayer)))
 
 
+def _conv_stack_ok(convs, pools, net):
+    """Shared eligibility checks for a matched conv/pool stack: returns
+    the per-level leaky slopes, or None if any check fails."""
+    for c, p in zip(convs, pools):
+        if c.stride != 1 or c.mode != "valid":
+            return None
+        # lane-roll safety: the f-1 lanes of row padding absorb pool reads
+        # past a row's valid columns only while pool_sz <= filter_sz
+        if p.pool_sz > c.filter_sz:
+            return None
+    slopes = [_leaky_slope(c.actvn) for c in convs]
+    if any(s is None for s in slopes):
+        return None
+    if common_disqualifiers(net):
+        return None
+    # frozen layers keep no momentum buffers in the framework layout
+    if any(not c.reg["rate"] for c in convs):
+        return None
+    # every deep level's patch matrix sublane-concatenates
+    # maps[k-1]*B-row pieces
+    if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
+           for k in range(1, len(convs))):
+        return None
+    return slopes
+
+
 def deep_spec_from_net(net):
     """Return a DeepSpec if the net matches [Color ->] [Elastic/Input ->]
     (Conv -> Pool)*n -> Hidden -> [DropOut ->] Head for n >= 1 (leaky-relu
     conv/hidden activations, nll loss, plain f32 single-chip training,
-    VMEM-resident working set), else None. Head is SoftmaxLayer or
-    CenteredOutLayer (LOGIT/RBF). The bare n == 2 Softmax pattern is the
-    flagship megastep kernel's and is deliberately not matched here."""
+    VMEM-resident working set), else None. Head is SoftmaxLayer,
+    CenteredOutLayer (LOGIT/RBF), or — directly on the conv features,
+    without the Hidden/DropOut — SoftAuxLayer (the aux-input head). The
+    bare n == 2 Softmax pattern is the flagship megastep kernel's and is
+    deliberately not matched here."""
     from ..layers import (CenteredOutLayer, ColorLayer, ConvLayer,
                           DropOutLayer, ElasticLayer, HiddenLayer,
                           InputLayer, PoolLayer, SoftmaxLayer)
@@ -206,20 +234,8 @@ def deep_spec_from_net(net):
         head = L[i]
         if head.loss != "nll" or head.aux_type != "LocationInfo":
             return None
-        slopes = [_leaky_slope(c.actvn) for c in convs]
-        if any(s is None for s in slopes):
-            return None
-        if common_disqualifiers(net):
-            return None
-        for c, p in zip(convs, pools):
-            if c.stride != 1 or c.mode != "valid":
-                return None
-            if p.pool_sz > c.filter_sz:
-                return None
-        if any(not lyr.reg["rate"] for lyr in convs + [head]):
-            return None
-        if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
-               for k in range(1, n)):
+        slopes = _conv_stack_ok(convs, pools, net)
+        if slopes is None or not head.reg["rate"]:
             return None
         spec = DeepSpec(
             batch=net.batch_sz, img=L[0].out_sz,
@@ -271,35 +287,17 @@ def deep_spec_from_net(net):
     in_ch = L[0].num_maps
     if convs[0].num_prev_maps != in_ch:
         return None
-    for c, p in zip(convs, pools):
-        if c.stride != 1 or c.mode != "valid":
-            return None
-        # same lane-roll safety bound as the flagship kernel: the f-1
-        # lanes of row padding absorb pool reads past a row's valid
-        # columns only while pool_sz <= filter_sz
-        if p.pool_sz > c.filter_sz:
-            return None
     if head.loss != "nll":
         return None
-    slopes = [_leaky_slope(c.actvn) for c in convs]
+    slopes = _conv_stack_ok(convs, pools, net)
     slope_h = _leaky_slope(hid.actvn)
-    if any(s is None for s in slopes) or slope_h is None:
+    if slopes is None or slope_h is None:
         return None
-    if common_disqualifiers(net):
+    # frozen tail layers keep no momentum buffers in the framework layout
+    if any(not lyr.reg["rate"] for lyr in (hid, head)):
         return None
 
     aug = aug_of(aug_src)
-
-    # frozen layers keep no momentum buffers in the framework layout; the
-    # layout converters assume every fused layer is live
-    if any(not lyr.reg["rate"] for lyr in convs + [hid, head]):
-        return None
-
-    # every deep level's patch matrix sublane-concatenates
-    # maps[k-1]*B-row pieces
-    if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
-           for k in range(1, n)):
-        return None
 
     spec = DeepSpec(
         batch=net.batch_sz, img=L[0].out_sz,

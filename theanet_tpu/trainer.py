@@ -268,13 +268,14 @@ class Trainer:
                 # training ~5x slower on the per-layer path
                 raise ValueError(
                     "MEGAFUSED=True, but this configuration cannot use a "
-                    "fused epoch kernel (supported: Input/Elastic -> "
-                    "(Conv -> Pool)*n -> Hidden -> Softmax(nll)/"
-                    "CenteredOut, any depth n >= 1, pool_sz <= the "
-                    "adjacent filter_sz, "
+                    "fused epoch kernel (supported: [Color ->] [Elastic "
+                    "->] (Conv -> Pool)*n -> Hidden -> [DropOut ->] "
+                    "Softmax(nll)/CenteredOut, any depth n >= 1, pool_sz "
+                    "<= the adjacent filter_sz; (Conv -> Pool)*n -> "
+                    "SoftAux (aux data required); "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
-                    "no mesh/aux, working set within VMEM — see "
+                    "no mesh, working set within VMEM — see "
                     "docs/tutorial.md). Use MEGAFUSED='auto' to fall back "
                     "silently."
                 )
