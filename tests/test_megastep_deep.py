@@ -658,6 +658,23 @@ def test_softaux_trainer_end_to_end():
     assert len(d["allwts"][-1]) == 8  # SoftAux packs 8 tensors
 
 
+def test_unconsumed_aux_does_not_block_fusion():
+    """Datasets may ship aux tensors (synth now does); a net that does not
+    take aux must still engage the fused path — the Trainer normalizes
+    provided-but-unconsumed aux away."""
+    net = conv_stack_net(14, [(2, 3, 2, False, "relu07")], 8, 3, 4,
+                         mega=True)
+    rng = np.random.RandomState(1)
+    x = rng.rand(8, 1, 14, 14).astype(np.float32)
+    y = rng.randint(0, 3, 8).astype(np.int32)
+    aux = rng.rand(8, 2, 2).astype(np.float32)
+    tr = Trainer(net, x, y, x[:4], y[:4], train_aux=aux, test_aux=aux[:4])
+    assert tr.d_train_aux is None  # normalized: the net takes no aux
+    assert tr._mega is not None    # fusion not blocked by the stray aux
+    total, _, _ = tr.run_epoch()
+    assert np.isfinite(total)
+
+
 def test_deep_matcher_rejects_pool_bigger_than_filter():
     net = conv_stack_net(22, [(2, 3, 2, False, "relu07"),
                               (3, 3, 4, False, "relu15"),
