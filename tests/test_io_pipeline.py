@@ -190,3 +190,48 @@ def test_streamed_steps_advance_across_epochs():
     _, c2 = tr.run_epoch_streamed([(x, y)], lr=0.0)
     # same data, frozen params; only the dropout key differs -> costs differ
     assert c1[0] != c2[0]
+
+
+def test_pipeline_streams_aux_end_to_end():
+    """HostPipeline(data_aux=...) yields (x, y, aux) with aux rows gathered
+    by the same shuffled order, and an aux-head (SoftAux) net trains
+    end-to-end from the streamed path — reference train.py:131-135."""
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    rng = np.random.RandomState(3)
+    n = 120
+    x = rng.rand(n, 1, 8, 8).astype(np.float32)
+    y = rng.randint(0, 4, n).astype(np.int32)
+    # aux rows tied to the label so the gather order is verifiable
+    aux = np.zeros((n, 2, 2), np.float32)
+    aux[:, :, :] = y[:, None, None]
+
+    # order check without device upload: aux rides the same shuffle as y
+    pipe = HostPipeline(x, y, 10, data_aux=aux, shuffle=True, seed=5,
+                        to_device=False)
+    for bx, by, baux in pipe:
+        assert baux.shape == (10, 2, 2)
+        np.testing.assert_array_equal(baux[:, 0, 0].astype(np.int32), by)
+
+    spec = [
+        ["InputLayer", {"img_sz": 8}],
+        ["HiddenLayer", {"n_out": 16}],
+        ["SoftAuxLayer", {"n_out": 4, "n_aux": (5, 9),
+                          "aux_type": "LocationInfo"}],
+    ]
+    prms = {"SEED": 2, "BATCH_SZ": 10, "NUM_EPOCHS": 1, "EPOCHS_TO_TEST": 1,
+            "TEST_SAMP_SZ": 40, "INIT_LEARNING_RATE": 0.2,
+            "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(spec, prms)
+    tr = Trainer(net, x[:40], y[:40], x[:40], y[:40],
+                 train_aux=aux[:40], test_aux=aux[:40])
+    for _ in range(3):
+        pipe = HostPipeline(
+            x, y, 10, data_aux=aux, shuffle=True,
+            deform={"translation": 1, "magnitude": 3, "sigma": 2},
+            seed=net.get_epoch(),
+        )
+        total, costs = tr.run_epoch_streamed(pipe)
+        assert len(costs) == 12 and np.isfinite(total)
+        net.inc_epoch_set_rate()

@@ -1,0 +1,142 @@
+"""Fused-epoch kernel x data parallelism: the megastep_dp path must track
+single-device fused execution step by step on the 8-device virtual CPU mesh.
+
+Tolerance justification (same analysis as tests/test_sharding.py:56-64):
+the DP decomposition only changes (a) the batch-dim reduction order of the
+loss/grad means (n-shard partial sums combined by pmean) and (b) the row
+count of the striped conv matmuls (B -> B/n per shard). In interpret mode
+both are exact-f32 reassociations — few-ulp effects on O(1) magnitudes; a
+wrong collective (missing/double pmean, wrong axis, wrong shard layout)
+produces O(1) or O(n) errors and fails the 1e-4 gate immediately.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from theanet_tpu.model import NeuralNet
+from theanet_tpu.parallel.mesh import make_mesh
+from theanet_tpu.trainer import Trainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def spec(pflip=0.01, pdrop=0.5):
+    return [
+        ["ElasticLayer", {"img_sz": 12, "translation": 1, "zoom": 1.05,
+                          "magnitude": 5, "sigma": 3, "pflip": pflip,
+                          "angle": 2}],
+        ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                       "actvn": "relu10", "reg": {"L2": 0.001}}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 6, "filter_sz": 3, "stride": 1,
+                       "actvn": "relu05"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 32, "pdrop": pdrop,
+                         "reg": {"maxnorm": 2}}],
+        ["SoftmaxLayer", {"n_out": 10}],
+    ]
+
+
+def prms(batch_sz=16):
+    return {"SEED": 31, "BATCH_SZ": batch_sz, "NUM_EPOCHS": 1,
+            "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch_sz,
+            "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 1,
+            "MEGAFUSED": True}
+
+
+def make_data(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, 1, 12, 12).astype(np.float32),
+            rng.randint(0, 10, n).astype(np.int32))
+
+
+def make_pair(n_data, batch_sz=16, **spec_kw):
+    x, y = make_data(4 * batch_sz)
+    net1 = NeuralNet(spec(**spec_kw), prms(batch_sz))
+    tr1 = Trainer(net1, x, y, x, y)
+    net2 = NeuralNet(spec(**spec_kw), prms(batch_sz))
+    tr2 = Trainer(net2, x, y, x, y,
+                  mesh=make_mesh(n_data=n_data, n_model=1))
+    return net1, tr1, net2, tr2
+
+
+def test_dp_fused_path_selected():
+    _, tr1, _, tr2 = make_pair(n_data=4)
+    assert tr1._mega is not None, "single-chip fused path not selected"
+    assert tr2._mega is not None, "DP fused path not selected"
+    assert tr2._mega_epoch.from_key is not tr1._mega_epoch.from_key
+    assert getattr(tr2._mega_epoch, "n_data", None) == 4
+
+
+@pytest.mark.parametrize("n_data", [2, 4, 8])
+def test_dp_matches_single_device_fused_trajectory(n_data):
+    net1, tr1, net2, tr2 = make_pair(n_data)
+    for epoch in range(2):
+        t1, costs1, minf1 = tr1.run_epoch()
+        t2, costs2, minf2 = tr2.run_epoch()
+        for s, (c1, c2) in enumerate(zip(costs1, costs2)):
+            rel = abs(c1 - c2) / max(abs(c1), 1.0)
+            assert rel < 1e-4, (
+                f"n={n_data} epoch {epoch} step {s}: {c1} vs {c2}"
+            )
+        np.testing.assert_allclose(minf1, minf2, atol=1e-4)
+        net1.inc_epoch_set_rate()
+        net2.inc_epoch_set_rate()
+    # end-state weights in framework layout agree (pulls the kernel-layout
+    # state through the layout converters on both sides)
+    tr1._mega_sync_frame()
+    tr2._mega_sync_frame()
+    for lp1, lp2 in zip(tr1.params, tr2.params):
+        for w1, w2 in zip(lp1, lp2):
+            np.testing.assert_allclose(
+                np.asarray(w1), np.asarray(w2), atol=1e-4
+            )
+
+
+def test_dp_shuffle_matches_single_device_fused():
+    x, y = make_data(64)
+    p = prms(16)
+    p["SHUFFLE"] = True
+    net1 = NeuralNet(spec(), dict(p))
+    tr1 = Trainer(net1, x, y, x, y)
+    net2 = NeuralNet(spec(), dict(p))
+    tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+    _, costs1, _ = tr1.run_epoch()
+    _, costs2, _ = tr2.run_epoch()
+    np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
+
+
+def test_dp_eval_and_checkpoint_sync():
+    """Eval/checkpoint pull the DP kernel-layout state back through the
+    replicated converters."""
+    _, tr1, net2, tr2 = make_pair(n_data=4)
+    tr1.run_epoch()
+    tr2.run_epoch()
+    e1 = tr1.evaluate_full("test")
+    e2 = tr2.evaluate_full("test")
+    np.testing.assert_allclose(e1, e2, atol=0.2)
+    d = tr2.checkpoint_dict()
+    assert len(d["allwts"]) == len(net2.net_layers)
+
+
+def test_tp_mesh_falls_back_to_scanned():
+    """A mesh with a model axis keeps the scanned GSPMD path (and auto mode
+    must not raise)."""
+    x, y = make_data(64)
+    p = prms(16)
+    p["MEGAFUSED"] = "auto"
+    net = NeuralNet(spec(), p)
+    tr = Trainer(net, x, y, x, y, mesh=make_mesh(n_data=4, n_model=2))
+    assert tr._mega is None
+    total, _, _ = tr.run_epoch()
+    assert np.isfinite(total)
+
+
+def test_dp_indivisible_batch_rejected():
+    x, y = make_data(60)
+    net = NeuralNet(spec(), prms(15))
+    with pytest.raises(ValueError, match="does not divide"):
+        Trainer(net, x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))

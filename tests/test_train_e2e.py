@@ -119,3 +119,39 @@ def test_cli_end_to_end(tmp_path):
         cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc2.returncode == 0, proc2.stderr[-2000:]
+
+
+def test_cli_chained_intervals(tmp_path):
+    """EPOCHS_TO_TEST > 1 chains the interval's epochs into one run_epochs
+    dispatch (one device sync per interval); the epoch-table protocol must be
+    unchanged: test rows at epochs 0, 2, 4 plus the final full-set row."""
+    prms = {
+        "layers": [
+            ["InputLayer", {}],
+            ["HiddenLayer", {"n_out": 32, "pdrop": 0.25}],
+            ["SoftmaxLayer", {"n_out": 10}],
+        ],
+        "training_params": {
+            "SEED": 11, "BATCH_SZ": 50, "NUM_EPOCHS": 5, "EPOCHS_TO_TEST": 2,
+            "TEST_SAMP_SZ": 200, "INIT_LEARNING_RATE": 0.2,
+            "EPOCHS_TO_HALF_RATE": 2,
+        },
+    }
+    cfg = tmp_path / "chained.prms"
+    cfg.write_text(repr(prms))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), "synth", str(cfg)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # chained dispatch visible on stderr: epochs 1-2 ran as one chunk
+    assert "epochs 1-2 took" in proc.stderr, proc.stderr[-2000:]
+    # protocol: test rows for epochs 0, 2, 4 and the final full-set row
+    rows = [l for l in proc.stdout.splitlines() if "%  (" in l]
+    assert len(rows) == 4, proc.stdout
+    labels = [int(l.split()[0]) for l in rows]
+    assert labels == [0, 2, 4, 5], proc.stdout

@@ -168,3 +168,21 @@ def test_shuffle_fused_matches_scanned_trajectory():
     for lf, ls in zip(df["allwts"], ds["allwts"]):
         for wf, wsa in zip(lf, ls):
             np.testing.assert_allclose(wf, wsa, atol=1e-4)
+
+
+def test_evaluate_preds_feats():
+    """evaluate(preds_feats=True) appends the head's (features, y_preds)
+    over the window — reference get_test_model(preds_feats=True)
+    (neuralnet.py:272-273) — and they agree with predict() on the same
+    samples."""
+    _, tr, x, y = mk_trainer()
+    err, second, feats, preds = tr.evaluate("test", [0, 2], preds_feats=True)
+    # the stats are unchanged by the extra outputs
+    err0, second0 = tr.evaluate("test", [0, 2])
+    np.testing.assert_allclose((err, second), (err0, second0), rtol=1e-6)
+    assert feats.shape == (16, 4) and preds.shape == (16,)
+    # same window through the serving path: identical features/predictions
+    idx = np.concatenate([np.arange(0, 8), np.arange(16, 24)])
+    pf, pp = tr.predict(x[idx])
+    np.testing.assert_allclose(feats, pf, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(preds, pp)

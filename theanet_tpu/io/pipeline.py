@@ -164,18 +164,26 @@ def _put(q, item, stop, poll_s=0.1):
 
 
 class HostPipeline:
-    """Double-buffered producer of (x, y) device batches.
+    """Double-buffered producer of (x, y) or (x, y, aux) device batches.
 
     Background threads assemble shuffled batches (native gather), optionally
     deform them on the host (native thread-pool deformer), and push device
     arrays through a bounded queue so upload overlaps device compute —
-    extras/deformer.py's producer/consumer design, rebuilt.
+    extras/deformer.py's producer/consumer design, rebuilt. When ``data_aux``
+    is given, aux rows ride along with the same shuffled gather (the
+    reference plumbs aux beside x/y the same way, train.py:131-135) and the
+    pipeline yields (x, y, aux) triples for aux-head nets.
     """
 
-    def __init__(self, data_x, data_y, batch_sz, *, deform: Optional[dict] = None,
+    def __init__(self, data_x, data_y, batch_sz, *, data_aux=None,
+                 deform: Optional[dict] = None,
                  shuffle=True, seed=0, depth=2, to_device=True):
         self.data_x = np.ascontiguousarray(data_x, dtype=np.float32)
         self.data_y = np.asarray(data_y, dtype=np.int32)
+        self.data_aux = (
+            np.ascontiguousarray(data_aux, dtype=np.float32)
+            if data_aux is not None else None
+        )
         self.batch_sz = batch_sz
         self.deform = deform
         self.shuffle = shuffle
@@ -211,6 +219,10 @@ class HostPipeline:
                 idx = order[b * self.batch_sz : (b + 1) * self.batch_sz]
                 x = gather_rows_host(self.data_x, idx)
                 y = self.data_y[idx]
+                aux = (
+                    gather_rows_host(self.data_aux, idx)
+                    if self.data_aux is not None else None
+                )
                 if self.deform:
                     d = self.deform
                     h, w = x.shape[2], x.shape[3]
@@ -236,7 +248,10 @@ class HostPipeline:
                     import jax
 
                     x, y = jax.device_put(x), jax.device_put(y)
-                if not _put(q, (x, y), stop):
+                    if aux is not None:
+                        aux = jax.device_put(aux)
+                item = (x, y) if aux is None else (x, y, aux)
+                if not _put(q, item, stop):
                     return
             _put(q, None, stop)
 

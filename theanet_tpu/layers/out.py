@@ -95,6 +95,12 @@ class OutputMixin:
             return jnp.mean(jnp.exp(-_true_class(hs["output"], y)))
         raise NotImplementedError("Loss : " + str(loss))
 
+    def features_and_predictions(self, hs):
+        """(features, y_preds) — reference outlayers.py:66-67, appended to
+        eval outputs when get_test_model is built with preds_feats=True
+        (neuralnet.py:272-273)."""
+        return hs["features"], hs["y_preds"]
+
     def sym_and_oth_err_rate(self, hs, y):
         sym_err_rate = jnp.mean((hs["y_preds"] != y).astype(jnp.float32))
         if self.kind == "LOGIT":

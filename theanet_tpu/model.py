@@ -334,11 +334,16 @@ class NeuralNet:
         params, moms = apply_updates(self.net_layers, params, moms, grads, lr)
         return params, moms, cost_val, hs["features"], hs["logprob"]
 
-    def eval_step(self, params, x, y, *, aux=None):
+    def eval_step(self, params, x, y, *, aux=None, preds_feats=False):
         """Eval statistics (sym_err_rate, second_stat) — reference
-        sym_and_oth_err_rate (outlayers.py:69-80)."""
+        sym_and_oth_err_rate (outlayers.py:69-80). With ``preds_feats``
+        the head's (features, y_preds) are appended, mirroring
+        get_test_model(preds_feats=True) (neuralnet.py:272-273)."""
         hs = self.forward(params, x, key=self.base_key, train=False, aux=aux)
-        return self.head.sym_and_oth_err_rate(hs, y)
+        stats = self.head.sym_and_oth_err_rate(hs, y)
+        if preds_feats:
+            return stats + self.head.features_and_predictions(hs)
+        return stats
 
     def predict(self, params, x, *, aux=None, get_output_of_layers=()):
         """Deployment entry point: features + predictions on raw arrays, with

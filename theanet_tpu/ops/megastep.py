@@ -811,70 +811,35 @@ def _apply_updates(updates, lr):
         p_ref[:] = p_new
 
 
-def _kernel(spec: MegaSpec,
-            debug_stage,  # None | 'fwd' | 'bwd_dense' | 'bwd_conv2' — dev
-            # timing ablation: truncate the step after the named segment
-            # inputs, in order
-            x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
-            a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
-            aow_ref, aob_ref,
-            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-            em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-            sumsel_ref,
-            sh2_ref,
-            # outputs
-            ow1, ob1, ow2, ob2, owh, obh, owo, obo,
-            oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
-            cost_ref, minf_ref):
+def _conv_fwd_bwd(spec, debug_stage, x, y, params,
+                  ub_ref, fb_ref, pb_ref, db_ref,
+                  ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
+                  em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
+                  sumsel_ref, sh2_ref):
+    """One step's fused forward + backward: augmentation -> striped-matmul
+    conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
+    Shared by the whole-epoch kernel (_kernel, which applies the momentum
+    update to its persistent VMEM state) and the per-step gradient kernel
+    (_kernel_grad, the data-parallel building block whose gradients are
+    psum'd across the mesh outside the kernel).
+
+    Returns (cost, minf, grads8-or-None); grads is None when a
+    ``debug_stage`` truncation ended the step early (cost then carries a
+    consumption sum so Mosaic cannot dead-code-eliminate the timed
+    segment)."""
     B, H = spec.batch, spec.img
     F1, F2 = spec.filt1, spec.filt2
     M1, M2 = spec.maps1, spec.maps2
     HW = spec.hw
     P1SQ = spec.p1 * spec.p1
     P2SQ = spec.p2 * spec.p2
-    NH, NC = spec.n_hid, spec.n_out
-    NF = spec.n_flat
-    step = pl.program_id(0)
-
-    if debug_stage == "noop0":     # floor before ANY kernel structure
-        cost_ref[0, 0, 0] = jnp.sum(x_ref[0])
-        minf_ref[0, 0, 0] = 0.0
-        return
-
-    state = [
-        (ow1, w1_ref), (ob1, b1_ref), (ow2, w2_ref), (ob2, b2_ref),
-        (owh, wh_ref), (obh, bh_ref), (owo, wo_ref), (obo, bo_ref),
-        (oa1w, a1w_ref), (oa1b, a1b_ref), (oa2w, a2w_ref), (oa2b, a2b_ref),
-        (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
-    ]
-
-    @pl.when(step == 0)
-    def _init():
-        for out, inp in state:
-            out[:] = inp[:]
-
-    w1, b1 = ow1[:], ob1[:]        # (M1, F^2*C0), (M1, 1)
-    w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
-    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
-    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
-
     C0 = spec.in_ch
-    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
-    y = y_ref[0]                   # (B, 1) int32
-    lr = lr_ref[0, 0]
-
-    if debug_stage == "noop":      # pure grid/DMA floor measurement
-        cost_ref[0, 0, 0] = jnp.sum(x)
-        minf_ref[0, 0, 0] = 0.0
-        return
+    w1, b1, w2, b2, wh, bh, wo, bo = params
 
     aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
 
     if debug_stage == "aug":
-        cost_ref[0, 0, 0] = jnp.sum(aug)  # consume so nothing is DCE'd
-        minf_ref[0, 0, 0] = 0.0
-        return
+        return jnp.sum(aug), 0.0, None  # consume so nothing is DCE'd
 
     # ---------------- conv1 (striped matmul per tap) + pool1
     # Conv1 keeps a per-tap loop: its rolled pieces are B-row (20) blocks,
@@ -895,9 +860,7 @@ def _kernel(spec: MegaSpec,
     p1 = _mm(mx1, c1_ref[:], hi=spec.exact_movement)      # (R1, P1SQ)
 
     if debug_stage == "conv1":
-        cost_ref[0, 0, 0] = jnp.sum(p1)
-        minf_ref[0, 0, 0] = 0.0
-        return
+        return jnp.sum(p1), 0.0, None
 
     # ---------------- conv2 (single tap-stacked matmul) + pool2
     # The 9 tap shifts are applied by one-hot shift MATMULS (pltpu.roll
@@ -925,9 +888,7 @@ def _kernel(spec: MegaSpec,
     p2 = _mm(mx2, c2_ref[:], hi=spec.exact_movement)      # (R2, P2SQ)
 
     if debug_stage == "conv2":
-        cost_ref[0, 0, 0] = jnp.sum(p2)
-        minf_ref[0, 0, 0] = 0.0
-        return
+        return jnp.sum(p2), 0.0, None
 
     # ---------------- flatten (embed + select matmuls) + dense tail
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (M2 * B, 1), 0)
@@ -941,11 +902,9 @@ def _kernel(spec: MegaSpec,
     cost = cost_nll
     cost = cost + _wt_cost(spec.reg1, (w1, b1)) + _wt_cost(spec.reg2, (w2, b2))
     cost = cost + _wt_cost(spec.reg_h, (wh, bh)) + _wt_cost(spec.reg_o, (wo, bo))
-    cost_ref[0, 0, 0] = cost
-    minf_ref[0, 0, 0] = min_tl
 
     if debug_stage == "fwd":
-        return
+        return cost, min_tl, None
 
     # ---------------- backward
     dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
@@ -953,9 +912,8 @@ def _kernel(spec: MegaSpec,
     if debug_stage == "bwd_dense":
         # consume the grads so Mosaic cannot dead-code-eliminate the
         # segment being timed
-        cost_ref[0, 0, 0] = (jnp.sum(dwh) + jnp.sum(dwo) + jnp.sum(df)
-                             + jnp.sum(dbh) + jnp.sum(dbo))
-        return
+        return (jnp.sum(dwh) + jnp.sum(dwo) + jnp.sum(df)
+                + jnp.sum(dbh) + jnp.sum(dbo)), min_tl, None
 
     dpe = _mm(sumsel, df, ta=True, hi=spec.exact_movement)  # (R2, NF)
     dp2 = jnp.zeros((M2 * B, P2SQ), jnp.float32)
@@ -988,8 +946,7 @@ def _kernel(spec: MegaSpec,
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
 
     if debug_stage == "bwd_conv2":
-        cost_ref[0, 0, 0] = jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2)
-        return
+        return jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2), min_tl, None
 
     # pool1 backward
     am1 = am1_ref[:]
@@ -1009,6 +966,71 @@ def _kernel(spec: MegaSpec,
         )
     dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F1^2*C0)
     db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
+
+    return cost, min_tl, (dw1, db1, dw2, db2, dwh, dbh, dwo, dbo)
+
+
+def _kernel(spec: MegaSpec,
+            debug_stage,  # None | 'fwd' | 'bwd_dense' | 'bwd_conv2' — dev
+            # timing ablation: truncate the step after the named segment
+            # inputs, in order
+            x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+            a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
+            aow_ref, aob_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
+            em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
+            sumsel_ref,
+            sh2_ref,
+            # outputs
+            ow1, ob1, ow2, ob2, owh, obh, owo, obo,
+            oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
+            cost_ref, minf_ref):
+    step = pl.program_id(0)
+
+    if debug_stage == "noop0":     # floor before ANY kernel structure
+        cost_ref[0, 0, 0] = jnp.sum(x_ref[0])
+        minf_ref[0, 0, 0] = 0.0
+        return
+
+    state = [
+        (ow1, w1_ref), (ob1, b1_ref), (ow2, w2_ref), (ob2, b2_ref),
+        (owh, wh_ref), (obh, bh_ref), (owo, wo_ref), (obo, bo_ref),
+        (oa1w, a1w_ref), (oa1b, a1b_ref), (oa2w, a2w_ref), (oa2b, a2b_ref),
+        (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
+    ]
+
+    @pl.when(step == 0)
+    def _init():
+        for out, inp in state:
+            out[:] = inp[:]
+
+    w1, b1 = ow1[:], ob1[:]        # (M1, F^2*C0), (M1, 1)
+    w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
+    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
+    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
+
+    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
+    y = y_ref[0]                   # (B, 1) int32
+    lr = lr_ref[0, 0]
+
+    if debug_stage == "noop":      # pure grid/DMA floor measurement
+        cost_ref[0, 0, 0] = jnp.sum(x)
+        minf_ref[0, 0, 0] = 0.0
+        return
+
+    cost, minf, grads = _conv_fwd_bwd(
+        spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
+        ub_ref, fb_ref, pb_ref, db_ref,
+        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
+        em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
+        sumsel_ref, sh2_ref,
+    )
+    cost_ref[0, 0, 0] = cost
+    minf_ref[0, 0, 0] = minf
+    if grads is None:              # debug_stage truncated the step
+        return
+    dw1, db1, dw2, db2, dwh, dbh, dwo, dbo = grads
 
     # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
     updates = [

@@ -199,30 +199,19 @@ def main(argv=None):
         return float(np.nansum(costs)), np.asarray(costs), np.asarray(min_true_f)
 
     is_exp_head = layers[-1][0][:3] == "Exp"
-    for epoch in range(n_epochs):
-        if profile_dir and epoch == 1:  # epoch 0 includes compile; trace epoch 1
-            try:
-                jax.profiler.start_trace(profile_dir)
-            except Exception as e:  # profiling is best-effort on exotic backends
-                print("profiler unavailable:", e, file=sys.stderr)
-                profile_dir = None
-        t_epoch = _time.time()
-        if stepwise:
-            total_cost, costs, min_true_f = run_epoch_stepwise(epoch)
-        else:
-            total_cost, costs, min_true_f = trainer.run_epoch()
-        dt = _time.time() - t_epoch
-        if profile_dir and epoch == 1:
-            jax.profiler.stop_trace()
-            print("profiler trace written to", profile_dir, file=sys.stderr)
-        print(
-            "epoch {} took {:.2f}s ({:,.0f} images/sec)".format(
-                epoch, dt, n_train_imgs / dt
-            ),
-            file=sys.stderr,
-        )
+    epochs_to_test = tr_prms["EPOCHS_TO_TEST"]
 
-        # Watchdogs (reference train.py:214-226), applied to scanned outputs.
+    # Chained-epoch dispatch: when several epochs separate consecutive test
+    # intervals, run them as one run_epochs(k) call — k device programs
+    # dispatched back-to-back with ONE final sync (measured +20% through a
+    # remote-TPU tunnel, BASELINE.md r2). Watchdogs then fire at chunk
+    # granularity over the stacked per-epoch streams. Per-epoch dispatch is
+    # kept for stepwise debugging and for profiler runs (which trace epoch 1
+    # in isolation).
+    chain = not stepwise and not profile_dir
+
+    def watchdogs(epoch, total_cost, costs, min_true_f):
+        # Reference train.py:214-226, applied to scanned outputs.
         if is_exp_head and float(min_true_f.min()) < -6:
             ibatch = int(min_true_f.argmin())
             print("Epoch:{} Iteration:{}".format(epoch, ibatch))
@@ -237,13 +226,69 @@ def main(argv=None):
                 "Nan cost at Epoch:{} Iteration:{}".format(epoch, ibatch)
             )
 
-        if epoch % tr_prms["EPOCHS_TO_TEST"] == 0:
-            print("{:3d} {:>8.2f}".format(net.get_epoch(), total_cost), end="    ")
+    epoch = 0
+    while epoch < n_epochs:
+        if chain:
+            # chunk ends at the next test boundary (epoch % EPOCHS_TO_TEST
+            # == 0 triggers a test, reference train.py:228), or at the final
+            # epoch for a trailing partial interval
+            if epoch % epochs_to_test == 0:
+                chunk_end = epoch
+            else:
+                chunk_end = min(
+                    (epoch // epochs_to_test + 1) * epochs_to_test,
+                    n_epochs - 1,
+                )
+            chunk_len = chunk_end - epoch + 1
+        else:
+            chunk_len = 1
+
+        if profile_dir and epoch == 1:  # epoch 0 includes compile; trace epoch 1
+            try:
+                jax.profiler.start_trace(profile_dir)
+            except Exception as e:  # profiling is best-effort on exotic backends
+                print("profiler unavailable:", e, file=sys.stderr)
+                profile_dir = None
+        t_epoch = _time.time()
+        if chain:
+            # advances the epoch counter / LR schedule internally, per epoch
+            test_row_epoch = net.get_epoch() + chunk_len - 1
+            totals, costs2d, minf2d = trainer.run_epochs(chunk_len)
+        elif stepwise:
+            total_cost, costs, min_true_f = run_epoch_stepwise(epoch)
+        else:
+            total_cost, costs, min_true_f = trainer.run_epoch()
+        dt = _time.time() - t_epoch
+        if profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+            print("profiler trace written to", profile_dir, file=sys.stderr)
+        print(
+            "epoch{} {} took {:.2f}s ({:,.0f} images/sec)".format(
+                "s" if chunk_len > 1 else "",
+                "{}-{}".format(epoch, epoch + chunk_len - 1)
+                if chunk_len > 1 else epoch,
+                dt, n_train_imgs * chunk_len / dt
+            ),
+            file=sys.stderr,
+        )
+
+        if chain:
+            for j in range(chunk_len):
+                watchdogs(epoch + j, float(totals[j]), costs2d[j], minf2d[j])
+            total_cost = float(totals[-1])
+        else:
+            watchdogs(epoch, total_cost, costs, min_true_f)
+            test_row_epoch = net.get_epoch()
+
+        if (epoch + chunk_len - 1) % epochs_to_test == 0:
+            print("{:3d} {:>8.2f}".format(test_row_epoch, total_cost), end="    ")
             do_test()
             if total_cost > 1e6:
                 print(net.get_wts_info(detailed=True))
 
-        net.inc_epoch_set_rate()
+        if not chain:
+            net.inc_epoch_set_rate()
+        epoch += chunk_len
 
     # ---------------------------------------------- final full-set eval
     test_err, aux_test_err = trainer.evaluate_full("test")

@@ -227,13 +227,14 @@ class Trainer:
 
         self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
 
-        def eval_window(params, x_all, y_all, aux_all, idx):
+        def eval_window(params, x_all, y_all, aux_all, idx, preds_feats):
             x = constrain(x_all[idx])
             y = constrain(y_all[idx])
             aux = constrain(aux_all[idx]) if aux_all is not None else None
-            return net.eval_step(params, x, y, aux=aux)
+            return net.eval_step(params, x, y, aux=aux,
+                                 preds_feats=preds_feats)
 
-        self._eval_window = jax.jit(eval_window, static_argnums=())
+        self._eval_window = jax.jit(eval_window, static_argnums=(5,))
 
         # ---- fused whole-epoch kernel (ops/megastep.py). MEGAFUSED: True
         # forces it, False disables, "auto" (default) enables it on TPU when
@@ -253,9 +254,23 @@ class Trainer:
         if want_mega:
             from .ops import megastep as mega_mod
 
-            eligible = (mesh is None and self.n_train_batches >= 1
+            # The fused path composes with DATA-PARALLEL meshes (model
+            # axis 1): each device runs the per-step fused kernel on its
+            # batch shard with a cross-device gradient pmean
+            # (ops/megastep_dp.py). Tensor-parallel meshes use the scanned
+            # per-layer path (GSPMD shards the dense matmuls there).
+            dp_mesh = mesh is not None and mesh.shape.get("model", 1) == 1
+            eligible = ((mesh is None or dp_mesh)
+                        and self.n_train_batches >= 1
                         and train_x.shape[2] == train_x.shape[3])
             plan = mega_mod.fused_plan(net) if eligible else None
+            if plan is not None and mesh is not None:
+                from .ops import megastep_dp
+
+                if not megastep_dp.dp_supported(
+                    plan.spec, mesh.shape["data"], data_platform == "tpu"
+                ):
+                    plan = None
             if plan is not None and train_x.shape[1] != plan.spec.in_ch:
                 plan = None  # data channels disagree with the net spec
             if plan is not None:
@@ -275,9 +290,11 @@ class Trainer:
                     "SoftAux (aux data required); "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "leaky-relu-family activations, f32, "
-                    "no mesh, working set within VMEM — see "
-                    "docs/tutorial.md). Use MEGAFUSED='auto' to fall back "
-                    "silently."
+                    "working set within VMEM; meshes must be data-parallel "
+                    "(model axis 1) with BATCH_SZ divisible by the data "
+                    "axis, and only the 2-conv flagship family runs on a "
+                    "mesh — see docs/tutorial.md). Use MEGAFUSED='auto' to "
+                    "fall back silently."
                 )
             if plan is not None:
                 spec = plan.spec
@@ -286,7 +303,20 @@ class Trainer:
                 self._mega_spec = spec
                 nb_m = self.n_train_batches
                 n_use = nb_m * bsz
-                if spec.in_ch > 1:
+                if mesh is not None:
+                    # DP path: keep the training set in natural image-major
+                    # layout; the shard arrangement (and SHUFFLE's epoch
+                    # permutation) happen inside the DP jit.
+                    from .ops import megastep_dp
+
+                    self._mega_x = self.d_train_x[:n_use]
+                    self._mega_y = self.d_train_y[:n_use]
+                    self._mega_aux = None
+                    self._mega_epoch = megastep_dp.make_dp_epoch_fn(
+                        spec, nb_m, mesh,
+                        interpret=(data_platform != "tpu"), donate=True,
+                    )
+                elif spec.in_ch > 1:
                     # one-time channel-major rearrangement at init: a
                     # persistent copy only for multi-channel data, instead
                     # of a per-epoch full-dataset transpose inside the jit
@@ -305,17 +335,18 @@ class Trainer:
                 else:
                     self._mega_x = self.d_train_x[:n_use]
                     self._mega_y = self.d_train_y[:n_use]
-                self._mega_aux = (
-                    self.d_train_aux[: nb_m * bsz].reshape(nb_m, bsz, 4)
-                    if getattr(spec, "has_aux", False) else None
-                )
-                # the plan's make_epoch_fn jits internally (donating
-                # params/moms) with the constant operands as call args — do
-                # not re-jit it.
-                self._mega_epoch = plan.make_epoch_fn(
-                    spec, nb_m, interpret=(data_platform != "tpu"),
-                    donate=True,
-                )
+                if mesh is None:
+                    self._mega_aux = (
+                        self.d_train_aux[: nb_m * bsz].reshape(nb_m, bsz, 4)
+                        if getattr(spec, "has_aux", False) else None
+                    )
+                    # the plan's make_epoch_fn jits internally (donating
+                    # params/moms) with the constant operands as call args —
+                    # do not re-jit it.
+                    self._mega_epoch = plan.make_epoch_fn(
+                        spec, nb_m, interpret=(data_platform != "tpu"),
+                        donate=True,
+                    )
                 idx = plan.layer_idx
 
                 # layout converters shared with the host checkpoint path
@@ -474,7 +505,14 @@ class Trainer:
             )
             self._stream_step += 1
             costs.append(cost)
-        costs = np.asarray([float(c) for c in costs])
+        # Stack the device scalars and cross the host boundary ONCE — a
+        # per-batch float() would pay a full device->host round trip per
+        # step (~36ms each through a remote-TPU tunnel; ~108s of pure sync
+        # on a 3,000-batch epoch).
+        if costs:
+            costs = np.asarray(jnp.stack(costs))
+        else:
+            costs = np.zeros((0,), np.float32)
         return float(costs.sum()), costs
 
     def run_batch_indices(self, idx, step: int, lr: Optional[float] = None):
@@ -547,20 +585,28 @@ class Trainer:
             dtype=jnp.int32,
         )
 
-    def evaluate(self, which: str, batch_ids):
+    def evaluate(self, which: str, batch_ids, preds_feats: bool = False):
         """Evaluate a window of batches; returns (err%, second_stat%) matching
-        the reference's test_wrapper scaling (train.py:155-161)."""
+        the reference's test_wrapper scaling (train.py:155-161). With
+        ``preds_feats`` the head's features and predictions over the window
+        are appended — the reference's get_test_model(preds_feats=True)
+        surface (neuralnet.py:272-273): (err%, second%, features, y_preds)."""
         self._mega_sync_frame()
         idx = self._window_sample_idx(batch_ids)
         if which == "test":
-            sym, oth = self._eval_window(
-                self.params, self.d_test_x, self.d_test_y, self.d_test_aux, idx
+            out = self._eval_window(
+                self.params, self.d_test_x, self.d_test_y, self.d_test_aux,
+                idx, preds_feats,
             )
         else:
-            sym, oth = self._eval_window(
-                self.params, self.d_train_x, self.d_train_y, self.d_train_aux, idx
+            out = self._eval_window(
+                self.params, self.d_train_x, self.d_train_y, self.d_train_aux,
+                idx, preds_feats,
             )
-        return 100.0 * float(sym), 100.0 * float(oth)
+        stats = (100.0 * float(out[0]), 100.0 * float(out[1]))
+        if preds_feats:
+            return stats + (np.asarray(out[2]), np.asarray(out[3]))
+        return stats
 
     def evaluate_full(self, which: str):
         n = self.n_test_batches if which == "test" else self.n_train_batches
