@@ -534,7 +534,9 @@ def heads_row():
 
 
 def _mesh_child(shape):
-    """Child: measure the DP+TP sharded epoch on a virtual CPU mesh."""
+    """Child: measure the sharded epoch on a virtual CPU mesh — the
+    scanned GSPMD path, and (for pure-DP shapes) the fused-DP path
+    (ops/megastep_dp.py: per-device fused grad kernel + gradient pmean)."""
     import jax
     import numpy as np
     from theanet_tpu.parallel.mesh import make_mesh
@@ -543,20 +545,28 @@ def _mesh_child(shape):
     n_data, n_model = map(int, shape.split("x"))
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     batch_sz = 8 * n_data
-    net = flagship_net(batch_sz)
-    net.tr_prms["MEGAFUSED"] = False
     rng = np.random.RandomState(0)
     n = 40 * batch_sz
     x = rng.rand(n, 1, 28, 28).astype(np.float32)
     y = rng.randint(0, 10, n).astype(np.int32)
-    tr = Trainer(net, x, y, x[:batch_sz], y[:batch_sz], mesh=mesh)
-    tr.run_epoch()
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
+
+    def measure(megafused):
+        net = flagship_net(batch_sz)
+        net.tr_prms["MEGAFUSED"] = megafused
+        tr = Trainer(net, x, y, x[:batch_sz], y[:batch_sz], mesh=mesh)
+        if megafused:
+            assert tr._mega is not None, "fused-DP path not selected"
         tr.run_epoch()
-        best = max(best, n / (time.time() - t0))
-    print(best)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            tr.run_epoch()
+            best = max(best, n / (time.time() - t0))
+        return best
+
+    print("scanned", measure(False))
+    if n_model == 1:
+        print("fused", measure(True))
 
 
 def mesh_scaling(shapes):
@@ -581,8 +591,14 @@ def mesh_scaling(shapes):
         if proc.returncode != 0:
             log(f"  mesh {shape}: FAILED {proc.stderr[-200:]}")
             continue
-        ips = float(proc.stdout.strip().splitlines()[-1])
-        log(f"  mesh {shape} ({n_dev} dev): {ips:,.0f} img/s")
+        rows = dict(
+            l.split() for l in proc.stdout.strip().splitlines()
+            if l.split()[0] in ("scanned", "fused")
+        )
+        parts = ", ".join(
+            f"{k} {float(v):,.0f} img/s" for k, v in rows.items()
+        )
+        log(f"  mesh {shape} ({n_dev} dev): {parts}")
 
 
 if __name__ == "__main__":
