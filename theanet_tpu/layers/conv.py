@@ -20,6 +20,29 @@ from .base import Layer
 __all__ = ["ConvLayer", "PoolLayer", "MeanLayer"]
 
 
+def _use_pallas_conv(x, w, mode, stride):
+    """Route eligible MXU-bound convs to the Pallas tap-paired kernel
+    (ops/conv_pallas.py). Default: TPU + bf16 operands only — the f32
+    scanned path keeps lax.conv's exact-accumulation behavior (which the
+    trajectory oracle pins). THEANET_PALLAS_CONV=1 forces it for any
+    eligible dtype/backend (interpret mode off-TPU); =0 disables."""
+    import os
+
+    from ..ops.conv_pallas import eligible
+
+    if not eligible(x.shape, w.shape, mode, stride):
+        return False
+    flag = os.environ.get("THEANET_PALLAS_CONV")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax as _jax
+
+    return (_jax.default_backend() == "tpu"
+            and x.dtype == jnp.bfloat16)
+
+
 class ConvLayer(Layer):
     """2-D convolution with static shapes (reference convpool.py:14-95).
 
@@ -92,6 +115,13 @@ class ConvLayer(Layer):
         # reverse into the convolution's window; grads flow through it.
         w = w[:, :, ::-1, ::-1]
         f = self.filter_sz
+        if _use_pallas_conv(x, w, self.mode, self.stride):
+            from ..ops.conv_pallas import conv3x3_valid
+
+            out = conv3x3_valid(x, w)
+            act = activation_by_name(self.actvn)
+            return act(out.astype(jnp.float32)
+                       + b[None, :, None, None]).astype(x.dtype)
         if self.mode == "valid":
             padding = [(0, 0), (0, 0)]
         else:  # 'full' and 'same' both run a full conv (convpool.py:53-56)

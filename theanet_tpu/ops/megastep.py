@@ -132,6 +132,16 @@ class MegaSpec(NamedTuple):
     pool2: int = 2
     ib1: bool = False   # PoolLayer ignore_border (out = in//p, full windows)
     ib2: bool = False
+    # Batch tiling: the REFERENCE batch (BATCH_SZ = batch * n_tiles) is
+    # split into n_tiles VMEM-sized tiles streamed through consecutive grid
+    # steps; gradients accumulate in VMEM scratch and the momentum update
+    # fires on the last tile. ``batch`` is then the TILE size, and
+    # ``loss_div`` carries the reference batch so the per-tile NLL pieces
+    # sum to mean-over-BATCH_SZ. The warp stays shared across the whole
+    # reference batch (inlayers.py:127 — ub/fb bits index by batch, not
+    # tile). n_tiles=1 is the round-2 kernel, bit-for-bit.
+    n_tiles: int = 1
+    loss_div: int = 0   # 0 -> use ``batch``
 
     # ---- derived static shapes
     @property
@@ -258,11 +268,7 @@ def spec_from_net(net):
     if any(not lyr.reg["rate"] for lyr in (c1, c2, hid, head)):
         return None
 
-    # conv2's patch matrix sublane-concatenates M1*B-row pieces
-    if not sublane_concat_ok(c1.num_maps * net.batch_sz):
-        return None
-
-    spec = MegaSpec(
+    base = MegaSpec(
         batch=net.batch_sz, img=L[0].out_sz,
         filt1=c1.filter_sz, filt2=c2.filter_sz,
         pool1=p1.pool_sz, pool2=p2.pool_sz,
@@ -274,35 +280,57 @@ def spec_from_net(net):
         reg_o=reg_of(head), in_ch=in_ch,
     )
 
-    # VMEM feasibility — sized from the ACTUAL constant tensors (sh2 grows
-    # as filt2^2 * p1^4 and the stripe masks as batch^2; computing beats
-    # modeling) plus the traced working set. Past the budget the kernel
-    # stops fitting a v5e core's VMEM, so fall back to the scanned
-    # per-layer path (the better program at large batch anyway — big
-    # batches amortize launches).
-    B = net.batch_sz
-    hw = spec.hw
-    const_bytes = 4 * sum(int(np.prod(c.shape))
-                          for c in build_constants(spec).values())
-    state_bytes = 4 * 3 * sum(
-        int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
-        for w in lyr_.get_wts()
-    )
-    # live set through backward: F^2 rolls of the (in_ch*B, hw) augmented
-    # input, ~5 conv1-sized activation/gradient arrays, the tap-stacked
-    # conv2 patch matrix, ~5 conv2-sized arrays, and the dense tail
-    work_bytes = 4 * (
-        hw * B * (c1.filter_sz ** 2 * in_ch + 5 * c1.num_maps)
-        + c2.filter_sz ** 2 * c1.num_maps * B * spec.p1 ** 2
-        + 5 * c2.num_maps * B * spec.p1 ** 2
-        + 8 * B * hid.n_out
-    )
-    # budget calibrated empirically on v5e: the flagship at batch 20
-    # (~15 MB by this formula) runs; batch 128+ does not fit
-    if const_bytes + state_bytes + work_bytes > 22 * 1024 * 1024:
-        return None
+    def vmem_ok(spec):
+        # VMEM feasibility — sized from the ACTUAL constant tensors (sh2
+        # grows as filt2^2 * p1^4 and the stripe masks as tile_batch^2;
+        # computing beats modeling) plus the traced working set and, when
+        # tiled, the gradient-accumulator scratch (one extra param set).
+        B = spec.batch
+        hw = spec.hw
+        const_bytes = 4 * sum(int(np.prod(c.shape))
+                              for c in build_constants(spec).values())
+        param_bytes = 4 * sum(
+            int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
+            for w in lyr_.get_wts()
+        )
+        state_bytes = param_bytes * (3 + (1 if spec.n_tiles > 1 else 0))
+        # live set through backward: F^2 rolls of the (in_ch*B, hw)
+        # augmented input, ~5 conv1-sized activation/gradient arrays, the
+        # tap-stacked conv2 patch matrix, ~5 conv2-sized arrays, dense tail
+        work_bytes = 4 * (
+            hw * B * (c1.filter_sz ** 2 * in_ch + 5 * c1.num_maps)
+            + c2.filter_sz ** 2 * c1.num_maps * B * spec.p1 ** 2
+            + 5 * c2.num_maps * B * spec.p1 ** 2
+            + 8 * B * hid.n_out
+        )
+        # budget calibrated empirically on v5e: the flagship at batch 20
+        # (~15 MB by this formula) runs; an untiled batch 128 does not fit
+        return const_bytes + state_bytes + work_bytes <= 22 * 1024 * 1024
 
-    return spec
+    # Batch tiling: the striped conv is O(tile^2) in the stripe masks and
+    # the whole working set must fit VMEM, so reference batches beyond the
+    # measured ~32 sweet spot run as n_tiles VMEM-sized tiles with
+    # in-kernel gradient accumulation (one momentum update per reference
+    # batch, on its last tile). Tile candidates: divisors of BATCH_SZ from
+    # 32 down (>=4 — tiny tiles waste the MXU), untiled as the fallback
+    # for e.g. prime batch sizes that still fit.
+    B_ref = net.batch_sz
+    if B_ref <= 32:
+        tile_cands = [B_ref]
+    else:
+        tile_cands = [d for d in range(32, 3, -1) if B_ref % d == 0]
+        tile_cands.append(B_ref)
+    for bt in tile_cands:
+        # conv2's patch matrix sublane-concatenates M1*tile-row pieces
+        if not sublane_concat_ok(c1.num_maps * bt):
+            continue
+        cand = base._replace(
+            batch=bt, n_tiles=B_ref // bt,
+            loss_div=(B_ref if bt != B_ref else 0),
+        )
+        if vmem_ok(cand):
+            return cand
+    return None
 
 
 class FusedPlan(NamedTuple):
@@ -448,6 +476,13 @@ def _tap_offsets(filt, stride):
             uu, vv = filt - 1 - u, filt - 1 - v
             offs.append(uu * stride + vv)
     return offs
+
+
+def _loss_div(spec):
+    """Divisor of the per-tile NLL sum: the reference batch size. Equals
+    spec.batch except under batch tiling (loss_div carries BATCH_SZ so
+    tile pieces sum to the mean over the full reference batch)."""
+    return getattr(spec, "loss_div", 0) or spec.batch
 
 
 def _low24(bits):
@@ -690,7 +725,7 @@ def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
               == y).astype(jnp.float32)
     true_logp = jnp.sum(logp * onehot, axis=1, keepdims=True)  # (B, 1)
-    cost_nll = -jnp.sum(true_logp) / B
+    cost_nll = -jnp.sum(true_logp) / _loss_div(spec)
     cache = (z3, mask, h3d, logp, onehot)
     return cost_nll, jnp.min(true_logp), cache
 
@@ -790,9 +825,8 @@ def _dense_centered_bwd(spec, cache, f, wh, wo, centers, *, need_df=True):
 def _dense_softmax_bwd(spec, cache, f, wh, wo, *, need_df=True):
     """Backward of _dense_softmax_fwd. Returns (dwh, dbh, dwo, dbo, df);
     df is None when need_df=False (nothing learnable below the tail)."""
-    B = spec.batch
     z3, mask, h3d, logp, onehot = cache
-    dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)            # (B, NC)
+    dz4 = (jnp.exp(logp) - onehot) * (1.0 / _loss_div(spec))  # (B, NC)
     return _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, need_df=need_df)
 
 
@@ -815,7 +849,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ub_ref, fb_ref, pb_ref, db_ref,
                   ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
                   em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-                  sumsel_ref, sh2_ref):
+                  sumsel_ref, sh2_ref, wt_scale=1.0):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -899,9 +933,12 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
 
     cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
                                                  db_ref)
-    cost = cost_nll
-    cost = cost + _wt_cost(spec.reg1, (w1, b1)) + _wt_cost(spec.reg2, (w2, b2))
-    cost = cost + _wt_cost(spec.reg_h, (wh, bh)) + _wt_cost(spec.reg_o, (wo, bo))
+    # wt_scale gates the (per-reference-batch) weight cost so a tiled batch
+    # counts it once — on tile 0 — instead of n_tiles times
+    cost = cost_nll + wt_scale * (
+        _wt_cost(spec.reg1, (w1, b1)) + _wt_cost(spec.reg2, (w2, b2))
+        + _wt_cost(spec.reg_h, (wh, bh)) + _wt_cost(spec.reg_o, (wo, bo))
+    )
 
     if debug_stage == "fwd":
         return cost, min_tl, None
@@ -985,7 +1022,9 @@ def _kernel(spec: MegaSpec,
             # outputs
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
-            cost_ref, minf_ref):
+            cost_ref, minf_ref,
+            # VMEM gradient accumulators (scratch) — present iff n_tiles > 1
+            *gacc):
     step = pl.program_id(0)
 
     if debug_stage == "noop0":     # floor before ANY kernel structure
@@ -1019,18 +1058,53 @@ def _kernel(spec: MegaSpec,
         minf_ref[0, 0, 0] = 0.0
         return
 
+    n_tiles = spec.n_tiles
+    tile = step % n_tiles if n_tiles > 1 else 0
     cost, minf, grads = _conv_fwd_bwd(
         spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
         ub_ref, fb_ref, pb_ref, db_ref,
         ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
         em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
         sumsel_ref, sh2_ref,
+        wt_scale=(1.0 if n_tiles == 1
+                  else jnp.where(tile == 0, 1.0, 0.0)),
     )
     cost_ref[0, 0, 0] = cost
     minf_ref[0, 0, 0] = minf
     if grads is None:              # debug_stage truncated the step
         return
     dw1, db1, dw2, db2, dwh, dbh, dwo, dbo = grads
+
+    if n_tiles > 1:
+        # accumulate the tile's gradient pieces; the update fires once per
+        # reference batch, on its last tile, from the accumulated sums
+        # (each piece is already scaled by 1/BATCH_SZ via loss_div)
+        @pl.when(tile == 0)
+        def _acc_init():
+            for a, g in zip(gacc, grads):
+                a[:] = g
+
+        @pl.when(tile > 0)
+        def _acc_add():
+            for a, g in zip(gacc, grads):
+                a[:] = a[:] + g
+
+        @pl.when(tile == n_tiles - 1)
+        def _tiled_update():
+            dws = [a[:] for a in gacc]
+            updates = [
+                (ow1, oa1w, dws[0], spec.reg1, "rows"),
+                (ob1, oa1b, dws[1], spec.reg1, "bias"),
+                (ow2, oa2w, dws[2], spec.reg2, "rows"),
+                (ob2, oa2b, dws[3], spec.reg2, "bias"),
+                (owh, oahw, dws[4], spec.reg_h, "cols"),
+                (obh, oahb, dws[5], spec.reg_h, "bias"),
+                (owo, oaow, dws[6], spec.reg_o, "cols"),
+                (obo, oaob, dws[7], spec.reg_o, "bias"),
+            ]
+            _apply_updates(updates, lr)
+
+        return
 
     # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
     updates = [
@@ -1046,19 +1120,23 @@ def _kernel(spec: MegaSpec,
     _apply_updates(updates, lr)
 
 
-def epoch_noise_bits(key, spec: MegaSpec, n_batches: int):
+def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles: int = 1):
     """One epoch of injected randomness, generated by the (hardware-fast)
     rbg bit generator in 4 launches: affine scalars, field normals source,
-    pflip uniforms, dropout uniforms."""
+    pflip uniforms, dropout uniforms. Under batch tiling the per-sample
+    tensors (pflip, dropout) are drawn at tile granularity (n_batches *
+    n_tiles rows of spec.batch samples) while the warp tensors stay one
+    per reference batch."""
     ks = jax.random.split(key, 4)
     u32 = jnp.uint32
     fb_lanes = 8 if getattr(spec, "color", False) else 4
     return (
         jax.random.bits(ks[0], (n_batches, 1, 8), u32),
         jax.random.bits(ks[1], (n_batches, spec.hw, fb_lanes), u32),
-        jax.random.bits(ks[2], (n_batches, spec.batch, spec.in_ch * spec.hw),
-                        u32),
-        jax.random.bits(ks[3], (n_batches, spec.batch, spec.n_hid), u32),
+        jax.random.bits(ks[2], (n_batches * n_tiles, spec.batch,
+                                spec.in_ch * spec.hw), u32),
+        jax.random.bits(ks[3], (n_batches * n_tiles, spec.batch,
+                                spec.n_hid), u32),
     )
 
 
@@ -1157,22 +1235,33 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
     Every family's kernel takes (step inputs, params, moms, consts) refs in
     that order and writes (params, moms, cost, minf) outputs; ``spec`` only
     needs batch/img/hw/n_hid/in_ch plus the elastic config fields the
-    kernel body reads."""
+    kernel body reads.
+
+    Batch tiling (spec.n_tiles > 1, flagship family only): the grid runs
+    n_batches * n_tiles steps; per-sample step tensors (x, y, pflip,
+    dropout bits) are blocked at TILE granularity while the warp tensors
+    (ub, fb) index by reference batch (step // n_tiles), and the per-step
+    cost/minf stream is reduced back to reference-batch granularity (sum /
+    min over tiles) before it reaches the watchdogs."""
     B, HW, NH = spec.batch, spec.hw, spec.n_hid
     C0 = spec.in_ch
     n_state = len(kshapes)
+    n_tiles = int(getattr(spec, "n_tiles", 1))
+    n_steps = n_batches * n_tiles
 
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
     fb_lanes = 8 if getattr(spec, "color", False) else 4
+    per_batch = (lambda i: (i // n_tiles, 0, 0)) if n_tiles > 1 \
+        else (lambda i: (i, 0, 0))
     step_spec = [
         pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, HW, fb_lanes), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, 8), per_batch, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, HW, fb_lanes), per_batch,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1198,8 +1287,8 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
 
     out_shapes = (
         [jax.ShapeDtypeStruct(s, jnp.float32) for s in kshapes * 2]
-        + [jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32),
-           jax.ShapeDtypeStruct((n_batches, 1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct((n_steps, 1, 1), jnp.float32),
+           jax.ShapeDtypeStruct((n_steps, 1, 1), jnp.float32)]
     )
     out_specs = (
         [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -1213,10 +1302,14 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
 
     call = pl.pallas_call(
         kernel_body,
-        grid=(n_batches,),
+        grid=(n_steps,),
         in_specs=step_spec + param_specs + const_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        scratch_shapes=(
+            [pltpu.VMEM(s, jnp.float32) for s in kshapes]
+            if n_tiles > 1 else []
+        ),
         interpret=interpret,
         **(
             {"compiler_params": pltpu.CompilerParams(
@@ -1242,27 +1335,30 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         # one XLA transpose runs per epoch (Mosaic cannot concatenate
         # lane-offset slices in-kernel, so it can't happen inside).
         if channel_major or C0 == 1:
-            x_steps = x_steps.reshape(n_batches, C0 * B, HW)
+            x_steps = x_steps.reshape(n_steps, C0 * B, HW)
         else:
             x_steps = x_steps.reshape(
-                n_batches, B, C0, HW
-            ).transpose(0, 2, 1, 3).reshape(n_batches, C0 * B, HW)
-        y_steps = y_steps.reshape(n_batches, B, 1)
+                n_steps, B, C0, HW
+            ).transpose(0, 2, 1, 3).reshape(n_steps, C0 * B, HW)
+        y_steps = y_steps.reshape(n_steps, B, 1)
         # pflip bits are i.i.d.: any fixed re-view is distribution-identical
-        pb = pb.reshape(n_batches, C0 * B, HW)
+        pb = pb.reshape(n_steps, C0 * B, HW)
         step_args = [x_steps, y_steps, ub, fb, pb, db, lr_arr]
         if has_aux:
-            step_args.append(aux_steps.reshape(n_batches, B, 4))
+            step_args.append(aux_steps.reshape(n_steps, B, 4))
         outs = call(*step_args, *kparams, *kmoms, *consts)
         new_params = list(outs[0:n_state])
         new_moms = list(outs[n_state:2 * n_state])
         # one (nb, 2) array: [:, 0] = per-step cost, [:, 1] = min true-class
         # feature — a single array means a single device->host transfer for
-        # the watchdogs (each transfer is a ~36ms round trip here)
-        cost_minf = jnp.concatenate(
-            [outs[2 * n_state][:, :, 0], outs[2 * n_state + 1][:, :, 0]],
-            axis=1,
-        )
+        # the watchdogs (each transfer is a ~36ms round trip here). Tiled
+        # batches reduce back to reference-batch granularity here.
+        cost = outs[2 * n_state][:, 0, 0]
+        minf = outs[2 * n_state + 1][:, 0, 0]
+        if n_tiles > 1:
+            cost = jnp.sum(cost.reshape(n_batches, n_tiles), axis=1)
+            minf = jnp.min(minf.reshape(n_batches, n_tiles), axis=1)
+        cost_minf = jnp.stack([cost, minf], axis=1)
         return new_params, new_moms, cost_minf
 
     jitted = jax.jit(raw_epoch, static_argnums=(7,),
@@ -1280,24 +1376,25 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
             # (trainer.train_epoch), so SHUFFLE trajectories agree across
             # paths when the rest of the step is deterministic
             perm = jax.random.permutation(
-                jax.random.fold_in(key, epoch_no + (1 << 29)), n_batches * B
+                jax.random.fold_in(key, epoch_no + (1 << 29)), n_steps * B
             )
-            y_steps = y_steps.reshape(n_batches * B)[perm]
+            y_steps = y_steps.reshape(n_steps * B)[perm]
             if channel_major and C0 > 1:
-                xv = (x_steps.reshape(n_batches, C0, B, HW)
-                      .transpose(1, 0, 2, 3).reshape(C0, n_batches * B, HW))
+                xv = (x_steps.reshape(n_steps, C0, B, HW)
+                      .transpose(1, 0, 2, 3).reshape(C0, n_steps * B, HW))
                 x_steps = (xv[:, perm]
-                           .reshape(C0, n_batches, B, HW)
+                           .reshape(C0, n_steps, B, HW)
                            .transpose(1, 0, 2, 3)
-                           .reshape(n_batches, C0 * B, HW))
+                           .reshape(n_steps, C0 * B, HW))
             else:
                 # natural (image-major) layouts: one gather at image
                 # granularity, any channel count
-                x_steps = x_steps.reshape(n_batches * B, C0 * HW)[perm]
+                x_steps = x_steps.reshape(n_steps * B, C0 * HW)[perm]
             if has_aux:
-                aux_steps = aux_steps.reshape(n_batches * B, 4)[perm]
+                aux_steps = aux_steps.reshape(n_steps * B, 4)[perm]
         bits = epoch_noise_bits(
-            jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches
+            jax.random.fold_in(key, epoch_no + (1 << 28)), spec, n_batches,
+            n_tiles,
         )
         return raw_epoch(kparams, kmoms, x_steps, y_steps, bits, lr_arr,
                          consts, channel_major, aux_steps)

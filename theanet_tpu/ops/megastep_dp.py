@@ -59,6 +59,8 @@ def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
     (megastep.sublane_concat_ok) at the LOCAL batch size."""
     if not isinstance(spec, MegaSpec):
         return False  # deep/MLP families: scanned path handles their meshes
+    if spec.n_tiles != 1:
+        return False  # batch-tiled specs: scanned path handles their meshes
     if spec.batch % n_data:
         return False
     b_loc = spec.batch // n_data

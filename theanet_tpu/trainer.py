@@ -319,12 +319,16 @@ class Trainer:
                 elif spec.in_ch > 1:
                     # one-time channel-major rearrangement at init: a
                     # persistent copy only for multi-channel data, instead
-                    # of a per-epoch full-dataset transpose inside the jit
+                    # of a per-epoch full-dataset transpose inside the jit.
+                    # Granularity is the KERNEL batch (== BATCH_SZ, or the
+                    # tile size when the spec tiles a large batch).
+                    kb = spec.batch
+                    n_steps = n_use // kb
                     self._mega_x = (
                         self.d_train_x[:n_use]
-                        .reshape(nb_m, bsz, spec.in_ch, spec.hw)
+                        .reshape(n_steps, kb, spec.in_ch, spec.hw)
                         .transpose(0, 2, 1, 3)
-                        .reshape(nb_m, spec.in_ch * bsz, spec.hw)
+                        .reshape(n_steps, spec.in_ch * kb, spec.hw)
                     )
                     self._mega_y = self.d_train_y[:n_use]
                 elif n_use == self.d_train_x.shape[0]:
