@@ -117,7 +117,7 @@ def measure(device, batch_sz, n_batches, reps):
         # without the per-epoch host round trip (a tunnel artifact here;
         # a local TPU host pays microseconds, not ~36ms, per sync)
         chained = 0.0
-        if tr._mega is not None and reps > 1:
+        if reps > 1:  # run_epochs chains on BOTH the fused and scanned paths
             tr.run_epochs(reps)  # warmup: compiles the stacked watchdog pull
             for _ in range(2):
                 t0 = time.time()
@@ -235,8 +235,9 @@ def main():
     if accel.platform != "cpu":
         for big in (256, 1024):
             try:
-                ips_big, _ = measure(accel, big, 60000 // big, reps=2)
-                log(f"batch {big}: {ips_big:,.0f} images/sec (tuned, same config)")
+                ips_big, ch_big = measure(accel, big, 60000 // big, reps=3)
+                log(f"batch {big}: {ips_big:,.0f} images/sec "
+                    f"({ch_big:,.0f} chained; tuned, same config)")
             except Exception as e:
                 log(f"batch {big} measurement failed: {e}")
 

@@ -271,6 +271,18 @@ class Trainer:
                     plan.spec, mesh.shape["data"], data_platform == "tpu"
                 ):
                     plan = None
+            if (plan is not None and mega_mode == "auto"
+                    and getattr(plan.spec, "n_tiles", 1) > 1):
+                # Batch-tiled fusion is a capability, not the fast path:
+                # at MXU-friendly batches XLA's batched convs beat the
+                # striped-conv kernel (measured on v5e, chained epochs:
+                # scanned 0.73M/1.19M/1.09M/1.60M img/s vs tiled-fused
+                # ~0.69-0.71M at batch 64/128/256/1024 — BASELINE.md r3;
+                # the kernel's domain is the launch-bound small-batch
+                # regime, where it wins 5x). 'auto' therefore keeps the
+                # scanned path once tiling would engage; MEGAFUSED=True
+                # still forces the tiled kernel.
+                plan = None
             if plan is not None and train_x.shape[1] != plan.spec.in_ch:
                 plan = None  # data channels disagree with the net spec
             if plan is not None:
@@ -278,6 +290,20 @@ class Trainer:
                 if (getattr(plan.spec, "has_aux", False)
                         and self.d_train_aux is None):
                     plan = None
+            if plan is None and mega_mode == "auto" and data_platform == "tpu":
+                # not an error (the scanned path is the designed fallback),
+                # but never a SILENT one: 'auto' users should know they're
+                # off the fused path and why that might be (bf16/REMAT nets,
+                # non-family patterns, TP meshes, VMEM-exceeding shapes)
+                import sys as _sys
+
+                print(
+                    "theanet_tpu: MEGAFUSED=auto — this configuration is "
+                    "outside the fused-epoch kernel families "
+                    "(pattern/dtype/mesh/VMEM); training on the scanned "
+                    "per-layer path.",
+                    file=_sys.stderr,
+                )
             if plan is None and mega_mode is True:
                 # forced but impossible: fail loudly instead of silently
                 # training ~5x slower on the per-layer path
@@ -597,6 +623,15 @@ class Trainer:
         surface (neuralnet.py:272-273): (err%, second%, features, y_preds)."""
         self._mega_sync_frame()
         idx = self._window_sample_idx(batch_ids)
+        # The one-call window statistic equals the reference's mean of
+        # per-batch means ONLY because every window batch is whole
+        # (equal-size). _window_sample_idx builds from whole batch ids, so
+        # this holds for every reachable path; fail loudly if a future
+        # caller ever changes that rather than silently shifting the stat
+        # (docs/reference_parity.md "get_test_model" row).
+        assert len(idx) % self.batch_sz == 0, (
+            "evaluate window must consist of whole batches"
+        )
         if which == "test":
             out = self._eval_window(
                 self.params, self.d_test_x, self.d_test_y, self.d_test_aux,
