@@ -132,7 +132,8 @@ def measure(device, batch_sz, n_batches, reps):
 
             if tr._mega is not None:
                 bits = tr._mega.epoch_noise_bits(
-                    net.base_key, tr._mega_spec, tr.n_train_batches
+                    net.base_key, tr._mega_spec, tr.n_train_batches,
+                    getattr(tr._mega_spec, "n_tiles", 1),
                 )
                 lowered = tr._mega_epoch._jitted.lower(
                     tr._kp, tr._km, tr._mega_x, tr._mega_y, bits,
