@@ -4,10 +4,10 @@ XLA's conv at small-spatial/3x3 shapes (e.g. 64->128 maps @ 27x27) measured
 ~15% MFU on v5e — the im2col K dimension (C*9) gets tiled poorly. This
 kernel reformulates the conv the way the fused-epoch kernel does, but for
 WIDE shapes: activations live as (C, H*W) rows, each filter tap is a lane
-roll, and taps are PAIRED so the MXU contraction depth is 2C (= 128 at
-C = 64, the full bf16 systolic depth):
+roll feeding a K=C matmul (Mosaic's lazy roll layouts refuse to
+concatenate, so taps cannot be K-stacked — see _fwd_kernel):
 
-    z = sum over tap pairs [W_a | W_b] (M, 2C) @ [roll_a(x); roll_b(x)]
+    z = sum over taps W_k (M, C) @ roll_k(x) (C, H*W)
 
 Weights ride in VMEM across a grid over batch tiles; outputs stay on the
 padded H*W lane grid (garbage at the H-F+1.. columns) and are cropped by
@@ -55,15 +55,6 @@ def _tap_offsets(w_img):
     return [dy * w_img + dx for dy in range(F) for dx in range(F)]
 
 
-def _pairs():
-    """Tap index pairs (a, b) plus a possible trailing singleton — pairing
-    doubles the contraction depth per MXU pass."""
-    taps = list(range(F * F))
-    pairs = [(taps[i], taps[i + 1]) for i in range(0, len(taps) - 1, 2)]
-    tail = taps[-1] if len(taps) % 2 else None
-    return pairs, tail
-
-
 def _roll(a, shift):
     return pltpu.roll(a, shift % a.shape[-1], axis=a.ndim - 1)
 
@@ -75,19 +66,21 @@ def _mmf(a, b, *, ta=False, tb=False):
 
 
 def _fwd_kernel(bt, hw, offs, x_ref, w_ref, out_ref):
-    """Forward: per image, z = sum over tap pairs of a K=2C matmul."""
-    pairs, tail = _pairs()
+    """Forward: per image, z = sum over taps of a K=C matmul against the
+    lane-rolled input.
+
+    Mosaic constraints shape this code: the lane rotate only handles
+    32-bit vectors (so bf16 inputs roll as f32 and cast back at the
+    matmul — the MXU still runs bf16 x bf16 passes), and rolled vectors
+    carry lazy lane-offset layouts that refuse to concatenate (so taps
+    CANNOT be K-stacked into a 2C contraction; each tap is its own
+    matmul, like the fused-epoch kernel's conv1)."""
+    dt = w_ref.dtype
     for i in range(bt):
-        x = x_ref[0, i]                                   # (C, HW)
-        rolls = [_roll(x, -offs[k]) for k in range(F * F)]
+        x = x_ref[0, i].astype(jnp.float32)               # (C, HW)
         z = jnp.zeros((w_ref.shape[0], hw), jnp.float32)
-        for a, b in pairs:
-            xx = jnp.concatenate([rolls[a], rolls[b]], axis=0)  # (2C, HW)
-            ww = jnp.concatenate(
-                [w_ref[:, a, :], w_ref[:, b, :]], axis=1)       # (M, 2C)
-            z = z + _mmf(ww, xx)
-        if tail is not None:
-            z = z + _mmf(w_ref[:, tail, :], rolls[tail])
+        for k in range(F * F):
+            z = z + _mmf(w_ref[:, k, :], _roll(x, -offs[k]).astype(dt))
         out_ref[0, i] = z.astype(out_ref.dtype)
 
 
@@ -96,22 +89,23 @@ def _bwd_kernel(bt, hw, offs, n_steps, x_ref, w_ref, dz_ref, v_ref,
     """Backward: dx via rolled W^T @ dz (K=M), dw via dz @ roll(x)^T
     (K=HW), dw accumulated in f32 scratch across the batch grid."""
     step = pl.program_id(0)
-    pairs, tail = _pairs()
     M = w_ref.shape[0]
     C = x_ref.shape[2]
+    dt = w_ref.dtype
     dw_p = jnp.zeros((M, F * F * C), jnp.float32)
     for i in range(bt):
-        x = x_ref[0, i]                                   # (C, HW)
+        x = x_ref[0, i].astype(jnp.float32)               # (C, HW)
         dz = dz_ref[0, i].astype(jnp.float32) * v_ref[0]  # mask pad cols
-        dzc = dz.astype(dz_ref.dtype)
-        # dx: accumulate rolled-back tap contributions
+        dzc = dz.astype(dt)
+        # dx: accumulate rolled-back tap contributions (rolls in f32 —
+        # Mosaic's rotate is 32-bit-only)
         dx = jnp.zeros((C, hw), jnp.float32)
         for k in range(F * F):
             contrib = _mmf(w_ref[:, k, :], dzc, ta=True)  # (C, HW)
             dx = dx + _roll(contrib, offs[k])
         dx_ref[0, i] = dx.astype(dx_ref.dtype)
         # dw: K = HW contraction per tap
-        rolls = [_roll(x, -offs[k]) for k in range(F * F)]
+        rolls = [_roll(x, -offs[k]).astype(dt) for k in range(F * F)]
         dw_cols = [_mmf(dzc, rolls[k], tb=True) for k in range(F * F)]
         dw_p = dw_p + jnp.concatenate(dw_cols, axis=1)    # (M, F*F*C)
 

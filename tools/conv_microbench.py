@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, args, reps=20, inner=10):
+def timed(fn, args, reps=6, inner=200):
+    """inner=200: the one hard sync per rep costs a full host round trip
+    (~36 ms through this environment's TPU tunnel) — at inner=10 that sync
+    alone reads as 3.6 ms/op and swamps sub-ms kernels."""
     out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
