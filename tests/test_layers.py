@@ -218,3 +218,22 @@ def test_pool_ignore_border_nondividing_gradient():
     want = np.zeros((5, 5))
     want[[1, 1, 3, 3], [1, 3, 1, 3]] = 1  # each window's max = its corner
     np.testing.assert_array_equal(g, want)
+
+
+def test_pool_keep_border_nondividing_gradient():
+    """ignore_border=False keeps the partial tail window (5 -> 3 windows);
+    the tail positions ARE that window's members and receive its gradient
+    (the backward's -inf padding must stay internal)."""
+    lyr = PoolLayer(num_maps=1, in_sz=5, pool_sz=2, ignore_border=False)
+    assert lyr.out_sz == 3
+
+    def pooled_sum(x):
+        return jnp.sum(lyr.apply(None, x, key=KEY, train=True))
+
+    x = jnp.asarray(np.arange(25, dtype=np.float32).reshape(1, 1, 5, 5))
+    g = np.asarray(jax.grad(pooled_sum)(x)).reshape(5, 5)
+    assert np.isfinite(g).all()
+    # each window's max is its bottom-right member; 9 windows total
+    want = np.zeros((5, 5))
+    want[[1, 1, 1, 3, 3, 3, 4, 4, 4], [1, 3, 4, 1, 3, 4, 1, 3, 4]] = 1
+    np.testing.assert_array_equal(g, want)

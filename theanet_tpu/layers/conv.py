@@ -21,26 +21,21 @@ __all__ = ["ConvLayer", "PoolLayer", "MeanLayer"]
 
 
 def _use_pallas_conv(x, w, mode, stride):
-    """Route eligible MXU-bound convs to the Pallas tap-paired kernel
-    (ops/conv_pallas.py). Default: TPU + bf16 operands only — the f32
-    scanned path keeps lax.conv's exact-accumulation behavior (which the
-    trajectory oracle pins). THEANET_PALLAS_CONV=1 forces it for any
-    eligible dtype/backend (interpret mode off-TPU); =0 disables."""
+    """Route eligible convs to the Pallas per-tap kernel
+    (ops/conv_pallas.py) when THEANET_PALLAS_CONV=1. OPT-IN ONLY: measured
+    on v5e at the bench --wide conv2 shape (64->128 @ 27x27, batch 256,
+    bf16), lax.conv runs 438 us fwd / 752 us fwd+bwd vs this kernel's
+    1018 / 2213 — Mosaic's layout rules (rolled vectors refuse to
+    concatenate, rotate is 32-bit-only) cap the kernel at K=C per-tap
+    matmuls, which cannot beat XLA's im2col at MXU-friendly shapes. Kept
+    as the measured record + a base for future Mosaic capabilities."""
     import os
 
+    if os.environ.get("THEANET_PALLAS_CONV") != "1":
+        return False
     from ..ops.conv_pallas import eligible
 
-    if not eligible(x.shape, w.shape, mode, stride):
-        return False
-    flag = os.environ.get("THEANET_PALLAS_CONV")
-    if flag == "0":
-        return False
-    if flag == "1":
-        return True
-    import jax as _jax
-
-    return (_jax.default_backend() == "tpu"
-            and x.dtype == jnp.bfloat16)
+    return eligible(x.shape, w.shape, mode, stride)
 
 
 class ConvLayer(Layer):
@@ -177,21 +172,39 @@ def _maxpool_bwd(p, out_sz, ignore_border, res, g):
     # select-and-scatter picks a single element, which diverges from the
     # reference (and from the fused epoch kernel) on data with exact ties,
     # e.g. MNIST's constant-background patches.
+    #
+    # Shape choreography: window the input as (B, M, o, p, o, p) and let
+    # the pooled/gradient tensors BROADCAST against it — XLA fuses the
+    # compare+select into one pass over x, where materializing upsampled
+    # copies (jnp.repeat) cost ~3 extra full-tensor round trips (measured
+    # 1.46 ms -> ~0.5 ms for the wide row's pool1 backward).
     x, pooled = res
     in_sz = x.shape[2]
-    up_max = jnp.repeat(jnp.repeat(pooled, p, axis=2), p, axis=3)
-    up_g = jnp.repeat(jnp.repeat(g, p, axis=2), p, axis=3)
-    if ignore_border and up_max.shape[2] < in_sz:
-        # ignore_border drops a partial tail window: no gradient flows to
-        # those input positions (-inf can never equal a real x)
-        pw = (0, in_sz - up_max.shape[2])
-        up_max = jnp.pad(up_max, ((0, 0), (0, 0), pw, pw),
-                         constant_values=-jnp.inf)
-        up_g = jnp.pad(up_g, ((0, 0), (0, 0), pw, pw))
+    full = out_sz * p
+    if full > in_sz:
+        # partial tail windows (ignore_border=False): pad with -inf, which
+        # never equals a window max drawn from real values
+        pw = (0, full - in_sz)
+        xw = jnp.pad(x, ((0, 0), (0, 0), pw, pw),
+                     constant_values=-jnp.inf)
+    elif ignore_border and full < in_sz:
+        # ignore_border drops the partial tail: those positions get no grad
+        xw = x[:, :, :full, :full]
     else:
-        up_max = up_max[:, :, :in_sz, :in_sz]
-        up_g = up_g[:, :, :in_sz, :in_sz]
-    return (jnp.where(x == up_max, up_g, 0.0).astype(x.dtype),)
+        xw = x
+    b, m = x.shape[0], x.shape[1]
+    r = xw.reshape(b, m, out_sz, p, out_sz, p)
+    gw = jnp.where(
+        r == pooled[:, :, :, None, :, None],
+        g[:, :, :, None, :, None],
+        jnp.zeros((), g.dtype),
+    ).reshape(b, m, full, full)
+    if full > in_sz:
+        gw = gw[:, :, :in_sz, :in_sz]
+    elif full < in_sz:
+        gw = jnp.pad(gw, ((0, 0), (0, 0), (0, in_sz - full),
+                          (0, in_sz - full)))
+    return (gw.astype(x.dtype),)
 
 
 _maxpool.defvjp(_maxpool_fwd, _maxpool_bwd)
