@@ -112,15 +112,17 @@ def _mega_consistency(make_fn, spec, kshapes, n_batches=8, atol=2e-2):
 
     rng = np.random.RandomState(0)
     B = spec.batch
+    n_tiles = int(getattr(spec, "n_tiles", 1))
+    n_steps = n_batches * n_tiles
     kp = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
           for s in kshapes]
     km = [jnp.zeros_like(p) for p in kp]
     x = jnp.asarray(
-        rng.rand(n_batches, spec.in_ch * B, spec.hw).astype(np.float32))
+        rng.rand(n_steps, spec.in_ch * B, spec.hw).astype(np.float32))
     y = jnp.asarray(
-        rng.randint(0, spec.n_out, (n_batches, B, 1)).astype(np.int32))
+        rng.randint(0, spec.n_out, (n_steps, B, 1)).astype(np.int32))
     bits = epoch_noise_bits(
-        jax.random.key(7, impl="rbg"), spec, n_batches)
+        jax.random.key(7, impl="rbg"), spec, n_batches, n_tiles)
     extra = {}
     if getattr(spec, "has_aux", False):
         extra["aux_steps"] = jnp.asarray(
@@ -254,3 +256,70 @@ def test_megastep_mlp_hardware_matches_interpret():
     )
     kshapes = [(spec.n_flat, 24), (1, 24), (24, 5), (1, 5)]
     _mega_consistency(MM.make_mlp_epoch_fn, spec, kshapes)
+
+
+def test_megastep_tiled_hardware_matches_interpret():
+    """Batch tiling (n_tiles > 1): grad accumulation in VMEM scratch and
+    the per-reference-batch update through Mosaic vs interpret."""
+    from theanet_tpu.ops import megastep as M
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = M.MegaSpec(
+        batch=8, img=12, filt1=3, filt2=3, maps1=2, maps2=3, n_hid=16,
+        n_out=4,
+        slope1=0.1, slope2=0.05, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        reg1=reg, reg2=reg, reg_h=reg, reg_o=reg,
+        n_tiles=3, loss_div=24,
+    )
+    kshapes = [(2, 9), (2, 1), (3, 18), (3, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(M.make_epoch_fn, spec, kshapes, n_batches=4)
+
+
+def test_megastep_dp_grad_kernel_hardware_matches_interpret():
+    """The fused-DP per-step gradient kernel (ops/megastep_dp.py) through
+    Mosaic vs interpret: same bits, same params -> same grads/cost/minf."""
+    from theanet_tpu.ops import megastep_dp as DP
+    from theanet_tpu.ops.megastep import LayerReg, MegaSpec
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MegaSpec(
+        batch=8, img=12, filt1=3, filt2=3, maps1=2, maps2=3, n_hid=16,
+        n_out=4,
+        slope1=0.1, slope2=0.05, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        reg1=reg, reg2=reg, reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(2, 9), (2, 1), (3, 18), (3, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    rng = np.random.RandomState(3)
+    kp = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+          for s in kshapes]
+    x = jnp.asarray(rng.rand(1, spec.in_ch * spec.batch, spec.hw)
+                    .astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 4, (1, spec.batch, 1)).astype(np.int32))
+    ub = jax.random.bits(jax.random.key(5, impl="rbg"), (1, 1, 8),
+                         jnp.uint32)
+    fb = jax.random.bits(jax.random.key(6, impl="rbg"), (1, spec.hw, 4),
+                         jnp.uint32)
+    pb = jax.random.bits(jax.random.key(7, impl="rbg"),
+                         (1, spec.batch, spec.hw), jnp.uint32)
+    db = jax.random.bits(jax.random.key(8, impl="rbg"),
+                         (1, spec.batch, spec.n_hid), jnp.uint32)
+    outs = {}
+    for interp in (False, True):
+        step = DP.make_dp_step_fn(spec, interpret=interp)
+        grads, cost, minf = jax.jit(step)(x, y, ub, fb, pb, db, kp)
+        outs[interp] = ([np.asarray(g) for g in grads], float(cost),
+                        float(minf))
+    g_hw, c_hw, m_hw = outs[False]
+    g_it, c_it, m_it = outs[True]
+    assert np.isfinite(c_hw)
+    np.testing.assert_allclose(c_hw, c_it, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(m_hw, m_it, rtol=2e-2, atol=2e-2)
+    for a, b in zip(g_hw, g_it):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
