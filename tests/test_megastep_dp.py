@@ -23,9 +23,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def spec(pflip=0.01, pdrop=0.5):
+def spec(pflip=0.01, pdrop=0.5, in_ch=1):
     return [
-        ["ElasticLayer", {"img_sz": 12, "translation": 1, "zoom": 1.05,
+        ["ElasticLayer", {"img_sz": 12, "num_maps": in_ch, "translation": 1,
+                          "zoom": 1.05,
                           "magnitude": 5, "sigma": 3, "pflip": pflip,
                           "angle": 2}],
         ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
@@ -47,14 +48,14 @@ def prms(batch_sz=16):
             "MEGAFUSED": True}
 
 
-def make_data(n, seed=0):
+def make_data(n, seed=0, in_ch=1):
     rng = np.random.RandomState(seed)
-    return (rng.rand(n, 1, 12, 12).astype(np.float32),
+    return (rng.rand(n, in_ch, 12, 12).astype(np.float32),
             rng.randint(0, 10, n).astype(np.int32))
 
 
 def make_pair(n_data, batch_sz=16, **spec_kw):
-    x, y = make_data(4 * batch_sz)
+    x, y = make_data(4 * batch_sz, in_ch=spec_kw.get("in_ch", 1))
     net1 = NeuralNet(spec(**spec_kw), prms(batch_sz))
     tr1 = Trainer(net1, x, y, x, y)
     net2 = NeuralNet(spec(**spec_kw), prms(batch_sz))
@@ -96,6 +97,20 @@ def test_dp_matches_single_device_fused_trajectory(n_data):
             )
 
 
+def test_dp_multichannel_pflip_matches_single_device_fused():
+    """in_ch > 1 with pflip active: the DP arrangement must associate every
+    kernel row with the SAME pflip draw block as the single-chip kernel's
+    flat re-view (row c*B+b), not the natural per-sample association —
+    otherwise different pixels flip and trajectories diverge."""
+    net1, tr1, net2, tr2 = make_pair(4, in_ch=3, pflip=0.2)
+    for epoch in range(2):
+        _, costs1, _ = tr1.run_epoch()
+        _, costs2, _ = tr2.run_epoch()
+        np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
+        net1.inc_epoch_set_rate()
+        net2.inc_epoch_set_rate()
+
+
 def test_dp_shuffle_matches_single_device_fused():
     x, y = make_data(64)
     p = prms(16)
@@ -133,6 +148,22 @@ def test_tp_mesh_falls_back_to_scanned():
     assert tr._mega is None
     total, _, _ = tr.run_epoch()
     assert np.isfinite(total)
+
+
+def test_dp_tiled_global_batch_runs_fused():
+    """A global batch that single-chip fusion would tile (64 -> 2x32) must
+    still select the fused-DP path (per-device untiled shard) instead of
+    raising under MEGAFUSED=True. With the per-sample noise off
+    (pflip=pdrop=0; warp bits are per-reference-batch in both paths) the
+    trajectories agree: the tiled kernel's accumulated per-tile gradient
+    sums equal the untiled global batch mean the DP shards pmean to."""
+    net1, tr1, net2, tr2 = make_pair(4, batch_sz=64, pflip=0.0, pdrop=0.0)
+    assert tr1._mega_spec.n_tiles == 2, "single-chip should tile batch 64"
+    assert tr2._mega is not None, "DP fused path not selected for batch 64"
+    assert getattr(tr2._mega_epoch, "n_data", None) == 4
+    _, costs1, _ = tr1.run_epoch()
+    _, costs2, _ = tr2.run_epoch()
+    np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
 
 
 def test_dp_indivisible_batch_rejected():

@@ -186,3 +186,48 @@ def test_evaluate_preds_feats():
     pf, pp = tr.predict(x[idx])
     np.testing.assert_allclose(feats, pf, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(preds, pp)
+
+
+def test_snapshot_restore_replays_identically():
+    """snapshot_state/restore_state rewind the trainer (state tensors +
+    epoch counter) so re-running reproduces the exact trajectory — the
+    machinery the CLI's chained-NaN replay diagnostics rely on."""
+    net, tr, _, _ = mk_trainer()
+    tr.run_epoch()
+    net.inc_epoch_set_rate()
+    snap = tr.snapshot_state()
+    outs1 = []
+    for _ in range(2):
+        _, costs, _ = tr.run_epoch()
+        net.inc_epoch_set_rate()
+        outs1.append(costs)
+    tr.restore_state(snap)
+    assert net.get_epoch() == snap[1]
+    outs2 = []
+    for _ in range(2):
+        _, costs, _ = tr.run_epoch()
+        net.inc_epoch_set_rate()
+        outs2.append(costs)
+    for c1, c2 in zip(outs1, outs2):
+        np.testing.assert_array_equal(c1, c2)
+    # the snapshot survives a restore (defensive copies), so a second
+    # rewind still works
+    tr.restore_state(snap)
+    _, costs3, _ = tr.run_epoch()
+    np.testing.assert_array_equal(outs1[0], costs3)
+
+
+def test_sync_net_reflects_trained_weights():
+    """net.get_wts_info()/get_wts() read layer params_init, which only
+    sync_net (or checkpointing) refreshes — the watchdog diagnostics in the
+    CLI depend on this."""
+    net, tr, _, _ = mk_trainer()
+    before = [np.copy(w) for w in net.net_layers[1].get_wts()]
+    tr.run_epoch()
+    # stale until synced
+    np.testing.assert_array_equal(net.net_layers[1].get_wts()[0], before[0])
+    tr.sync_net()
+    after = net.net_layers[1].get_wts()
+    assert np.abs(after[0] - before[0]).max() > 0
+    np.testing.assert_allclose(after[0], np.asarray(tr.params[1][0]),
+                               rtol=1e-6)

@@ -222,6 +222,33 @@ def sublane_concat_ok(piece_rows):
     return jax.default_backend() != "tpu" or piece_rows % 8 == 0
 
 
+def flagship_vmem_ok(spec):
+    """VMEM feasibility of the flagship kernel at ``spec.batch`` — sized
+    from the ACTUAL constant tensors (sh2 grows as filt2^2 * p1^4 and the
+    stripe masks as batch^2; computing beats modeling) plus the traced
+    working set and, when tiled, the gradient-accumulator scratch (one
+    extra parameter set). Shared by spec_from_net's tile-size search and
+    megastep_dp.dp_supported's per-device-shard check."""
+    B = spec.batch
+    hw = spec.hw
+    const_bytes = 4 * sum(int(np.prod(c.shape))
+                          for c in build_constants(spec).values())
+    param_bytes = 4 * sum(int(np.prod(s)) for s in kernel_shapes(spec))
+    state_bytes = param_bytes * (3 + (1 if spec.n_tiles > 1 else 0))
+    # live set through backward: F^2 rolls of the (in_ch*B, hw) augmented
+    # input, ~5 conv1-sized activation/gradient arrays, the tap-stacked
+    # conv2 patch matrix, ~5 conv2-sized arrays, dense tail
+    work_bytes = 4 * (
+        hw * B * (spec.filt1 ** 2 * spec.in_ch + 5 * spec.maps1)
+        + spec.filt2 ** 2 * spec.maps1 * B * spec.p1 ** 2
+        + 5 * spec.maps2 * B * spec.p1 ** 2
+        + 8 * B * spec.n_hid
+    )
+    # budget calibrated empirically on v5e: the flagship at batch 20
+    # (~15 MB by this formula) runs; an untiled batch 128 does not fit
+    return const_bytes + state_bytes + work_bytes <= 22 * 1024 * 1024
+
+
 def spec_from_net(net):
     """Return a MegaSpec if the net matches the fused-epoch pattern
     (Input/Elastic -> Conv -> Pool -> Conv -> Pool -> Hidden -> Softmax,
@@ -280,33 +307,6 @@ def spec_from_net(net):
         reg_o=reg_of(head), in_ch=in_ch,
     )
 
-    def vmem_ok(spec):
-        # VMEM feasibility — sized from the ACTUAL constant tensors (sh2
-        # grows as filt2^2 * p1^4 and the stripe masks as tile_batch^2;
-        # computing beats modeling) plus the traced working set and, when
-        # tiled, the gradient-accumulator scratch (one extra param set).
-        B = spec.batch
-        hw = spec.hw
-        const_bytes = 4 * sum(int(np.prod(c.shape))
-                              for c in build_constants(spec).values())
-        param_bytes = 4 * sum(
-            int(np.prod(w.shape)) for lyr_ in (c1, c2, hid, head)
-            for w in lyr_.get_wts()
-        )
-        state_bytes = param_bytes * (3 + (1 if spec.n_tiles > 1 else 0))
-        # live set through backward: F^2 rolls of the (in_ch*B, hw)
-        # augmented input, ~5 conv1-sized activation/gradient arrays, the
-        # tap-stacked conv2 patch matrix, ~5 conv2-sized arrays, dense tail
-        work_bytes = 4 * (
-            hw * B * (c1.filter_sz ** 2 * in_ch + 5 * c1.num_maps)
-            + c2.filter_sz ** 2 * c1.num_maps * B * spec.p1 ** 2
-            + 5 * c2.num_maps * B * spec.p1 ** 2
-            + 8 * B * hid.n_out
-        )
-        # budget calibrated empirically on v5e: the flagship at batch 20
-        # (~15 MB by this formula) runs; an untiled batch 128 does not fit
-        return const_bytes + state_bytes + work_bytes <= 22 * 1024 * 1024
-
     # Batch tiling: the striped conv is O(tile^2) in the stripe masks and
     # the whole working set must fit VMEM, so reference batches beyond the
     # measured ~32 sweet spot run as n_tiles VMEM-sized tiles with
@@ -328,7 +328,7 @@ def spec_from_net(net):
             batch=bt, n_tiles=B_ref // bt,
             loss_div=(B_ref if bt != B_ref else 0),
         )
-        if vmem_ok(cand):
+        if flagship_vmem_ok(cand):
             return cand
     return None
 
@@ -476,6 +476,38 @@ def _tap_offsets(filt, stride):
             uu, vv = filt - 1 - u, filt - 1 - v
             offs.append(uu * stride + vv)
     return offs
+
+
+# The flagship family's kernel-layout tables, shared by the whole-epoch
+# kernel (make_epoch_fn / _kernel) and the data-parallel per-step kernel
+# (megastep_dp) — ONE definition so layout changes cannot drift.
+
+MEGA_CONST_NAMES = (
+    "s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
+    "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2", "sumsel", "sh2",
+)
+
+
+def kernel_shapes(spec):
+    """The 8 kernel-layout state-tensor shapes, in layout order."""
+    return [
+        (spec.maps1, spec.filt1 ** 2 * spec.in_ch), (spec.maps1, 1),
+        (spec.maps2, spec.filt2 ** 2 * spec.maps1), (spec.maps2, 1),
+        (spec.n_flat, spec.n_hid), (1, spec.n_hid),
+        (spec.n_hid, spec.n_out), (1, spec.n_out),
+    ]
+
+
+def kernel_reg_kinds(spec):
+    """(LayerReg, maxnorm-kind) per kernel-layout tensor, same order as
+    kernel_shapes — the update table both the in-kernel _apply_updates
+    call and the DP out-of-kernel update consume."""
+    return [
+        (spec.reg1, "rows"), (spec.reg1, "bias"),
+        (spec.reg2, "rows"), (spec.reg2, "bias"),
+        (spec.reg_h, "cols"), (spec.reg_h, "bias"),
+        (spec.reg_o, "cols"), (spec.reg_o, "bias"),
+    ]
 
 
 def _loss_div(spec):
@@ -1073,7 +1105,6 @@ def _kernel(spec: MegaSpec,
     minf_ref[0, 0, 0] = minf
     if grads is None:              # debug_stage truncated the step
         return
-    dw1, db1, dw2, db2, dwh, dbh, dwo, dbo = grads
 
     if n_tiles > 1:
         # accumulate the tile's gradient pieces; the update fires once per
@@ -1089,35 +1120,29 @@ def _kernel(spec: MegaSpec,
             for a, g in zip(gacc, grads):
                 a[:] = a[:] + g
 
+    p_outs = [s[0] for s in state[:8]]   # persistent param refs
+    a_outs = [s[0] for s in state[8:]]   # persistent accumulator refs
+
+    if n_tiles > 1:
+
         @pl.when(tile == n_tiles - 1)
         def _tiled_update():
-            dws = [a[:] for a in gacc]
-            updates = [
-                (ow1, oa1w, dws[0], spec.reg1, "rows"),
-                (ob1, oa1b, dws[1], spec.reg1, "bias"),
-                (ow2, oa2w, dws[2], spec.reg2, "rows"),
-                (ob2, oa2b, dws[3], spec.reg2, "bias"),
-                (owh, oahw, dws[4], spec.reg_h, "cols"),
-                (obh, oahb, dws[5], spec.reg_h, "bias"),
-                (owo, oaow, dws[6], spec.reg_o, "cols"),
-                (obo, oaob, dws[7], spec.reg_o, "bias"),
-            ]
-            _apply_updates(updates, lr)
+            _apply_updates(
+                [(p, a, acc[:], reg, kind)
+                 for p, a, acc, (reg, kind) in zip(
+                     p_outs, a_outs, gacc, kernel_reg_kinds(spec))],
+                lr,
+            )
 
         return
 
     # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
-    updates = [
-        (ow1, oa1w, dw1, spec.reg1, "rows"),
-        (ob1, oa1b, db1, spec.reg1, "bias"),
-        (ow2, oa2w, dw2, spec.reg2, "rows"),
-        (ob2, oa2b, db2, spec.reg2, "bias"),
-        (owh, oahw, dwh, spec.reg_h, "cols"),
-        (obh, oahb, dbh, spec.reg_h, "bias"),
-        (owo, oaow, dwo, spec.reg_o, "cols"),
-        (obo, oaob, dbo, spec.reg_o, "bias"),
-    ]
-    _apply_updates(updates, lr)
+    _apply_updates(
+        [(p, a, g, reg, kind)
+         for p, a, g, (reg, kind) in zip(
+             p_outs, a_outs, grads, kernel_reg_kinds(spec))],
+        lr,
+    )
 
 
 def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles: int = 1):
@@ -1208,20 +1233,9 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     x, y, base_key, epoch_no, lr)``, which derives the epoch's noise inside
     the same jit — one device dispatch per epoch.
     """
-    M1, M2 = spec.maps1, spec.maps2
-    F1, F2 = spec.filt1, spec.filt2
-    C0 = spec.in_ch
     consts = build_constants(spec)
-    const_arrs = [consts[k] for k in
-                  ("s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
-                   "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2",
-                   "sumsel", "sh2")]
-    kshapes = [
-        (M1, F1 * F1 * C0), (M1, 1), (M2, F2 * F2 * M1), (M2, 1),
-        (spec.n_flat, spec.n_hid), (1, spec.n_hid),
-        (spec.n_hid, spec.n_out), (1, spec.n_out),
-    ]
-    return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
+    const_arrs = [consts[k] for k in MEGA_CONST_NAMES]
+    return build_epoch_fn(spec, n_batches, kernel_shapes(spec), const_arrs,
                           functools.partial(_kernel, spec, debug_stage),
                           interpret=interpret, donate=donate)
 

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from .megastep import (
+    MEGA_CONST_NAMES,
     MegaSpec,
     _VMEM_MB,
     _conv_fwd_bwd,
@@ -47,26 +48,44 @@ from .megastep import (
     _reg_grad,
     build_constants,
     epoch_noise_bits,
+    flagship_vmem_ok,
+    kernel_reg_kinds,
+    kernel_shapes,
 )
 
 __all__ = ["make_dp_epoch_fn", "dp_supported"]
 
 
+def _untiled_global(spec: MegaSpec) -> MegaSpec:
+    """The spec at its REFERENCE batch with tiling removed. spec_from_net
+    tiles the GLOBAL batch for the single-chip kernel's VMEM; the DP path
+    splits that same global batch across devices instead, so a spec that
+    arrived tiled (batch 64 -> 2x32) is re-posed as one untiled global
+    batch before the per-device shard is carved out."""
+    if spec.n_tiles == 1:
+        return spec
+    return spec._replace(batch=spec.batch * spec.n_tiles, n_tiles=1,
+                         loss_div=0)
+
+
 def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
     """Can this flagship-family spec run the fused-DP path on an n_data-way
-    mesh? Needs an even batch split, and on real hardware the per-shard
-    striped conv2 must still satisfy Mosaic's sublane-concat constraint
-    (megastep.sublane_concat_ok) at the LOCAL batch size."""
+    mesh? Needs an even split of the GLOBAL (reference) batch, and on real
+    hardware the per-device untiled kernel must satisfy Mosaic's
+    sublane-concat constraint and fit VMEM at the LOCAL batch size. Tiled
+    specs are accepted: the DP path re-poses them as one untiled global
+    batch (_untiled_global) and shards THAT."""
     if not isinstance(spec, MegaSpec):
         return False  # deep/MLP families: scanned path handles their meshes
-    if spec.n_tiles != 1:
-        return False  # batch-tiled specs: scanned path handles their meshes
+    spec = _untiled_global(spec)
     if spec.batch % n_data:
         return False
     b_loc = spec.batch // n_data
-    if on_tpu and (spec.maps1 * b_loc) % 8 != 0:
+    if not on_tpu:
+        return True  # interpret mode: no Mosaic/VMEM constraints
+    if (spec.maps1 * b_loc) % 8 != 0:
         return False
-    return True
+    return flagship_vmem_ok(spec._replace(batch=b_loc))
 
 
 def _kernel_grad(spec, x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref,
@@ -95,26 +114,6 @@ def _kernel_grad(spec, x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref,
     minf_ref[0, 0] = minf
 
 
-def _kernel_shapes(spec: MegaSpec):
-    return [
-        (spec.maps1, spec.filt1 ** 2 * spec.in_ch), (spec.maps1, 1),
-        (spec.maps2, spec.filt2 ** 2 * spec.maps1), (spec.maps2, 1),
-        (spec.n_flat, spec.n_hid), (1, spec.n_hid),
-        (spec.n_hid, spec.n_out), (1, spec.n_out),
-    ]
-
-
-def _reg_kinds(spec: MegaSpec):
-    """(LayerReg, maxnorm-kind) per kernel-layout tensor — the same table
-    the in-kernel _apply_updates uses (megastep._kernel)."""
-    return [
-        (spec.reg1, "rows"), (spec.reg1, "bias"),
-        (spec.reg2, "rows"), (spec.reg2, "bias"),
-        (spec.reg_h, "cols"), (spec.reg_h, "bias"),
-        (spec.reg_o, "cols"), (spec.reg_o, "bias"),
-    ]
-
-
 def make_dp_step_fn(spec: MegaSpec, interpret=None):
     """Build the per-shard fused gradient step. ``spec.batch`` is the
     PER-DEVICE batch. Returns f(x, y, ub, fb, pb, db, kparams) ->
@@ -123,12 +122,9 @@ def make_dp_step_fn(spec: MegaSpec, interpret=None):
     B, HW, NH = spec.batch, spec.hw, spec.n_hid
     C0 = spec.in_ch
     consts = build_constants(spec)
-    const_arrs = [consts[k] for k in
-                  ("s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
-                   "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2",
-                   "sumsel", "sh2")]
+    const_arrs = [consts[k] for k in MEGA_CONST_NAMES]
     carrs = tuple(jnp.asarray(a) for a in const_arrs)
-    kshapes = _kernel_shapes(spec)
+    kshapes = kernel_shapes(spec)
 
     def vmem(shape):
         return pl.BlockSpec(shape, memory_space=pltpu.VMEM)
@@ -188,7 +184,8 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
                      donate=True):
     """Build the data-parallel fused epoch function.
 
-    ``spec`` is the GLOBAL spec (batch = BATCH_SZ); the per-device kernel
+    ``spec`` is the GLOBAL spec (batch-tiled specs are re-posed at their
+    untiled reference batch first); the per-device kernel
     runs at batch/n_data. Returns an object exposing ``from_key(kparams,
     kmoms, x, y, base_key, epoch_no, lr, channel_major=..., shuffle=...,
     aux_steps=None)`` with the same contract as the single-chip epoch fn:
@@ -197,13 +194,14 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
     cost_minf (nb, 2)). The DP data arrangement (and SHUFFLE's epoch
     permutation) happen inside the jit.
     """
+    spec = _untiled_global(spec)
     n_data = mesh.shape["data"]
     B = spec.batch
     b_loc = B // n_data
     spec_loc = spec._replace(batch=b_loc)
     C0, HW, NH = spec.in_ch, spec.hw, spec.n_hid
     step_fn = make_dp_step_fn(spec_loc, interpret=interpret)
-    regs = _reg_kinds(spec)
+    regs = kernel_reg_kinds(spec)
     nb = n_batches
 
     def epoch_shard(kparams, kmoms, x, y, ub, fb, pb, db, lr):
@@ -260,14 +258,22 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
         y_dp = y1d.reshape(nb, n_data * b_loc, 1)
         # bit tensors drawn EXACTLY like the single-chip epoch
         # (megastep.epoch_noise_bits at the GLOBAL batch), then arranged so
-        # each sample keeps its own pflip/dropout draws under the shard
-        # layout — the DP trajectory matches single-chip fused execution
+        # every kernel row reads the SAME draw block as the single-chip
+        # kernel — the DP trajectory matches single-chip fused execution
         # up to reduction order.
         ub, fb, pb, db = epoch_noise_bits(
             jax.random.fold_in(key, epoch_no + (1 << 28)), spec, nb
         )
-        pb_dp = _dp_arrange(pb.reshape(nb * B, C0 * HW), nb, n_data, b_loc,
-                            C0, HW)
+        # pflip: the single-chip kernel consumes the (nb, B, C0*HW) draw as
+        # a FLAT re-view (nb, C0*B, HW) — kernel row c*B+b reads flat block
+        # c*B+b (megastep from_key's `pb.reshape`). Reproduce that exact
+        # association here: device d's kernel row (c, b_rel) is global
+        # kernel row c*B + (d*b_loc + b_rel).
+        pb_dp = (
+            pb.reshape(nb, C0, n_data, b_loc, HW)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nb, n_data * C0 * b_loc, HW)
+        )
         db_dp = db.reshape(nb, n_data * b_loc, NH)
         return sharded_epoch(kparams, kmoms, x_dp, y_dp, ub, fb, pb_dp,
                              db_dp, lr)

@@ -211,16 +211,20 @@ def main(argv=None):
     chain = not stepwise and not profile_dir
 
     def watchdogs(epoch, total_cost, costs, min_true_f):
-        # Reference train.py:214-226, applied to scanned outputs.
+        # Reference train.py:214-226, applied to scanned outputs. sync_net
+        # pulls the CURRENT device weights into the net before printing
+        # (layer weights otherwise hold init/last-checkpoint values).
         if is_exp_head and float(min_true_f.min()) < -6:
             ibatch = int(min_true_f.argmin())
             print("Epoch:{} Iteration:{}".format(epoch, ibatch))
             print("min true-class feature:", float(min_true_f.min()))
+            trainer.sync_net()
             print(net.get_wts_info(detailed=True))
 
         if np.isnan(total_cost):
             ibatch = int(np.argmax(np.isnan(costs)))
             print("Epoch:{} Iteration:{}".format(epoch, ibatch))
+            trainer.sync_net()
             print(net.get_wts_info(detailed=True))
             raise ZeroDivisionError(
                 "Nan cost at Epoch:{} Iteration:{}".format(epoch, ibatch)
@@ -253,6 +257,9 @@ def main(argv=None):
         if chain:
             # advances the epoch counter / LR schedule internally, per epoch
             test_row_epoch = net.get_epoch() + chunk_len - 1
+            # device-side state copy: lets a NaN inside the chunk replay to
+            # the failing epoch for at-failure diagnostics (see below)
+            snap = trainer.snapshot_state()
             totals, costs2d, minf2d = trainer.run_epochs(chunk_len)
         elif stepwise:
             total_cost, costs, min_true_f = run_epoch_stepwise(epoch)
@@ -274,6 +281,15 @@ def main(argv=None):
 
         if chain:
             for j in range(chunk_len):
+                if np.isnan(totals[j]) and j < chunk_len - 1:
+                    # the chunk trained past the failure; rewind to the
+                    # chunk start and replay up to the failing epoch so the
+                    # NaN watchdog prints the at-failure weights the
+                    # reference's per-batch loop would have shown (the
+                    # replay is deterministic: LR and all per-epoch RNG
+                    # derive from the restored epoch counter)
+                    trainer.restore_state(snap)
+                    trainer.run_epochs(j + 1)
                 watchdogs(epoch + j, float(totals[j]), costs2d[j], minf2d[j])
             total_cost = float(totals[-1])
         else:
@@ -284,6 +300,7 @@ def main(argv=None):
             print("{:3d} {:>8.2f}".format(test_row_epoch, total_cost), end="    ")
             do_test()
             if total_cost > 1e6:
+                trainer.sync_net()
                 print(net.get_wts_info(detailed=True))
 
         if not chain:

@@ -267,11 +267,17 @@ class Trainer:
             if plan is not None and mesh is not None:
                 from .ops import megastep_dp
 
+                n_data = mesh.shape["data"]
                 if not megastep_dp.dp_supported(
-                    plan.spec, mesh.shape["data"], data_platform == "tpu"
+                    plan.spec, n_data, data_platform == "tpu"
                 ):
                     plan = None
-            if (plan is not None and mega_mode == "auto"
+                elif mega_mode == "auto" and bsz // n_data > 32:
+                    # per-device shards beyond the measured ~32 striped-conv
+                    # sweet spot: the scanned GSPMD path wins there, same
+                    # crossover as the single-chip tiling gate below
+                    plan = None
+            if (plan is not None and mega_mode == "auto" and mesh is None
                     and getattr(plan.spec, "n_tiles", 1) > 1):
                 # Batch-tiled fusion is a capability, not the fast path:
                 # at MXU-friendly batches XLA's batched convs beat the
@@ -318,7 +324,8 @@ class Trainer:
                     "leaky-relu-family activations, f32, "
                     "working set within VMEM; meshes must be data-parallel "
                     "(model axis 1) with BATCH_SZ divisible by the data "
-                    "axis, and only the 2-conv flagship family runs on a "
+                    "axis, the per-device shard within VMEM, and only the "
+                    "2-conv flagship family runs on a "
                     "mesh — see docs/tutorial.md). Use MEGAFUSED='auto' to "
                     "fall back silently."
                 )
@@ -652,6 +659,41 @@ class Trainer:
         return self.evaluate(which, list(range(n)))
 
     def checkpoint_dict(self):
-        self._mega_sync_frame()
-        self.net.snapshot_params([[np.asarray(p) for p in lp] for lp in self.params])
+        self.sync_net()
         return self.net.get_init_params()
+
+    def sync_net(self):
+        """Write the CURRENT device params back into the net's layers so
+        net.get_wts_info() / get_init_params() reflect training progress
+        (they read layer params_init, which otherwise holds the values from
+        init or the last checkpoint)."""
+        self._mega_sync_frame()
+        self.net.snapshot_params(
+            [[np.asarray(p) for p in lp] for lp in self.params]
+        )
+
+    def snapshot_state(self):
+        """Device-side copy of the full training state (params + momentum
+        accumulators, in whichever layout currently holds the truth) plus
+        the epoch counter. One parameter-set copy on device, no host
+        transfer — cheap enough to take per chained-epoch chunk so NaN
+        diagnostics can replay to the failing epoch (restore_state)."""
+        if self._mega is not None and self._state_src == "mega":
+            st = ("mega", jax.tree.map(jnp.copy, (self._kp, self._km)))
+        else:
+            st = ("frame", jax.tree.map(jnp.copy, (self.params, self.moms)))
+        return (st, self.net.get_epoch())
+
+    def restore_state(self, snap):
+        """Rewind training to a snapshot_state() point: state tensors and
+        the epoch counter (the LR schedule and all per-epoch RNG derive
+        from it, so re-running from here reproduces the trajectory)."""
+        (kind, state), epoch = snap
+        if kind == "mega":
+            self._kp, self._km = jax.tree.map(jnp.copy, state)
+            self._state_src = "mega"
+        else:
+            self.params, self.moms = jax.tree.map(jnp.copy, state)
+            if self._mega is not None:
+                self._state_src = "frame"
+        self.net.tr_prms["CUR_EPOCH"] = epoch
