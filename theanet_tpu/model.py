@@ -61,35 +61,43 @@ __all__ = [
 
 
 def get_layers_info(layers):
-    string = ""
-    for lyr in layers:
-        string += "\n{} : ".format(lyr[0])
-        for key in lyr[1]:
-            string += "\n\t{} : \t{}".format(key, lyr[1][key])
-    return string
+    """Spec pretty-printer; output text matches neuralnet.py:20-27 line for
+    line (logs/checkpoint banners are a compatibility surface)."""
+    lines = []
+    for name, kwargs in layers:
+        lines.append(f"\n{name} : ")
+        lines.extend(f"\n\t{key} : \t{val}" for key, val in kwargs.items())
+    return "".join(lines)
+
+
+def _wt_lines(layer_idx, ww, detailed):
+    yield f"\nLayer {layer_idx}:"
+    for w in ww:
+        n_ww = reduce(mul, w.shape, 1)
+        line = f"\n\t {w.shape} {w.dtype} ❲{n_ww}❳"
+        if detailed:
+            line += f" ❲{w.min():.2e}, {w.mean():.2e}, {w.max():.2e}❳"
+        yield line
 
 
 def get_wts_info(wts, detailed=False):
-    string, n_wts = "", 0
-    for l, ww in enumerate(wts):
-        string += "\nLayer {}:".format(l)
-        for w in ww:
-            n_ww = reduce(mul, w.shape, 1)
-            n_wts += n_ww
-            string += "\n\t {} {} ❲{}❳".format(w.shape, w.dtype, n_ww)
-            if detailed:
-                string += " ❲{:.2e}, {:.2e}, {:.2e}❳".format(
-                    w.min(), w.mean(), w.max()
-                )
-    string += "\n\nTotal Number of Weights : {:,}".format(n_wts)
-    return string
+    """Weight-table pretty-printer; same output surface as neuralnet.py:30-43."""
+    n_wts = sum(reduce(mul, w.shape, 1) for ww in wts for w in ww)
+    body = "".join(
+        line
+        for l, ww in enumerate(wts)
+        for line in _wt_lines(l, ww, detailed)
+    )
+    return body + f"\n\nTotal Number of Weights : {n_wts:,}"
 
 
 def get_training_params_info(training_params):
-    string = "Training Parameters:"
-    for key in sorted(training_params.keys()):
-        string += "\n\t{} : \t{}".format(key, training_params[key])
-    return string
+    """Sorted key/value dump; output matches neuralnet.py:46-51."""
+    lines = [
+        f"\n\t{key} : \t{training_params[key]}"
+        for key in sorted(training_params)
+    ]
+    return "Training Parameters:" + "".join(lines)
 
 
 # ------------------------------- the net -----------------------------------
