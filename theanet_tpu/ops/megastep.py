@@ -427,23 +427,40 @@ def build_constants(spec: MegaSpec):
     gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
     s_smooth = np.kron(gh, gw).astype(np.float32)
 
+    # row->map one-hots / batch-stripe masks for the striped matmuls
+    ecol1 = np.repeat(np.eye(spec.in_ch, dtype=np.float32), B, axis=1)
+    ecol2 = np.repeat(np.eye(M1, dtype=np.float32), B, axis=1)   # (M1, R1)
+    stripe1 = np.tile(np.eye(B, dtype=np.float32), (M1, spec.in_ch))
+    stripe2 = np.tile(np.eye(B, dtype=np.float32), (M2, M1))     # (R2, R1)
+    em2 = np.repeat(np.eye(M2, dtype=np.float32), B, axis=0)     # (R2, M2)
+    a1 = _anchor_mask(spec.p1, H, spec.pool1)                    # (1, hw)
+    a2 = _anchor_mask(spec.p2, spec.p1, spec.pool2)              # (1, p1^2)
+    p2sq = spec.p2 * spec.p2
+
     consts = {
         "s_smooth": s_smooth,                                  # (hw, hw)
         "c1": _anchor_grid(spec.p1, H, spec.pool1),            # (hw, p1^2)
         "c2": _anchor_grid(spec.p2, spec.p1, spec.pool2),      # (p1^2, p2^2)
         "valid1": _valid_mask(spec.c1, H),                     # (1, hw)
         "valid2": _valid_mask(spec.c2, spec.p1),               # (1, p1^2)
-        "a1": _anchor_mask(spec.p1, H, spec.pool1),            # (1, hw)
-        "a2": _anchor_mask(spec.p2, spec.p1, spec.pool2),      # (1, p1^2)
-        # row->map one-hots and batch-stripe masks for the striped matmuls
+        # pre-rolled anchor masks, one row per pool-window offset, so the
+        # pool backward reads constant rows instead of rolling at runtime
+        "a1r": _rolled_anchor_stack(a1, spec.pool1, H),
+        "a2r": _rolled_anchor_stack(a2, spec.pool2, spec.p1),
         "em1": np.repeat(np.eye(M1, dtype=np.float32), B, axis=0),   # (R1, M1)
-        "ecol1": np.repeat(np.eye(spec.in_ch, dtype=np.float32), B,
-                           axis=1),                                  # (C0, C0*B)
-        "em2": np.repeat(np.eye(M2, dtype=np.float32), B, axis=0),   # (R2, M2)
-        "ecol2": np.repeat(np.eye(M1, dtype=np.float32), B, axis=1), # (M1, R1)
-        "stripe1": np.tile(np.eye(B, dtype=np.float32),
-                           (M1, spec.in_ch)),                        # (R1, C0*B)
-        "stripe2": np.tile(np.eye(B, dtype=np.float32), (M2, M1)),   # (R2, R1)
+        "em2": em2,
+        # tap-tiled stripe masks + tap-block-diagonal ecol expansions: the
+        # per-tap (em @ w_k @ ecol) * stripe loops batch into ONE
+        # (em @ w) @ e9b * stx pair per conv level (the block diagonal
+        # only adds zero terms to each contraction — bitwise-exact).
+        "st1x": np.tile(stripe1, (1, spec.filt1 ** 2)),
+        "st2x": np.tile(stripe2, (1, spec.filt2 ** 2)),
+        "e9b1": _tap_blockdiag(ecol1, spec.filt1 ** 2),
+        "e9b2": _tap_blockdiag(ecol2, spec.filt2 ** 2),
+        # flatten embed/extract: selmask zeroes every foreign map block of
+        # a tiled (R2, n_flat) matrix; selsum sums the blocks back down
+        "selmask": np.repeat(em2, p2sq, axis=1),               # (R2, NF)
+        "selsum": np.tile(np.eye(p2sq, dtype=np.float32), (M2, 1)),  # (NF, p2^2)
         # flatten: f[b, :] = sum over m of embedded rows (m, b)
         "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, M2)),     # (B, R2)
         # conv2 tap shifts as stacked one-hot matrices: sh2[k*P+r, q] = 1
@@ -453,6 +470,26 @@ def build_constants(spec: MegaSpec):
         "sh2": _shift_stack(spec.filt2, spec.p1),
     }
     return consts
+
+
+def _rolled_anchor_stack(a, pool, stride):
+    """(pool^2, N) stack of the anchor mask pre-rolled by each window
+    offset: row j = roll(a, _pool_offsets[j]) (matching _roll semantics,
+    values move toward higher lanes)."""
+    return np.concatenate(
+        [np.roll(a, off, axis=1) for off in _pool_offsets(pool, stride)],
+        axis=0,
+    )
+
+
+def _tap_blockdiag(ecol, taps):
+    """Block-diagonal stack of ``ecol`` (c, s), one block per conv tap:
+    out[k*c + i, k*s + j] = ecol[i, j]."""
+    c, s = ecol.shape
+    out = np.zeros((taps * c, taps * s), np.float32)
+    for k in range(taps):
+        out[k * c:(k + 1) * c, k * s:(k + 1) * s] = ecol
+    return out
 
 
 def _shift_stack(filt, stride):
@@ -483,8 +520,9 @@ def _tap_offsets(filt, stride):
 # (megastep_dp) — ONE definition so layout changes cannot drift.
 
 MEGA_CONST_NAMES = (
-    "s_smooth", "c1", "c2", "valid1", "valid2", "a1", "a2",
-    "em1", "ecol1", "em2", "ecol2", "stripe1", "stripe2", "sumsel", "sh2",
+    "s_smooth", "c1", "c2", "valid1", "valid2", "a1r", "a2r",
+    "em1", "em2", "st1x", "st2x", "e9b1", "e9b2", "selmask", "selsum",
+    "sumsel", "sh2",
 )
 
 
@@ -879,9 +917,10 @@ def _apply_updates(updates, lr):
 
 def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ub_ref, fb_ref, pb_ref, db_ref,
-                  ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-                  em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-                  sumsel_ref, sh2_ref, wt_scale=1.0):
+                  ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+                  em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+                  selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
+                  wt_scale=1.0):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -908,17 +947,21 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         return jnp.sum(aug), 0.0, None  # consume so nothing is DCE'd
 
     # ---------------- conv1 (striped matmul per tap) + pool1
-    # Conv1 keeps a per-tap loop: its rolled pieces are B-row (20) blocks,
-    # which Mosaic cannot concatenate on the sublane axis (needs multiples
-    # of 8). Conv2's pieces are M1*B-row blocks and stack into one matmul.
+    # Conv1 keeps a per-tap CONTRACTION loop: its rolled pieces are B-row
+    # (20) blocks, which Mosaic cannot concatenate on the sublane axis
+    # (needs multiples of 8). Conv2's pieces are M1*B-row blocks and stack
+    # into one matmul. The striped-weight construction is batched across
+    # taps though: one (em1 @ w1) @ e9b1 * st1x pair builds every tap's
+    # striped weight block at once (block-diagonal e9b1 adds only zero
+    # terms per contraction — bitwise-identical to the per-tap loop).
     offs1 = _tap_offsets(F1, H)
-    em1, ecol1, st1 = em1_ref[:], ecol1_ref[:], st1_ref[:]
+    em1, st1x, e9b1 = em1_ref[:], st1x_ref[:], e9b1_ref[:]
     rolls1 = [_roll(aug, -off) for off in offs1]
+    CB = C0 * B
+    w1_all = _mm(_mm(em1, w1), e9b1) * st1x               # (R1, F1^2*C0*B)
     z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
     for k in range(F1 * F1):
-        w1k = w1[:, k * C0:(k + 1) * C0]                  # (M1, C0)
-        w1k_big = _mm(_mm(em1, w1k), ecol1) * st1         # (R1, C0*B)
-        z1 = z1 + _mm(w1k_big, rolls1[k])
+        z1 = z1 + _mm(w1_all[:, k * CB:(k + 1) * CB], rolls1[k])
     h1 = _lrelu(z1, spec.slope1)
     v1 = v1_ref[:]
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
@@ -935,17 +978,14 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     # patch matrix and the conv contraction is ONE K=9*R1 matmul — and the
     # same patch matrix serves both backward contractions.
     R1 = M1 * B
-    em2, ecol2, st2 = em2_ref[:], ecol2_ref[:], st2_ref[:]
+    em2, st2x, e9b2 = em2_ref[:], st2x_ref[:], e9b2_ref[:]
     sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
     p1s = jnp.concatenate(
         [_mm(p1, sh2[k * P1SQ:(k + 1) * P1SQ, :], hi=spec.exact_movement)
          for k in range(F2 * F2)],
         axis=0,
     )                                                     # (F2^2*R1, P1SQ)
-    w2_big = jnp.concatenate(
-        [_mm(_mm(em2, w2[:, k * M1:(k + 1) * M1]), ecol2) * st2
-         for k in range(F2 * F2)], axis=1,
-    )                                                     # (R2, F2^2*R1)
+    w2_big = _mm(_mm(em2, w2), e9b2) * st2x               # (R2, F2^2*R1)
     z2 = _mm(w2_big, p1s) + _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)
     h2 = _lrelu(z2, spec.slope2)
     v2 = v2_ref[:]
@@ -957,9 +997,8 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         return jnp.sum(p2), 0.0, None
 
     # ---------------- flatten (embed + select matmuls) + dense tail
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (M2 * B, 1), 0)
-    rowmasks = [(rows2 // B == m).astype(jnp.float32) for m in range(M2)]
-    p_embed = jnp.concatenate([p2 * rm for rm in rowmasks], axis=1)  # (R2, NF)
+    selmask = selmask_ref[:]
+    p_embed = jnp.concatenate([p2] * M2, axis=1) * selmask  # (R2, NF)
     sumsel = sumsel_ref[:]
     f = _mm(sumsel, p_embed, hi=spec.exact_movement)      # (B, NF)
 
@@ -985,26 +1024,25 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                 + jnp.sum(dbh) + jnp.sum(dbo)), min_tl, None
 
     dpe = _mm(sumsel, df, ta=True, hi=spec.exact_movement)  # (R2, NF)
-    dp2 = jnp.zeros((M2 * B, P2SQ), jnp.float32)
-    for m in range(M2):
-        dp2 = dp2 + dpe[:, m * P2SQ:(m + 1) * P2SQ] * rowmasks[m]
+    # un-embed: mask each row's foreign map blocks, then sum blocks down —
+    # one mul + one one-hot matmul instead of an M2-slice loop
+    dp2 = _mm(dpe * selmask, selsum_ref[:], hi=spec.exact_movement)
 
     # pool2 backward: expand anchor grads, gate by max-equality
-    am2 = am2_ref[:]
+    a2r = a2r_ref[:]
     dmx2 = _mm(dp2, c2_ref[:], tb=True, hi=spec.exact_movement)  # (R2, P1SQ)
     dz2a = jnp.zeros_like(z2m)
-    for off in _pool_offsets(spec.pool2, spec.p1):
-        gate = (_roll(am2, off) > 0) & (z2m == _roll(mx2, off))
+    for j, off in enumerate(_pool_offsets(spec.pool2, spec.p1)):
+        gate = (a2r[j:j + 1, :] > 0) & (z2m == _roll(mx2, off))
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
     dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
 
-    # conv2 backward: one matmul per contraction against the patch matrix
+    # conv2 backward: one matmul per contraction against the patch matrix;
+    # every tap's weight gradient falls out of ONE pair of matmuls through
+    # the block-diagonal e9b2 (zero terms only — exact)
     dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, F2^2*R1)
-    dw2 = jnp.concatenate(
-        [_mm(_mm(em2, dbig_all[:, k * R1:(k + 1) * R1] * st2, ta=True),
-             ecol2, tb=True)                              # (M2, M1)
-         for k in range(F2 * F2)], axis=1,
-    )                                                     # (M2, F2^2*M1)
+    dw2 = _mm(_mm(em2, dbig_all * st2x, ta=True), e9b2, tb=True)
+    # (M2, F2^2*M1)
     dp_stack = _mm(w2_big, dz2, ta=True)                  # (F2^2*R1, P1SQ)
     dp1 = jnp.zeros_like(p1)
     for k in range(F2 * F2):
@@ -1018,22 +1056,23 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         return jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2), min_tl, None
 
     # pool1 backward
-    am1 = am1_ref[:]
+    a1r = a1r_ref[:]
     dmx1 = _mm(dp1, c1_ref[:], tb=True, hi=spec.exact_movement)  # (R1, HW)
     dz1a = jnp.zeros_like(z1m)
-    for off in _pool_offsets(spec.pool1, H):
-        gate = (_roll(am1, off) > 0) & (z1m == _roll(mx1, off))
+    for j, off in enumerate(_pool_offsets(spec.pool1, H)):
+        gate = (a1r[j:j + 1, :] > 0) & (z1m == _roll(mx1, off))
         dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
     dz1 = dz1a * jnp.where(z1 > 0, 1.0, spec.slope1)      # (R1, HW)
 
-    # conv1 backward (weights only; nothing learnable below)
-    dw1_cols = []
-    for k in range(F1 * F1):
-        dbig = _mm(dz1, rolls1[k], tb=True)               # (R1, C0*B)
-        dw1_cols.append(
-            _mm(_mm(em1, dbig * st1, ta=True), ecol1, tb=True)  # (M1, C0)
-        )
-    dw1 = jnp.concatenate(dw1_cols, axis=1)               # (M1, F1^2*C0)
+    # conv1 backward (weights only; nothing learnable below): the per-tap
+    # contractions are real matmuls (plain layouts — their outputs concat),
+    # and the striped-to-kernel reduction batches through e9b1 like dw2
+    dbig_all1 = jnp.concatenate(
+        [_mm(dz1, rolls1[k], tb=True) for k in range(F1 * F1)],
+        axis=1,
+    )                                                     # (R1, F1^2*C0*B)
+    dw1 = _mm(_mm(em1, dbig_all1 * st1x, ta=True), e9b1, tb=True)
+    # (M1, F1^2*C0)
     db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
 
     return cost, min_tl, (dw1, db1, dw2, db2, dwh, dbh, dwo, dbo)
@@ -1047,9 +1086,9 @@ def _kernel(spec: MegaSpec,
             w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
             a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
             aow_ref, aob_ref,
-            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-            em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-            sumsel_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+            em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+            selmask_ref, selsum_ref, sumsel_ref,
             sh2_ref,
             # outputs
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
@@ -1095,9 +1134,9 @@ def _kernel(spec: MegaSpec,
     cost, minf, grads = _conv_fwd_bwd(
         spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
         ub_ref, fb_ref, pb_ref, db_ref,
-        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-        em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-        sumsel_ref, sh2_ref,
+        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+        em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+        selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
         wt_scale=(1.0 if n_tiles == 1
                   else jnp.where(tile == 0, 1.0, 0.0)),
     )

@@ -91,9 +91,9 @@ def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
 def _kernel_grad(spec, x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref,
                  w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                  wo_ref, bo_ref,
-                 ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-                 em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-                 sumsel_ref, sh2_ref,
+                 ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+                 em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+                 selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
                  g1w, g1b, g2w, g2b, ghw, ghb, gow, gob,
                  cost_ref, minf_ref):
     """Per-step gradient kernel: one fused augment+fwd+bwd pass over this
@@ -104,9 +104,9 @@ def _kernel_grad(spec, x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref,
     cost, minf, grads = _conv_fwd_bwd(
         spec, None, x_ref[0], y_ref[0], params,
         ub_ref, fb_ref, pb_ref, db_ref,
-        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, am1_ref, am2_ref,
-        em1_ref, ecol1_ref, em2_ref, ecol2_ref, st1_ref, st2_ref,
-        sumsel_ref, sh2_ref,
+        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+        em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+        selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
     )
     for ref, g in zip((g1w, g1b, g2w, g2b, ghw, ghb, gow, gob), grads):
         ref[:] = g
