@@ -45,7 +45,9 @@ from .megastep import (
     _pool_max,
     _pool_offsets,
     _roll,
+    _rolled_anchor_stack,
     _shift_stack,
+    _tap_blockdiag,
     _tap_offsets,
     _u01,
     _valid_mask,
@@ -361,19 +363,29 @@ def build_constants_deep(spec: DeepSpec):
     prev_maps = spec.in_ch
     for k, (stride, c, po) in enumerate(spec.sides):
         mk = spec.maps[k]
+        taps = spec.filts[k] ** 2
+        ecol = np.repeat(np.eye(prev_maps, dtype=np.float32), B, axis=1)
+        stripe = np.tile(np.eye(B, dtype=np.float32), (mk, prev_maps))
         consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k])
         consts[f"valid{k}"] = _valid_mask(c, stride)
-        consts[f"a{k}"] = _anchor_mask(po, stride, spec.pools[k])
+        # pre-rolled anchor-mask stack + tap-batched striping constants
+        # (see megastep.build_constants — same exact-batching design)
+        consts[f"a{k}r"] = _rolled_anchor_stack(
+            _anchor_mask(po, stride, spec.pools[k]), spec.pools[k], stride)
         consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), B, axis=0)
-        consts[f"ecol{k}"] = np.repeat(np.eye(prev_maps, dtype=np.float32),
-                                       B, axis=1)
-        consts[f"stripe{k}"] = np.tile(np.eye(B, dtype=np.float32),
-                                       (mk, prev_maps))
+        consts[f"e9b{k}"] = _tap_blockdiag(ecol, taps)
+        consts[f"st{k}x"] = np.tile(stripe, (1, taps))
         if k > 0:
             consts[f"sh{k}"] = _shift_stack(spec.filts[k], stride)
         prev_maps = mk
     consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
                                (1, spec.maps[-1]))
+    pnsq = spec.sides[-1][2] ** 2
+    consts["selmask"] = np.repeat(
+        np.repeat(np.eye(spec.maps[-1], dtype=np.float32), B, axis=0),
+        pnsq, axis=1)                                    # (Rn, NF)
+    consts["selsum"] = np.tile(np.eye(pnsq, dtype=np.float32),
+                               (spec.maps[-1], 1))       # (NF, pn^2)
     if spec.head in ("logit", "rbf") and not spec.learn_centers:
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
@@ -388,7 +400,7 @@ def _kernel_deep(spec: DeepSpec, *refs):
     centered = spec.head in ("logit", "rbf")
     n_state = (2 * n + (8 if softaux else 4)
                + (1 if centered and spec.learn_centers else 0))
-    n_consts = (1 + sum(6 if k == 0 else 7 for k in range(n)) + 1
+    n_consts = (1 + sum(6 if k == 0 else 7 for k in range(n)) + 3
                 + (1 if centered and not spec.learn_centers else 0))
 
     (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
@@ -410,15 +422,16 @@ def _kernel_deep(spec: DeepSpec, *refs):
     lvl = []                        # per level: dict of const refs
     i = 1
     for k in range(n):
-        d = {"c": c_refs[i], "valid": c_refs[i + 1], "a": c_refs[i + 2],
-             "em": c_refs[i + 3], "ecol": c_refs[i + 4],
-             "stripe": c_refs[i + 5]}
+        d = {"c": c_refs[i], "valid": c_refs[i + 1], "ar": c_refs[i + 2],
+             "em": c_refs[i + 3], "e9b": c_refs[i + 4],
+             "stx": c_refs[i + 5]}
         i += 6
         if k > 0:
             d["sh"] = c_refs[i]
             i += 1
         lvl.append(d)
     sumsel_ref = c_refs[i]
+    selmask_ref, selsum_ref = c_refs[i + 1], c_refs[i + 2]
 
     step = pl.program_id(0)
 
@@ -444,17 +457,19 @@ def _kernel_deep(spec: DeepSpec, *refs):
     # ---------------- forward through the conv levels
     F0, C0 = spec.filts[0], spec.in_ch
     offs0 = _tap_offsets(F0, spec.img)
-    em0, ecol0, st0 = lvl[0]["em"][:], lvl[0]["ecol"][:], lvl[0]["stripe"][:]
+    em0, e9b0, st0x = lvl[0]["em"][:], lvl[0]["e9b"][:], lvl[0]["stx"][:]
     rolls0 = [_roll(aug, -off) for off in offs0]
     lanes0 = spec.hw
     # striped tap matmuls (the flagship's conv1): each tap's weight block
     # is embedded into an (R0, C0*B) block matrix and applied to the
-    # lane-rolled augmented input
+    # lane-rolled augmented input; all taps' blocks build in ONE
+    # (em @ w) @ e9b * stx pair (block-diagonal e9b adds only zero terms
+    # per contraction — bitwise-exact vs the per-tap loop)
+    CB0 = C0 * B
+    w_all0 = _mm(_mm(em0, ws[0]), e9b0) * st0x           # (R0, F0^2*C0*B)
     z = _mm(em0, bs[0]) * jnp.ones((1, lanes0), jnp.float32)
     for k in range(F0 * F0):
-        wk = ws[0][:, k * C0:(k + 1) * C0]               # (M0, C0)
-        wk_big = _mm(_mm(em0, wk), ecol0) * st0          # (R0, C0*B)
-        z = z + _mm(wk_big, rolls0[k])
+        z = z + _mm(w_all0[:, k * CB0:(k + 1) * CB0], rolls0[k])
 
     saved = []                      # per level: (z, zm, mx, p, extras)
     patches = [None]                # level k>=1 patch matrices
@@ -466,19 +481,15 @@ def _kernel_deep(spec: DeepSpec, *refs):
             Fk = spec.filts[k]
             Rp = spec.maps[k - 1] * B
             emk = lvl[k]["em"][:]
-            ecolk = lvl[k]["ecol"][:]
-            stk = lvl[k]["stripe"][:]
+            e9bk = lvl[k]["e9b"][:]
+            stkx = lvl[k]["stx"][:]
             sh = lvl[k]["sh"][:]
             p_prev = saved[k - 1][3]
             ps = jnp.concatenate(
                 [_mm(p_prev, sh[t * lanes:(t + 1) * lanes, :],
                      hi=spec.exact_movement)
                  for t in range(Fk * Fk)], axis=0)       # (Fk^2*Rp, lanes)
-            w_big = jnp.concatenate(
-                [_mm(_mm(emk, ws[k][:, t * spec.maps[k - 1]:
-                                    (t + 1) * spec.maps[k - 1]]), ecolk)
-                 * stk
-                 for t in range(Fk * Fk)], axis=1)       # (Rk, Fk^2*Rp)
+            w_big = _mm(_mm(emk, ws[k]), e9bk) * stkx    # (Rk, Fk^2*Rp)
             z = (_mm(w_big, ps)
                  + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
             patches.append(ps)
@@ -494,9 +505,8 @@ def _kernel_deep(spec: DeepSpec, *refs):
     Mn = spec.maps[-1]
     pn = saved[-1][3]
     PNSQ = spec.sides[-1][2] ** 2
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Mn * B, 1), 0)
-    rowmasks = [(rows // B == m).astype(jnp.float32) for m in range(Mn)]
-    p_embed = jnp.concatenate([pn * rm for rm in rowmasks], axis=1)
+    selmask = selmask_ref[:]
+    p_embed = jnp.concatenate([pn] * Mn, axis=1) * selmask
     f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
     if softaux:
@@ -567,37 +577,33 @@ def _kernel_deep(spec: DeepSpec, *refs):
         dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
 
     dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
-    dp = jnp.zeros((Mn * B, PNSQ), jnp.float32)
-    for m in range(Mn):
-        dp = dp + dpe[:, m * PNSQ:(m + 1) * PNSQ] * rowmasks[m]
+    # un-embed via one mul + one one-hot matmul (see megastep._conv_fwd_bwd)
+    dp = _mm(dpe * selmask, selsum_ref[:], hi=spec.exact_movement)
 
     dws, dbs = [None] * n, [None] * n
     for k in range(n - 1, -1, -1):
         stride, c, po = spec.sides[k]
         z, zm, mx, _p = saved[k]
-        am = lvl[k]["a"][:]
+        ar = lvl[k]["ar"][:]
         dmx = _mm(dp, lvl[k]["c"][:], tb=True, hi=spec.exact_movement)
         dza = jnp.zeros_like(zm)
-        for off in _pool_offsets(spec.pools[k], stride):
-            gate = (_roll(am, off) > 0) & (zm == _roll(mx, off))
+        for j, off in enumerate(_pool_offsets(spec.pools[k], stride)):
+            gate = (ar[j:j + 1, :] > 0) & (zm == _roll(mx, off))
             dza = dza + jnp.where(gate, _roll(dmx, off), 0.0)
         dz = dza * jnp.where(z > 0, 1.0, spec.slopes[k])
 
         if k > 0:
             lanes = stride * stride
             Fk = spec.filts[k]
-            Mp = spec.maps[k - 1]
-            Rp = Mp * B
+            Rp = spec.maps[k - 1] * B
             emk = lvl[k]["em"][:]
-            ecolk = lvl[k]["ecol"][:]
-            stk = lvl[k]["stripe"][:]
+            e9bk = lvl[k]["e9b"][:]
+            stkx = lvl[k]["stx"][:]
             sh = lvl[k]["sh"][:]
             ps = patches[k]
             dbig_all = _mm(dz, ps, tb=True)              # (Rk, Fk^2*Rp)
-            dws[k] = jnp.concatenate(
-                [_mm(_mm(emk, dbig_all[:, t * Rp:(t + 1) * Rp] * stk,
-                         ta=True), ecolk, tb=True)
-                 for t in range(Fk * Fk)], axis=1)       # (Mk, Fk^2*Mp)
+            dws[k] = _mm(_mm(emk, dbig_all * stkx, ta=True), e9bk,
+                         tb=True)                        # (Mk, Fk^2*Mp)
             dstack = _mm(wbigs[k], dz, ta=True)          # (Fk^2*Rp, lanes)
             dp = jnp.zeros((Rp, lanes), jnp.float32)
             for t in range(Fk * Fk):
@@ -606,12 +612,11 @@ def _kernel_deep(spec: DeepSpec, *refs):
                               hi=spec.exact_movement)
             dbs[k] = _mm(emk, jnp.sum(dz, axis=1, keepdims=True), ta=True)
         else:
-            dw_cols = []
-            for t in range(F0 * F0):
-                dbig = _mm(dz, rolls0[t], tb=True)       # (R0, C0*B)
-                dw_cols.append(
-                    _mm(_mm(em0, dbig * st0, ta=True), ecol0, tb=True))
-            dws[0] = jnp.concatenate(dw_cols, axis=1)    # (M0, F0^2*C0)
+            dbig_all0 = jnp.concatenate(
+                [_mm(dz, rolls0[t], tb=True) for t in range(F0 * F0)],
+                axis=1)                                  # (R0, F0^2*C0*B)
+            dws[0] = _mm(_mm(em0, dbig_all0 * st0x, ta=True), e9b0,
+                         tb=True)                        # (M0, F0^2*C0)
             dbs[0] = _mm(em0, jnp.sum(dz, axis=1, keepdims=True), ta=True)
 
     # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
