@@ -81,6 +81,10 @@ _VMEM_MB = os.environ.get("THEANET_MEGA_VMEM_MB", "100")
 BIG_NEG = -1e30
 MASK24 = 0xFFFFFF
 INV24 = 1.0 / (1 << 24)
+# cost/minf SMEM output block: rows per copy-out (see build_epoch_fn);
+# kernels address their row as step % CM_BLOCK (exact also when the epoch
+# is shorter than a block, since then the block spans the whole epoch)
+CM_BLOCK = 64
 
 
 class LayerReg(NamedTuple):
@@ -1093,14 +1097,14 @@ def _kernel(spec: MegaSpec,
             # outputs
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
-            cost_ref, minf_ref,
+            cm_ref,
             # VMEM gradient accumulators (scratch) — present iff n_tiles > 1
             *gacc):
     step = pl.program_id(0)
 
     if debug_stage == "noop0":     # floor before ANY kernel structure
-        cost_ref[0, 0, 0] = jnp.sum(x_ref[0])
-        minf_ref[0, 0, 0] = 0.0
+        cm_ref[step % CM_BLOCK, 0] = jnp.sum(x_ref[0])
+        cm_ref[step % CM_BLOCK, 1] = 0.0
         return
 
     state = [
@@ -1125,8 +1129,8 @@ def _kernel(spec: MegaSpec,
     lr = lr_ref[0, 0]
 
     if debug_stage == "noop":      # pure grid/DMA floor measurement
-        cost_ref[0, 0, 0] = jnp.sum(x)
-        minf_ref[0, 0, 0] = 0.0
+        cm_ref[step % CM_BLOCK, 0] = jnp.sum(x)
+        cm_ref[step % CM_BLOCK, 1] = 0.0
         return
 
     n_tiles = spec.n_tiles
@@ -1140,8 +1144,8 @@ def _kernel(spec: MegaSpec,
         wt_scale=(1.0 if n_tiles == 1
                   else jnp.where(tile == 0, 1.0, 0.0)),
     )
-    cost_ref[0, 0, 0] = cost
-    minf_ref[0, 0, 0] = minf
+    cm_ref[step % CM_BLOCK, 0] = cost
+    cm_ref[step % CM_BLOCK, 1] = minf
     if grads is None:              # debug_stage truncated the step
         return
 
@@ -1338,16 +1342,23 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
     ]
     const_specs = [const_spec(a) for a in const_arrs]
 
+    # cost/minf ride in ONE SMEM-resident (CM_BLOCK, 2) output block that
+    # advances every CM_BLOCK steps: each step scalar-stores its row in
+    # place and the copy-out happens once per block — vs two 4-byte DMAs
+    # per step with per-step (1, 1, 1) blocks (a measurable slice of the
+    # grid floor). SMEM windows are lane-padded to 128, so the block is
+    # kept small (64 x 512 B = 32 KB of the ~1 MB SMEM budget).
+    cm_block = min(n_steps, CM_BLOCK)
+    cm_rows = -(-n_steps // cm_block) * cm_block
     out_shapes = (
         [jax.ShapeDtypeStruct(s, jnp.float32) for s in kshapes * 2]
-        + [jax.ShapeDtypeStruct((n_steps, 1, 1), jnp.float32),
-           jax.ShapeDtypeStruct((n_steps, 1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct((cm_rows, 2), jnp.float32)]
     )
     out_specs = (
         [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
          for s in kshapes * 2]
-        + [pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec((cm_block, 2), lambda i: (i // cm_block, 0),
+                        memory_space=pltpu.SMEM)]
     )
 
     if interpret is None:
@@ -1406,8 +1417,8 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         # feature — a single array means a single device->host transfer for
         # the watchdogs (each transfer is a ~36ms round trip here). Tiled
         # batches reduce back to reference-batch granularity here.
-        cost = outs[2 * n_state][:, 0, 0]
-        minf = outs[2 * n_state + 1][:, 0, 0]
+        cost = outs[2 * n_state][:n_steps, 0]
+        minf = outs[2 * n_state][:n_steps, 1]
         if n_tiles > 1:
             cost = jnp.sum(cost.reshape(n_batches, n_tiles), axis=1)
             minf = jnp.min(minf.reshape(n_batches, n_tiles), axis=1)

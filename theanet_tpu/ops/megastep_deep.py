@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 
 from .megastep import (
     BIG_NEG,
+    CM_BLOCK,
     LayerReg,
     _anchor_grid,
     _anchor_mask,
@@ -416,7 +417,7 @@ def _kernel_deep(spec: DeepSpec, *refs):
     out_par = refs[o0:o0 + n_state]
     out_mom = refs[o0 + n_state:o0 + 2 * n_state]
     mom_in = refs[n_step + n_state:n_step + 2 * n_state]
-    cost_ref, minf_ref = refs[o0 + 2 * n_state], refs[o0 + 2 * n_state + 1]
+    cm_ref = refs[o0 + 2 * n_state]
 
     ss_ref = c_refs[0]
     lvl = []                        # per level: dict of const refs
@@ -549,8 +550,8 @@ def _kernel_deep(spec: DeepSpec, *refs):
         head_wts = ((wo, bo, centers) if centered and spec.learn_centers
                     else (wo, bo))
         cost = cost + _wt_cost(spec.reg_o, head_wts)
-    cost_ref[0, 0, 0] = cost
-    minf_ref[0, 0, 0] = min_tl
+    cm_ref[step % CM_BLOCK, 0] = cost
+    cm_ref[step % CM_BLOCK, 1] = min_tl
 
     # ---------------- backward
     if softaux:

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .megastep import (
+    CM_BLOCK,
     LayerReg,
     _apply_updates,
     _augment_block,
@@ -168,7 +169,7 @@ def _kernel_mlp(spec: MlpSpec,
                 ss_ref, sumsel_ref,
                 # outputs
                 owh, obh, owo, obo, oahw, oahb, oaow, oaob,
-                cost_ref, minf_ref):
+                cm_ref):
     B, C0, HW = spec.batch, spec.in_ch, spec.hw
     step = pl.program_id(0)
 
@@ -206,8 +207,8 @@ def _kernel_mlp(spec: MlpSpec,
                                                  db_ref)
     cost = (cost_nll + _wt_cost(spec.reg_h, (wh, bh))
             + _wt_cost(spec.reg_o, (wo, bo)))
-    cost_ref[0, 0, 0] = cost
-    minf_ref[0, 0, 0] = min_tl
+    cm_ref[step % CM_BLOCK, 0] = cost
+    cm_ref[step % CM_BLOCK, 1] = min_tl
 
     # backward stops at the hidden weights: no learnable layer below
     dwh, dbh, dwo, dbo, _ = _dense_softmax_bwd(spec, cache, f, wh, wo,
