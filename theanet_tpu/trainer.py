@@ -278,16 +278,17 @@ class Trainer:
                     # crossover as the single-chip tiling gate below
                     plan = None
             if (plan is not None and mega_mode == "auto" and mesh is None
-                    and getattr(plan.spec, "n_tiles", 1) > 1):
-                # Batch-tiled fusion is a capability, not the fast path:
-                # at MXU-friendly batches XLA's batched convs beat the
-                # striped-conv kernel (measured on v5e, chained epochs:
-                # scanned 0.73M/1.19M/1.09M/1.60M img/s vs tiled-fused
-                # ~0.69-0.71M at batch 64/128/256/1024 — BASELINE.md r3;
-                # the kernel's domain is the launch-bound small-batch
-                # regime, where it wins 5x). 'auto' therefore keeps the
-                # scanned path once tiling would engage; MEGAFUSED=True
-                # still forces the tiled kernel.
+                    and getattr(plan.spec, "n_tiles", 1) > 1
+                    and bsz > 64):
+                # Batch-tiled fusion has a measured crossover vs the
+                # scanned path: after the r3 block-diagonal kernel
+                # batching, tiled-fused wins at batch 64 (788k vs 710k
+                # img/s chained on v5e) but XLA's batched convs win from
+                # 128 up (1.11M/1.25M scanned vs 814k/842k tiled at
+                # 128/256 — tools/tiled_crossover.py, BASELINE.md).
+                # 'auto' therefore tiles up to batch 64 and keeps the
+                # scanned path beyond; MEGAFUSED=True still forces the
+                # tiled kernel at any batch.
                 plan = None
             if plan is not None and train_x.shape[1] != plan.spec.in_ch:
                 plan = None  # data channels disagree with the net spec

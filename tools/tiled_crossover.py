@@ -50,7 +50,7 @@ def main():
         row = {}
         for label, mf in (("tiled-fused", True), ("scanned", False)):
             net = flagship_net(b)
-            net.training_params["MEGAFUSED"] = mf
+            net.tr_prms["MEGAFUSED"] = mf
             tr = Trainer(net, x, y, x[:b], y[:b])
             engaged = tr._mega is not None
             if mf and not engaged:
