@@ -171,3 +171,99 @@ def test_dp_indivisible_batch_rejected():
     net = NeuralNet(spec(), prms(15))
     with pytest.raises(ValueError, match="does not divide"):
         Trainer(net, x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+
+
+# ---------------------------------------------------------------------------
+# deep family (megastep_deep) on the DP mesh — every head
+
+
+def deep_spec_layers(head="softmax", color=False):
+    """A 1-conv-level net: n == 1 routes to the deep family (n == 2 plain
+    Softmax is the flagship's pattern, covered above)."""
+    layers = []
+    if color:
+        layers.append(["ColorLayer", {"img_sz": 12, "num_maps": 1,
+                                      "balance": 0.5, "gamma": 2.0,
+                                      "maxval": 1.5}])
+    layers += [
+        ["ElasticLayer", {"img_sz": 12, "translation": 1, "zoom": 1.05,
+                          "magnitude": 5, "sigma": 3, "pflip": 0.02,
+                          "angle": 2}],
+        ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                       "actvn": "relu10", "reg": {"L2": 0.001}}],
+        ["PoolLayer", {"pool_sz": 2}],
+    ]
+    if head == "softaux":
+        layers.append(["SoftAuxLayer", {"n_out": 10, "n_aux": (5, 9),
+                                        "aux_type": "LocationInfo",
+                                        "boost": 1.5,
+                                        "reg": {"L2": 1e-3}}])
+        return layers
+    layers.append(["HiddenLayer", {"n_out": 32, "pdrop": 0.4,
+                                   "reg": {"maxnorm": 2}}])
+    if head == "rbf":
+        layers.append(["CenteredOutLayer", {"n_features": 12,
+                                            "n_classes": 10, "kind": "RBF",
+                                            "learn_centers": True,
+                                            "junk_dist": 50.0,
+                                            "reg": {"L2": 1e-3}}])
+    else:
+        layers.append(["SoftmaxLayer", {"n_out": 10}])
+    return layers
+
+
+def make_deep_pair(n_data, head="softmax", color=False, batch_sz=16):
+    x, y = make_data(4 * batch_sz)
+    aux = (np.random.RandomState(7).rand(4 * batch_sz, 2, 2)
+           .astype(np.float32) if head == "softaux" else None)
+    kw = dict(train_aux=aux, test_aux=aux)
+    net1 = NeuralNet(deep_spec_layers(head, color), prms(batch_sz))
+    tr1 = Trainer(net1, x, y, x, y, **kw)
+    net2 = NeuralNet(deep_spec_layers(head, color), prms(batch_sz))
+    tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=n_data, n_model=1),
+                  **kw)
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+
+    assert isinstance(tr1._mega_spec, DeepSpec)
+    assert tr2._mega is not None, "deep DP fused path not selected"
+    assert getattr(tr2._mega_epoch, "n_data", None) == n_data
+    return net1, tr1, net2, tr2
+
+
+@pytest.mark.parametrize("head,color", [
+    ("softmax", False),
+    ("softmax", True),     # in-kernel color jitter rides the warp bits
+    ("rbf", False),        # learned centers: an extra state tensor to pmean
+    ("softaux", False),    # aux rows shard with the batch
+])
+def test_dp_deep_matches_single_device_fused(head, color):
+    """Every deep-family head must track single-chip fused execution on the
+    mesh step by step (same tolerance argument as the flagship tests)."""
+    net1, tr1, net2, tr2 = make_deep_pair(4, head=head, color=color)
+    for epoch in range(2):
+        _, costs1, minf1 = tr1.run_epoch()
+        _, costs2, minf2 = tr2.run_epoch()
+        np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{head} epoch {epoch}")
+        np.testing.assert_allclose(minf1, minf2, atol=1e-4)
+        net1.inc_epoch_set_rate()
+        net2.inc_epoch_set_rate()
+    tr1._mega_sync_frame()
+    tr2._mega_sync_frame()
+    for lp1, lp2 in zip(tr1.params, tr2.params):
+        for w1, w2 in zip(lp1, lp2):
+            np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                       atol=1e-4)
+
+
+def test_dp_deep_shuffle_matches_single_device():
+    x, y = make_data(64)
+    p = prms(16)
+    p["SHUFFLE"] = True
+    net1 = NeuralNet(deep_spec_layers(), dict(p))
+    tr1 = Trainer(net1, x, y, x, y)
+    net2 = NeuralNet(deep_spec_layers(), dict(p))
+    tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+    _, costs1, _ = tr1.run_epoch()
+    _, costs2, _ = tr2.run_epoch()
+    np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)

@@ -62,7 +62,7 @@ from .megastep import (
 
 __all__ = ["DeepSpec", "deep_spec_from_net", "make_deep_epoch_fn",
            "kernel_layout_deep", "framework_layout_deep",
-           "deep_layer_idx"]
+           "deep_layer_idx", "deep_kernel_shapes", "deep_reg_kinds"]
 
 
 class DeepSpec(NamedTuple):
@@ -258,7 +258,7 @@ def deep_spec_from_net(net):
             return None
         if convs[0].num_prev_maps != spec.in_ch:
             return None
-        return spec if _fits_vmem(spec, convs + [head], net) else None
+        return spec if _fits_vmem(spec) else None
 
     hid = L[i]
     if type(hid) is not HiddenLayer or isinstance(hid, (SoftmaxLayer,
@@ -321,19 +321,20 @@ def deep_spec_from_net(net):
     if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
         return None
 
-    return spec if _fits_vmem(spec, convs + [hid, head], net) else None
+    return spec if _fits_vmem(spec) else None
 
 
-def _fits_vmem(spec, param_layers, net):
-    """VMEM feasibility — constants sized from the actual tensors, plus
-    the traced working set (same empirically-calibrated budget as the
-    flagship gate; the scanned per-layer path is the fallback)."""
-    B = net.batch_sz
+def _fits_vmem(spec):
+    """VMEM feasibility at ``spec.batch`` — constants sized from the
+    actual tensors, state from the kernel-layout shapes, plus the traced
+    working set (same empirically-calibrated budget as the flagship gate;
+    the scanned per-layer path is the fallback). Shared by the matcher and
+    megastep_dp.dp_supported's per-device-shard check."""
+    B = spec.batch
     const_bytes = 4 * sum(int(np.prod(c.shape))
                           for c in build_constants_deep(spec).values())
     state_bytes = 4 * 3 * sum(
-        int(np.prod(w.shape)) for lyr_ in param_layers
-        for w in lyr_.get_wts()
+        int(np.prod(s)) for s in deep_kernel_shapes(spec)
     )
     work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
                                      + 5 * spec.maps[0]))
@@ -394,35 +395,61 @@ def build_constants_deep(spec: DeepSpec):
     return consts
 
 
-def _kernel_deep(spec: DeepSpec, *refs):
-    n = spec.n_levels
-    B = spec.batch
-    softaux = spec.head == "softaux"
-    centered = spec.head in ("logit", "rbf")
-    n_state = (2 * n + (8 if softaux else 4)
-               + (1 if centered and spec.learn_centers else 0))
-    n_consts = (1 + sum(6 if k == 0 else 7 for k in range(n)) + 3
-                + (1 if centered and not spec.learn_centers else 0))
+def deep_kernel_shapes(spec: DeepSpec):
+    """The kernel-layout state-tensor shapes, in layout order (conv w/b per
+    level, then the tail — see kernel_layout_deep)."""
+    kshapes = []
+    prev = spec.in_ch
+    for k in range(spec.n_levels):
+        F = spec.filts[k]
+        kshapes += [(spec.maps[k], F * F * prev), (spec.maps[k], 1)]
+        prev = spec.maps[k]
+    if spec.head == "softaux":
+        nah, nao = spec.n_aux
+        kshapes += [(spec.n_flat, spec.n_out), (1, spec.n_out),
+                    (2, nah), (1, nah), (nah, nao), (1, nao),
+                    (nao, spec.n_out), (1, spec.n_out)]
+    else:
+        kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
+                    (spec.n_hid, spec.n_out), (1, spec.n_out)]
+        if spec.head in ("logit", "rbf") and spec.learn_centers:
+            kshapes.append((spec.n_classes, spec.n_out))
+    return kshapes
 
-    (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
-    n_step = 7
-    aux_ref = None
-    if softaux:
-        aux_ref = refs[7]
-        n_step = 8
-    par_refs = refs[n_step:n_step + n_state]
-    i0 = n_step + 2 * n_state      # momentum input refs are copied, not read
-    c_refs = list(refs[i0:i0 + n_consts])
-    o0 = i0 + n_consts
-    out_par = refs[o0:o0 + n_state]
-    out_mom = refs[o0 + n_state:o0 + 2 * n_state]
-    mom_in = refs[n_step + n_state:n_step + 2 * n_state]
-    cm_ref = refs[o0 + 2 * n_state]
 
+def deep_reg_kinds(spec: DeepSpec):
+    """(LayerReg, maxnorm-kind) per kernel-layout tensor, same order as
+    deep_kernel_shapes — the update table both the in-kernel _apply_updates
+    call and the DP out-of-kernel update consume (cf. megastep
+    kernel_reg_kinds)."""
+    out = []
+    for k in range(spec.n_levels):
+        out += [(spec.regs[k], "rows"), (spec.regs[k], "bias")]
+    if spec.head == "softaux":
+        for kind in ("cols", "bias", "cols", "bias", "cols", "bias",
+                     "cols", "bias"):
+            out.append((spec.reg_o, kind))
+    else:
+        out += [(spec.reg_h, "cols"), (spec.reg_h, "bias"),
+                (spec.reg_o, "cols"), (spec.reg_o, "bias")]
+        if spec.head in ("logit", "rbf") and spec.learn_centers:
+            out.append((spec.reg_o, "cols"))
+    return out
+
+
+def _n_deep_consts(spec: DeepSpec):
+    return (1 + sum(6 if k == 0 else 7 for k in range(spec.n_levels)) + 3
+            + (1 if (spec.head in ("logit", "rbf")
+                     and not spec.learn_centers) else 0))
+
+
+def _parse_deep_consts(spec: DeepSpec, c_refs):
+    """Split the flat constant-ref list (build_constants_deep order) into
+    (ss_ref, per-level dicts, sumsel, selmask, selsum, frozen-centers)."""
     ss_ref = c_refs[0]
     lvl = []                        # per level: dict of const refs
     i = 1
-    for k in range(n):
+    for k in range(spec.n_levels):
         d = {"c": c_refs[i], "valid": c_refs[i + 1], "ar": c_refs[i + 2],
              "em": c_refs[i + 3], "e9b": c_refs[i + 4],
              "stx": c_refs[i + 5]}
@@ -433,25 +460,35 @@ def _kernel_deep(spec: DeepSpec, *refs):
         lvl.append(d)
     sumsel_ref = c_refs[i]
     selmask_ref, selsum_ref = c_refs[i + 1], c_refs[i + 2]
+    centers_ref = None
+    if spec.head in ("logit", "rbf") and not spec.learn_centers:
+        centers_ref = c_refs[i + 3]
+    return ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref, centers_ref
 
-    step = pl.program_id(0)
 
-    @pl.when(step == 0)
-    def _init():
-        for out, inp in zip(out_par, par_refs):
-            out[:] = inp[:]
-        for out, inp in zip(out_mom, mom_in):
-            out[:] = inp[:]
+def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
+                  db_ref, c_refs, aux=None):
+    """Fused augment + forward + hand-derived backward for ONE batch of a
+    deep-family net. ``params`` are the kernel-layout state VALUES in
+    deep_kernel_shapes order; ``c_refs`` the constant operand refs in
+    build_constants_deep order; ``aux`` the (B, 4) location rows for
+    softaux heads. Returns (cost, min_true_feature, grads) with grads in
+    the same state order — shared by the whole-epoch kernel (_kernel_deep,
+    which applies the in-kernel momentum update) and megastep_dp's per-step
+    gradient kernel (grads pmean'd across the mesh, update outside)."""
+    n = spec.n_levels
+    B = spec.batch
+    softaux = spec.head == "softaux"
+    centered = spec.head in ("logit", "rbf")
 
-    ws = [out_par[2 * k][:] for k in range(n)]       # (Mk, Fk^2*M_{k-1})
-    bs = [out_par[2 * k + 1][:] for k in range(n)]   # (Mk, 1)
-    tail = [out_par[2 * n + j][:] for j in range(n_state - 2 * n)]
+    (ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref,
+     centers_ref) = _parse_deep_consts(spec, c_refs)
+
+    ws = [params[2 * k] for k in range(n)]           # (Mk, Fk^2*M_{k-1})
+    bs = [params[2 * k + 1] for k in range(n)]       # (Mk, 1)
+    tail = list(params[2 * n:])
     if not softaux:
         wh, bh, wo, bo = tail[0], tail[1], tail[2], tail[3]
-
-    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
-    y = y_ref[0]                   # (B, 1) int32
-    lr = lr_ref[0, 0]
 
     aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
 
@@ -516,7 +553,7 @@ def _kernel_deep(spec: DeepSpec, *refs):
         # encoder (random convex row-mix -> 2 -> nah(relu50) -> nao(relu01))
         Wt, bt, w1a, b1a, w2a, b2a, cw, cb = tail
         u = _u01(db_ref[0][:, 0:1])               # (B, 1) convex-mix draw
-        a4 = aux_ref[0]                           # (B, 4): [row0 | row1]
+        a4 = aux                                  # (B, 4): [row0 | row1]
         x2 = (a4[:, 0:2] * u + a4[:, 2:4] * (1.0 - u)) * spec.boost
         z1a = _mm(x2, w1a) + b1a
         h1a = _lrelu(z1a, 0.50)
@@ -532,8 +569,8 @@ def _kernel_deep(spec: DeepSpec, *refs):
         cost_nll, min_tl = -jnp.sum(true_logp) / B, jnp.min(true_logp)
         cache = None
     elif centered:
-        centers = (out_par[2 * n + 4][:] if spec.learn_centers
-                   else c_refs[-1][:])
+        centers = (params[2 * n + 4] if spec.learn_centers
+                   else centers_ref[:])
         cost_nll, min_tl, cache = _dense_centered_fwd(
             spec, f, wh, bh, wo, bo, y, db_ref, centers)
     else:
@@ -550,8 +587,6 @@ def _kernel_deep(spec: DeepSpec, *refs):
         head_wts = ((wo, bo, centers) if centered and spec.learn_centers
                     else (wo, bo))
         cost = cost + _wt_cost(spec.reg_o, head_wts)
-    cm_ref[step % CM_BLOCK, 0] = cost
-    cm_ref[step % CM_BLOCK, 1] = min_tl
 
     # ---------------- backward
     if softaux:
@@ -620,33 +655,62 @@ def _kernel_deep(spec: DeepSpec, *refs):
                          tb=True)                        # (M0, F0^2*C0)
             dbs[0] = _mm(em0, jnp.sum(dz, axis=1, keepdims=True), ta=True)
 
-    # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
-    updates = []
+    grads = []
     for k in range(n):
-        updates.append((out_par[2 * k], out_mom[2 * k], dws[k],
-                        spec.regs[k], "rows"))
-        updates.append((out_par[2 * k + 1], out_mom[2 * k + 1], dbs[k],
-                        spec.regs[k], "bias"))
+        grads += [dws[k], dbs[k]]
     if softaux:
-        kinds = ["cols", "bias", "cols", "bias", "cols", "bias", "cols",
-                 "bias"]
-        for j, (g, kind) in enumerate(zip(tail_grads, kinds)):
-            updates.append((out_par[2 * n + j], out_mom[2 * n + j], g,
-                            spec.reg_o, kind))
+        grads += tail_grads
     else:
-        updates += [
-            (out_par[2 * n], out_mom[2 * n], dwh, spec.reg_h, "cols"),
-            (out_par[2 * n + 1], out_mom[2 * n + 1], dbh, spec.reg_h,
-             "bias"),
-            (out_par[2 * n + 2], out_mom[2 * n + 2], dwo, spec.reg_o,
-             "cols"),
-            (out_par[2 * n + 3], out_mom[2 * n + 3], dbo, spec.reg_o,
-             "bias"),
-        ]
+        grads += [dwh, dbh, dwo, dbo]
         if dcenters is not None:
-            updates.append((out_par[2 * n + 4], out_mom[2 * n + 4],
-                            dcenters, spec.reg_o, "cols"))
-    _apply_updates(updates, lr)
+            grads.append(dcenters)
+    return cost, min_tl, grads
+
+
+def _kernel_deep(spec: DeepSpec, *refs):
+    softaux = spec.head == "softaux"
+    n_state = len(deep_kernel_shapes(spec))
+    n_consts = _n_deep_consts(spec)
+
+    (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
+    n_step = 7
+    aux_ref = None
+    if softaux:
+        aux_ref = refs[7]
+        n_step = 8
+    par_refs = refs[n_step:n_step + n_state]
+    mom_in = refs[n_step + n_state:n_step + 2 * n_state]
+    i0 = n_step + 2 * n_state      # momentum input refs are copied, not read
+    c_refs = list(refs[i0:i0 + n_consts])
+    o0 = i0 + n_consts
+    out_par = refs[o0:o0 + n_state]
+    out_mom = refs[o0 + n_state:o0 + 2 * n_state]
+    cm_ref = refs[o0 + 2 * n_state]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for out, inp in zip(out_par, par_refs):
+            out[:] = inp[:]
+        for out, inp in zip(out_mom, mom_in):
+            out[:] = inp[:]
+
+    cost, min_tl, grads = _deep_fwd_bwd(
+        spec, x_ref[0], y_ref[0], [r[:] for r in out_par],
+        ub_ref, fb_ref, pb_ref, db_ref, c_refs,
+        aux=aux_ref[0] if softaux else None,
+    )
+    cm_ref[step % CM_BLOCK, 0] = cost
+    cm_ref[step % CM_BLOCK, 1] = min_tl
+
+    # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
+    _apply_updates(
+        [(p, a, g, reg, kind)
+         for p, a, g, (reg, kind) in zip(out_par, out_mom, grads,
+                                         deep_reg_kinds(spec))],
+        lr_ref[0, 0],
+    )
 
 
 def kernel_layout_deep(allwts, spec: DeepSpec):
@@ -712,24 +776,8 @@ def make_deep_epoch_fn(spec: DeepSpec, n_batches: int, interpret=None,
     """Build the one-launch epoch function for an n-level conv stack.
     Same contract as megastep.make_epoch_fn (shared build_epoch_fn
     harness); callers must not wrap the result in jax.jit."""
-    consts = build_constants_deep(spec)
-    const_arrs = list(consts.values())
-    kshapes = []
-    prev = spec.in_ch
-    for k in range(spec.n_levels):
-        F = spec.filts[k]
-        kshapes += [(spec.maps[k], F * F * prev), (spec.maps[k], 1)]
-        prev = spec.maps[k]
-    if spec.head == "softaux":
-        nah, nao = spec.n_aux
-        kshapes += [(spec.n_flat, spec.n_out), (1, spec.n_out),
-                    (2, nah), (1, nah), (nah, nao), (1, nao),
-                    (nao, spec.n_out), (1, spec.n_out)]
-    else:
-        kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
-                    (spec.n_hid, spec.n_out), (1, spec.n_out)]
-        if spec.head in ("logit", "rbf") and spec.learn_centers:
-            kshapes.append((spec.n_classes, spec.n_out))
-    return build_epoch_fn(spec, n_batches, kshapes, const_arrs,
+    const_arrs = list(build_constants_deep(spec).values())
+    return build_epoch_fn(spec, n_batches, deep_kernel_shapes(spec),
+                          const_arrs,
                           functools.partial(_kernel_deep, spec),
                           interpret=interpret, donate=donate)

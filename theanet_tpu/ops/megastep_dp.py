@@ -1,10 +1,10 @@
-"""Data-parallel fused-epoch training: the megastep kernel on a mesh.
+"""Data-parallel fused-epoch training: the megastep kernels on a mesh.
 
-Round 2's whole-epoch kernel (ops/megastep.py) keeps parameters resident in
-VMEM across a grid=(n_batches,) program — a design that is inherently
-single-chip: there is no way to all-reduce gradients between sequential grid
-steps of one Pallas program. This module composes the SAME fused math with
-data parallelism the TPU-native way:
+Round 2's whole-epoch kernels (ops/megastep.py, ops/megastep_deep.py) keep
+parameters resident in VMEM across a grid=(n_batches,) program — a design
+that is inherently single-chip: there is no way to all-reduce gradients
+between sequential grid steps of one Pallas program. This module composes
+the SAME fused math with data parallelism the TPU-native way:
 
   * shard_map over the mesh's "data" axis; each device runs a per-step
     fused kernel (_kernel_grad: augmentation + forward + hand-derived
@@ -15,8 +15,15 @@ data parallelism the TPU-native way:
     (reference layer.py:82-103) is applied outside the kernel — replicated
     parameters stay bit-identical across devices;
   * the whole epoch is one lax.scan under one jit: per step, 1 kernel
-    launch + the gradient all-reduce + ~16 small update ops, vs ~60
+    launch + the gradient all-reduce + a few small update ops, vs ~60
     launches on the scanned per-layer path.
+
+Both conv families run here: the 2-conv flagship (megastep.MegaSpec,
+via the shared _conv_fwd_bwd) and the generalized any-depth family
+(megastep_deep.DeepSpec, via the shared _deep_fwd_bwd — every head:
+Softmax, CenteredOut LOGIT/RBF incl. learn_centers, SoftAux with its
+sharded aux rows, and the Color prefix). The flat-MLP family keeps the
+scanned GSPMD path (its dense matmuls shard well without a custom kernel).
 
 Augmentation semantics under DP match the reference exactly: the warp field
 is ONE per global batch (inlayers.py:127 — the affine scalars and elastic
@@ -30,8 +37,6 @@ shards equals d(mean over the global batch)/dw, and the weight-cost term
 from __future__ import annotations
 
 import functools
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -52,79 +57,115 @@ from .megastep import (
     kernel_reg_kinds,
     kernel_shapes,
 )
+from .megastep_deep import (
+    DeepSpec,
+    _deep_fwd_bwd,
+    _fits_vmem as _deep_vmem_ok,
+    build_constants_deep,
+    deep_kernel_shapes,
+    deep_reg_kinds,
+)
 
 __all__ = ["make_dp_epoch_fn", "dp_supported"]
 
 
-def _untiled_global(spec: MegaSpec) -> MegaSpec:
+def _untiled_global(spec):
     """The spec at its REFERENCE batch with tiling removed. spec_from_net
     tiles the GLOBAL batch for the single-chip kernel's VMEM; the DP path
     splits that same global batch across devices instead, so a spec that
     arrived tiled (batch 64 -> 2x32) is re-posed as one untiled global
-    batch before the per-device shard is carved out."""
-    if spec.n_tiles == 1:
+    batch before the per-device shard is carved out. (Only the flagship
+    family tiles; deep specs pass through.)"""
+    if getattr(spec, "n_tiles", 1) == 1:
         return spec
     return spec._replace(batch=spec.batch * spec.n_tiles, n_tiles=1,
                          loss_div=0)
 
 
+def _flag_fwd_bwd(spec, x, y, params, ub_ref, fb_ref, pb_ref, db_ref,
+                  c_refs, aux=None):
+    """Flagship-family adapter: _conv_fwd_bwd with its constant refs
+    passed positionally (MEGA_CONST_NAMES order matches its signature)."""
+    return _conv_fwd_bwd(spec, None, x, y, tuple(params),
+                         ub_ref, fb_ref, pb_ref, db_ref, *c_refs)
+
+
+def _family(spec):
+    """(kshapes, const_arrs, reg_kinds, fwd_bwd, has_aux) for a spec's
+    kernel family, at spec.batch."""
+    if isinstance(spec, MegaSpec):
+        consts = build_constants(spec)
+        return (kernel_shapes(spec),
+                [consts[k] for k in MEGA_CONST_NAMES],
+                kernel_reg_kinds(spec), _flag_fwd_bwd, False)
+    consts = build_constants_deep(spec)
+    return (deep_kernel_shapes(spec), list(consts.values()),
+            deep_reg_kinds(spec), _deep_fwd_bwd, spec.has_aux)
+
+
 def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
-    """Can this flagship-family spec run the fused-DP path on an n_data-way
+    """Can this conv-family spec run the fused-DP path on an n_data-way
     mesh? Needs an even split of the GLOBAL (reference) batch, and on real
-    hardware the per-device untiled kernel must satisfy Mosaic's
-    sublane-concat constraint and fit VMEM at the LOCAL batch size. Tiled
-    specs are accepted: the DP path re-poses them as one untiled global
-    batch (_untiled_global) and shards THAT."""
-    if not isinstance(spec, MegaSpec):
-        return False  # deep/MLP families: scanned path handles their meshes
-    spec = _untiled_global(spec)
-    if spec.batch % n_data:
-        return False
-    b_loc = spec.batch // n_data
-    if not on_tpu:
-        return True  # interpret mode: no Mosaic/VMEM constraints
-    if (spec.maps1 * b_loc) % 8 != 0:
-        return False
-    return flagship_vmem_ok(spec._replace(batch=b_loc))
+    hardware the per-device kernel must satisfy Mosaic's sublane-concat
+    constraint and fit VMEM at the LOCAL batch size. Tiled flagship specs
+    are accepted: the DP path re-poses them as one untiled global batch
+    (_untiled_global) and shards THAT."""
+    if isinstance(spec, MegaSpec):
+        spec = _untiled_global(spec)
+        if spec.batch % n_data:
+            return False
+        b_loc = spec.batch // n_data
+        if not on_tpu:
+            return True  # interpret mode: no Mosaic/VMEM constraints
+        if (spec.maps1 * b_loc) % 8 != 0:
+            return False
+        return flagship_vmem_ok(spec._replace(batch=b_loc))
+    if isinstance(spec, DeepSpec):
+        if spec.batch % n_data:
+            return False
+        b_loc = spec.batch // n_data
+        if not on_tpu:
+            return True
+        # level k>0 patch matrices sublane-concat maps[k-1]*b_loc-row pieces
+        if any((spec.maps[k - 1] * b_loc) % 8
+               for k in range(1, spec.n_levels)):
+            return False
+        return _deep_vmem_ok(spec._replace(batch=b_loc))
+    return False  # flat-MLP family: scanned GSPMD path handles its meshes
 
 
-def _kernel_grad(spec, x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref,
-                 w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
-                 wo_ref, bo_ref,
-                 ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
-                 em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
-                 selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-                 g1w, g1b, g2w, g2b, ghw, ghb, gow, gob,
-                 cost_ref, minf_ref):
+def _kernel_grad(spec, fwd_bwd, n_state, n_consts, has_aux, *refs):
     """Per-step gradient kernel: one fused augment+fwd+bwd pass over this
     device's batch shard, gradients written to the outputs. The momentum
     update happens OUTSIDE (after the cross-device pmean)."""
-    params = (w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:],
-              wh_ref[:], bh_ref[:], wo_ref[:], bo_ref[:])
-    cost, minf, grads = _conv_fwd_bwd(
-        spec, None, x_ref[0], y_ref[0], params,
-        ub_ref, fb_ref, pb_ref, db_ref,
-        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
-        em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
-        selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-    )
-    for ref, g in zip((g1w, g1b, g2w, g2b, ghw, ghb, gow, gob), grads):
+    x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref = refs[0:6]
+    i = 6
+    aux = None
+    if has_aux:
+        aux = refs[6][0]
+        i = 7
+    params = [r[:] for r in refs[i:i + n_state]]
+    c_refs = list(refs[i + n_state:i + n_state + n_consts])
+    outs = refs[i + n_state + n_consts:]
+    cost, minf, grads = fwd_bwd(spec, x_ref[0], y_ref[0], params,
+                                ub_ref, fb_ref, pb_ref, db_ref, c_refs,
+                                aux=aux)
+    for ref, g in zip(outs[:n_state], grads):
         ref[:] = g
-    cost_ref[0, 0] = cost
-    minf_ref[0, 0] = minf
+    outs[n_state][0, 0] = cost
+    outs[n_state + 1][0, 0] = minf
 
 
-def make_dp_step_fn(spec: MegaSpec, interpret=None):
+def make_dp_step_fn(spec, interpret=None):
     """Build the per-shard fused gradient step. ``spec.batch`` is the
-    PER-DEVICE batch. Returns f(x, y, ub, fb, pb, db, kparams) ->
-    (grads8, cost, minf) taking per-step blocks with the same leading-1
+    PER-DEVICE batch. Returns f(x, y, ub, fb, pb, db, kparams, aux=None) ->
+    (grads, cost, minf) taking per-step blocks with the same leading-1
     layout as the epoch kernel's BlockSpecs."""
     B, HW, NH = spec.batch, spec.hw, spec.n_hid
     C0 = spec.in_ch
-    consts = build_constants(spec)
-    const_arrs = [consts[k] for k in MEGA_CONST_NAMES]
+    kshapes, const_arrs, _, fwd_bwd, has_aux = _family(spec)
     carrs = tuple(jnp.asarray(a) for a in const_arrs)
-    kshapes = kernel_shapes(spec)
+    n_state = len(kshapes)
 
     def vmem(shape):
         return pl.BlockSpec(shape, memory_space=pltpu.VMEM)
@@ -134,6 +175,7 @@ def make_dp_step_fn(spec: MegaSpec, interpret=None):
         [vmem((1, C0 * B, HW)), vmem((1, B, 1)),
          pl.BlockSpec((1, 1, 8), memory_space=pltpu.SMEM),
          vmem((1, HW, fb_lanes)), vmem((1, C0 * B, HW)), vmem((1, B, NH))]
+        + ([vmem((1, B, 4))] if has_aux else [])
         + [vmem(s) for s in kshapes]
         + [vmem(a.shape) for a in const_arrs]
     )
@@ -150,7 +192,8 @@ def make_dp_step_fn(spec: MegaSpec, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     call = pl.pallas_call(
-        functools.partial(_kernel_grad, spec),
+        functools.partial(_kernel_grad, spec, fwd_bwd, n_state,
+                          len(const_arrs), has_aux),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -162,9 +205,11 @@ def make_dp_step_fn(spec: MegaSpec, interpret=None):
         ),
     )
 
-    def step(x, y, ub, fb, pb, db, kparams):
-        outs = call(x, y, ub, fb, pb, db, *kparams, *carrs)
-        return list(outs[:8]), outs[8][0, 0], outs[9][0, 0]
+    def step(x, y, ub, fb, pb, db, kparams, aux=None):
+        args = [x, y, ub, fb, pb, db] + ([aux] if has_aux else [])
+        outs = call(*args, *kparams, *carrs)
+        return (list(outs[:n_state]), outs[n_state][0, 0],
+                outs[n_state + 1][0, 0])
 
     return step
 
@@ -180,19 +225,20 @@ def _dp_arrange(x2d, nb, n_data, b_loc, c0, hw):
     )
 
 
-def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
+def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
                      donate=True):
     """Build the data-parallel fused epoch function.
 
-    ``spec`` is the GLOBAL spec (batch-tiled specs are re-posed at their
-    untiled reference batch first); the per-device kernel
-    runs at batch/n_data. Returns an object exposing ``from_key(kparams,
-    kmoms, x, y, base_key, epoch_no, lr, channel_major=..., shuffle=...,
-    aux_steps=None)`` with the same contract as the single-chip epoch fn:
-    x is the natural image-major training set ((n_use, C0, H, W) or any
-    same-size layout), y (n_use,) int32; returns (kparams, kmoms,
-    cost_minf (nb, 2)). The DP data arrangement (and SHUFFLE's epoch
-    permutation) happen inside the jit.
+    ``spec`` is the GLOBAL spec (flagship or deep family; batch-tiled
+    flagship specs are re-posed at their untiled reference batch first);
+    the per-device kernel runs at batch/n_data. Returns an object exposing
+    ``from_key(kparams, kmoms, x, y, base_key, epoch_no, lr,
+    channel_major=..., shuffle=..., aux_steps=None)`` with the same
+    contract as the single-chip epoch fn: x is the natural image-major
+    training set ((n_use, C0, H, W) or any same-size layout), y (n_use,)
+    int32, aux_steps the (n_use, 2, 2)-size location rows for softaux
+    heads; returns (kparams, kmoms, cost_minf (nb, 2)). The DP data
+    arrangement (and SHUFFLE's epoch permutation) happen inside the jit.
     """
     spec = _untiled_global(spec)
     n_data = mesh.shape["data"]
@@ -201,19 +247,33 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
     spec_loc = spec._replace(batch=b_loc)
     C0, HW, NH = spec.in_ch, spec.hw, spec.n_hid
     step_fn = make_dp_step_fn(spec_loc, interpret=interpret)
-    regs = kernel_reg_kinds(spec)
+    regs = (kernel_reg_kinds(spec) if isinstance(spec, MegaSpec)
+            else deep_reg_kinds(spec))
+    has_aux = bool(getattr(spec, "has_aux", False))
+    has_color = bool(getattr(spec, "color", False))
     nb = n_batches
 
-    def epoch_shard(kparams, kmoms, x, y, ub, fb, pb, db, lr):
+    def epoch_shard(*args):
         # shapes per shard: x (nb, C0*b_loc, HW), y (nb, b_loc, 1),
-        # ub (nb, 1, 8), fb (nb, HW, 4) [replicated: ONE warp per global
-        # batch], pb (nb, C0*b_loc, HW), db (nb, b_loc, NH)
+        # ub (nb, 1, 8), fb (nb, HW, lanes) [replicated: ONE warp per
+        # global batch], pb (nb, C0*b_loc, HW), db (nb, b_loc, NH),
+        # aux (nb, b_loc, 4) for softaux heads
+        if has_aux:
+            kparams, kmoms, x, y, ub, fb, pb, db, aux, lr = args
+        else:
+            kparams, kmoms, x, y, ub, fb, pb, db, lr = args
+
         def body(carry, inp):
             kp, km = carry
-            x1, y1, ub1, fb1, pb1, db1 = inp
+            if has_aux:
+                x1, y1, ub1, fb1, pb1, db1, aux1 = inp
+                aux1 = aux1[None]
+            else:
+                x1, y1, ub1, fb1, pb1, db1 = inp
+                aux1 = None
             grads, cost, minf = step_fn(
                 x1[None], y1[None], ub1[None], fb1[None], pb1[None],
-                db1[None], kp,
+                db1[None], kp, aux=aux1,
             )
             grads = [jax.lax.pmean(g, "data") for g in grads]
             new_p, new_m = [], []
@@ -230,23 +290,34 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
             minf = jax.lax.pmin(minf, "data")
             return (new_p, new_m), (cost, minf)
 
+        xs = (x, y, ub, fb, pb, db) + ((aux,) if has_aux else ())
         (kparams, kmoms), (costs, minfs) = jax.lax.scan(
-            body, (kparams, kmoms), (x, y, ub, fb, pb, db)
+            body, (kparams, kmoms), xs
         )
         return kparams, kmoms, jnp.stack([costs, minfs], axis=1)
 
+    # fb is replicated (ONE warp per global batch) — except for color
+    # nets, where the per-(sample, channel) jitter draws ride in the fb
+    # block's lanes 4:7 rows 0..C0*B-1: those rows are per-sample, so fb
+    # is then materialized per device (field lanes identical, color rows
+    # sharded) and split along a device-major row axis.
+    fb_spec = P(None, "data") if has_color else P()
+    in_specs = ((P(), P(), P(None, "data"), P(None, "data"), P(), fb_spec,
+                 P(None, "data"), P(None, "data"))
+                + ((P(None, "data"),) if has_aux else ())
+                + (P(),))
     sharded_epoch = jax.shard_map(
         epoch_shard,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, "data"), P(None, "data"), P(), P(),
-                  P(None, "data"), P(None, "data"), P()),
+        in_specs=in_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
-    def raw_from_key(kparams, kmoms, x, y, key, epoch_no, lr, shuffle):
+    def raw_from_key(kparams, kmoms, x, y, aux, key, epoch_no, lr, shuffle):
         x2d = x.reshape(nb * B, C0 * HW)
         y1d = y.reshape(nb * B)
+        a2d = aux.reshape(nb * B, 4) if has_aux else None
         if shuffle:
             # same per-epoch permutation derivation as the other paths
             perm = jax.random.permutation(
@@ -254,6 +325,8 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
             )
             x2d = x2d[perm]
             y1d = y1d[perm]
+            if has_aux:
+                a2d = a2d[perm]
         x_dp = _dp_arrange(x2d, nb, n_data, b_loc, C0, HW)
         y_dp = y1d.reshape(nb, n_data * b_loc, 1)
         # bit tensors drawn EXACTLY like the single-chip epoch
@@ -275,18 +348,39 @@ def make_dp_epoch_fn(spec: MegaSpec, n_batches: int, mesh, interpret=None,
             .reshape(nb, n_data * C0 * b_loc, HW)
         )
         db_dp = db.reshape(nb, n_data * b_loc, NH)
-        return sharded_epoch(kparams, kmoms, x_dp, y_dp, ub, fb, pb_dp,
-                             db_dp, lr)
+        if has_color:
+            # single-chip kernel row r = c*B+b reads color draws from fb
+            # row r, lanes 4:7; device d's local row c*b_loc+b_rel is
+            # global row c*B + d*b_loc + b_rel. Field lanes stay identical
+            # on every device (one warp per global batch).
+            lanes = fb.shape[-1]
+            cb_loc = C0 * b_loc
+            col = (fb[:, :C0 * B, 4:7]
+                   .reshape(nb, C0, n_data, b_loc, 3)
+                   .transpose(0, 2, 1, 3, 4)
+                   .reshape(nb, n_data, cb_loc, 3))
+            fbb = jnp.broadcast_to(fb[:, None], (nb, n_data, HW, lanes))
+            fbb = fbb.at[:, :, :cb_loc, 4:7].set(col)
+            fb = fbb.reshape(nb, n_data * HW, lanes)
+        args = (kparams, kmoms, x_dp, y_dp, ub, fb, pb_dp, db_dp)
+        if has_aux:
+            args += (a2d.reshape(nb, n_data * b_loc, 4),)
+        return sharded_epoch(*args, lr)
 
-    jitted = jax.jit(raw_from_key, static_argnums=(7,),
+    jitted = jax.jit(raw_from_key, static_argnums=(8,),
                      donate_argnums=(0, 1) if donate else ())
 
     def from_key(kparams, kmoms, x, y, key, epoch_no, lr,
                  channel_major=False, shuffle=False, aux_steps=None):
-        assert aux_steps is None, "aux-input nets use the scanned mesh path"
+        if has_aux:
+            assert aux_steps is not None, "softaux DP path needs aux rows"
+        else:
+            assert aux_steps is None
+            aux_steps = jnp.zeros((0,), jnp.float32)  # unused placeholder
         del channel_major  # the DP arrangement derives from natural layout
-        return jitted(kparams, kmoms, x, y, key, jnp.int32(epoch_no),
-                      jnp.asarray(lr, jnp.float32), bool(shuffle))
+        return jitted(kparams, kmoms, x, y, aux_steps, key,
+                      jnp.int32(epoch_no), jnp.asarray(lr, jnp.float32),
+                      bool(shuffle))
 
     # the Trainer drives fused paths exclusively through .from_key
     epoch = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731

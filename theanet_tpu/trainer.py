@@ -325,9 +325,9 @@ class Trainer:
                     "leaky-relu-family activations, f32, "
                     "working set within VMEM; meshes must be data-parallel "
                     "(model axis 1) with BATCH_SZ divisible by the data "
-                    "axis, the per-device shard within VMEM, and only the "
-                    "2-conv flagship family runs on a "
-                    "mesh — see docs/tutorial.md). Use MEGAFUSED='auto' to "
+                    "axis and the per-device shard within VMEM; the conv "
+                    "families run on DP meshes, the flat-MLP family does "
+                    "not — see docs/tutorial.md). Use MEGAFUSED='auto' to "
                     "fall back silently."
                 )
             if plan is not None:
@@ -345,7 +345,10 @@ class Trainer:
 
                     self._mega_x = self.d_train_x[:n_use]
                     self._mega_y = self.d_train_y[:n_use]
-                    self._mega_aux = None
+                    self._mega_aux = (
+                        self.d_train_aux[:n_use].reshape(nb_m, bsz, 4)
+                        if getattr(spec, "has_aux", False) else None
+                    )
                     self._mega_epoch = megastep_dp.make_dp_epoch_fn(
                         spec, nb_m, mesh,
                         interpret=(data_platform != "tpu"), donate=True,
