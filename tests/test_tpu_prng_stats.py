@@ -323,3 +323,65 @@ def test_megastep_dp_grad_kernel_hardware_matches_interpret():
     np.testing.assert_allclose(m_hw, m_it, rtol=2e-2, atol=2e-2)
     for a, b in zip(g_hw, g_it):
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def _deep_dp_spec(head="softmax"):
+    from theanet_tpu.ops.megastep import LayerReg
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    kw = dict(
+        batch=8, img=12, filts=(3,), pools=(2,), ibs=(True,), maps=(8,),
+        slopes=(0.1,), n_hid=16, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=False,
+        regs=(reg,), reg_h=reg, reg_o=reg,
+    )
+    if head == "softaux":
+        kw.update(head="softaux", n_hid=4, n_classes=4, n_aux=(8, 16),
+                  boost=1.5)
+    elif head == "rbf":
+        kw.update(head="rbf", n_out=12, n_classes=4, junk_dist=50.0,
+                  learn_centers=True)
+    return DeepSpec(**kw)
+
+
+@pytest.mark.parametrize("head", ["softmax", "rbf", "softaux"])
+def test_megastep_deep_dp_grad_kernel_hardware_matches_interpret(head):
+    """The deep-family fused-DP gradient kernel (every head) through Mosaic
+    vs interpret: same bits, same params -> same grads/cost/minf."""
+    from theanet_tpu.ops import megastep_dp as DP
+    from theanet_tpu.ops.megastep_deep import deep_kernel_shapes
+
+    spec = _deep_dp_spec(head)
+    kshapes = deep_kernel_shapes(spec)
+    rng = np.random.RandomState(3)
+    kp = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+          for s in kshapes]
+    x = jnp.asarray(rng.rand(1, spec.in_ch * spec.batch, spec.hw)
+                    .astype(np.float32))
+    y = jnp.asarray(rng.randint(0, spec.n_classes or spec.n_out,
+                                (1, spec.batch, 1)).astype(np.int32))
+    ub = jax.random.bits(jax.random.key(5, impl="rbg"), (1, 1, 8),
+                         jnp.uint32)
+    fb = jax.random.bits(jax.random.key(6, impl="rbg"), (1, spec.hw, 4),
+                         jnp.uint32)
+    pb = jax.random.bits(jax.random.key(7, impl="rbg"),
+                         (1, spec.batch, spec.hw), jnp.uint32)
+    db = jax.random.bits(jax.random.key(8, impl="rbg"),
+                         (1, spec.batch, spec.n_hid), jnp.uint32)
+    aux = (jnp.asarray(rng.rand(1, spec.batch, 4).astype(np.float32))
+           if spec.has_aux else None)
+    outs = {}
+    for interp in (False, True):
+        step = DP.make_dp_step_fn(spec, interpret=interp)
+        grads, cost, minf = jax.jit(step)(x, y, ub, fb, pb, db, kp, aux=aux)
+        outs[interp] = ([np.asarray(g) for g in grads], float(cost),
+                        float(minf))
+    g_hw, c_hw, m_hw = outs[False]
+    g_it, c_it, m_it = outs[True]
+    assert np.isfinite(c_hw)
+    np.testing.assert_allclose(c_hw, c_it, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(m_hw, m_it, rtol=2e-2, atol=2e-2)
+    for a, b in zip(g_hw, g_it):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
