@@ -124,12 +124,13 @@ def test_mlp_megafused_rejects_unsupported():
     import pytest
 
     x, y = _data()
-    # non-leaky hidden activation: no fused plan; forcing True fails loudly
+    # unfusable hidden activation (softmax is a head-only name, outside
+    # act_of's families): no fused plan; forcing True fails loudly
     net = _net(True)
-    net.net_layers[1].actvn = "tanh"
+    net.net_layers[1].actvn = "softmax"
     with pytest.raises(ValueError, match="MEGAFUSED=True"):
         Trainer(net, x, y, x, y)
     # ... while auto falls back silently
     net2 = _net("auto")
-    net2.net_layers[1].actvn = "tanh"
+    net2.net_layers[1].actvn = "softmax"
     assert Trainer(net2, x, y, x, y)._mega is None

@@ -101,6 +101,47 @@ def test_megafused_matches_unfused_on_tpu():
             np.testing.assert_allclose(wm, wu, atol=2e-3)
 
 
+def test_bf16_megafused_matches_scanned_bf16_on_tpu():
+    """COMPUTE_DTYPE=bfloat16 fuses (megastep.common_disqualifiers); on
+    hardware BOTH paths round their matmuls through bf16 MXU passes, so
+    the gap is bf16-rounding-scale. CPU twin: tests/test_fused_bf16.py."""
+    import numpy as np
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    def net(mega):
+        layers = [
+            ["InputLayer", {"img_sz": 12}],
+            ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                           "mode": "valid", "actvn": "relu05"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                           "mode": "valid", "actvn": "relu10"}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["HiddenLayer", {"n_out": 16, "pdrop": 0, "actvn": "relu01"}],
+            ["SoftmaxLayer", {"n_out": 4}],
+        ]
+        tr_prms = {"SEED": 11, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+                   "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+                   "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+                   "COMPUTE_DTYPE": "bfloat16", "MEGAFUSED": mega}
+        return NeuralNet(layers, tr_prms)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(12, 1, 12, 12).astype(np.float32)
+    y = rng.randint(0, 4, 12).astype(np.int32)
+    tr_m = Trainer(net(True), x, y, x, y)
+    assert tr_m._mega is not None, "bf16 config must fuse"
+    tr_u = Trainer(net(False), x, y, x, y)
+    _, cm, _ = tr_m.run_epoch()
+    _, cu, _ = tr_u.run_epoch()
+    np.testing.assert_allclose(cm, cu, rtol=2e-2, atol=2e-2)
+    dm, du = tr_m.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lm, lu in zip(dm["allwts"], du["allwts"]):
+        for wm, wu in zip(lm, lu):
+            np.testing.assert_allclose(wm, wu, atol=1e-2)
+
+
 def _mega_consistency(make_fn, spec, kshapes, n_batches=8, atol=2e-2):
     """Hardware-vs-interpret trajectory check: the fused kernels inject all
     randomness as bit tensors, so the SAME bits through the Mosaic-compiled
@@ -198,6 +239,73 @@ def test_megastep_deep_hardware_matches_interpret():
     )
     kshapes = [(1, 9), (1, 1), (2, 9 * 1), (2, 1), (2, 4 * 2), (2, 1),
                (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
+def test_megastep_smooth_acts_hardware_matches_interpret():
+    """In-kernel smooth activations (tanh / sigmoid / softplus forward and
+    their hand-derived backward — transcendental VPU ops) through Mosaic
+    vs interpret mode in the flagship kernel."""
+    from theanet_tpu.ops import megastep as M
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = M.MegaSpec(
+        batch=8, img=12, filt1=3, filt2=3, maps1=2, maps2=3, n_hid=16,
+        n_out=4,
+        slope1=0.0, slope2=0.0, slope_h=0.0, pdrop=0.5,
+        act1="tanh", act2="sigmoid", act_h="softplus",
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        reg1=reg, reg2=reg, reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(2, 9), (2, 1), (3, 18), (3, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(M.make_epoch_fn, spec, kshapes)
+
+
+def test_megastep_deep_scaled_tanh_hardware_matches_interpret():
+    """Deep-family smooth activations (scaled_tanh levels + tanh hidden)
+    through Mosaic vs interpret mode."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=18, filts=(3, 3, 2), pools=(2, 2, 2),
+        ibs=(False, False, False), maps=(1, 2, 2),
+        slopes=(0.0, 0.0, 0.0), acts=("scaled_tanh", "tanh", "sigmoid"),
+        n_hid=16, n_out=4, slope_h=0.0, act_h="scaled_tanh", pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg, reg, reg), reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(1, 9), (1, 1), (2, 9 * 1), (2, 1), (2, 4 * 2), (2, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
+@pytest.mark.parametrize("loss,log_t", [("hinge", 0.0), ("exp", 0.0),
+                                        ("nllsq", 0.0),
+                                        ("nllT", -0.6931471805599453)])
+def test_megastep_loss_variants_hardware_matches_interpret(loss, log_t):
+    """The non-nll fused tail losses (hinge / exp / nllsq / truncated
+    nll50 — gates, row-centering, squared-ll backward) through Mosaic vs
+    interpret mode in the deep family."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=12, filts=(3,), pools=(2,), ibs=(False,),
+        maps=(2,), slopes=(0.1,),
+        n_hid=16, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg,), reg_h=reg, reg_o=reg,
+        head="softmax", n_classes=4, loss=loss, log_thresh=log_t,
+    )
+    kshapes = [(2, 9), (2, 1), (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
 
 

@@ -13,7 +13,7 @@ noise block) instead of ~30,000.
 
 Supported net pattern (the reference's headline mnist.prms architecture,
 reference params/mnist.prms:2-40): ElasticLayer -> Conv(f x f, valid,
-leaky-relu) -> Pool(2) -> Conv -> Pool(2) -> Hidden(leaky-relu, pdrop) ->
+fusable actvn) -> Pool(2) -> Conv -> Pool(2) -> Hidden(fusable actvn, pdrop) ->
 Softmax(nll), any number of input channels, f32. The Trainer selects this kernel
 automatically when the pattern matches (training_params MEGAFUSED, default
 auto) and falls back to the per-layer path otherwise.
@@ -146,6 +146,10 @@ class MegaSpec(NamedTuple):
     # tile). n_tiles=1 is the round-2 kernel, bit-for-bit.
     n_tiles: int = 1
     loss_div: int = 0   # 0 -> use ``batch``
+    # activation kinds ('leaky' uses slopeX; see act_of / _act)
+    act1: str = "leaky"
+    act2: str = "leaky"
+    act_h: str = "leaky"
 
     # ---- derived static shapes
     @property
@@ -184,6 +188,49 @@ def _leaky_slope(actvn):
     return None
 
 
+# Activation kinds the fused kernels implement in-kernel. Every name in
+# the registry (activations.py; reference layer.py:11-54) maps here except
+# 'softmax'/'Softmax', which only make sense as an output head.
+_SMOOTH_ACTS = ("tanh", "scaled_tanh", "sigmoid", "softplus")
+
+
+def act_of(actvn):
+    """Fused-kernel activation tag ``(kind, slope)``: the leaky-relu
+    family (kind 'leaky' with its negative slope) plus the registry's
+    smooth activations, or None if the name is not fusable."""
+    s = _leaky_slope(actvn)
+    if s is not None:
+        return ("leaky", s)
+    if actvn in _SMOOTH_ACTS:
+        return (actvn, 0.0)
+    return None
+
+
+def head_loss_tag(loss):
+    """(tag, log_thresh) for fusable Softmax-head losses, mirroring
+    OutputMixin.cost's dispatch (layers/out.py:46-96; reference
+    outlayers.py:12-51): 'nll', 'nllsq', truncated 'nll<NN>' (clamped at
+    -log(NN/100)), and the reference's unparseable-suffix fallback to
+    plain NLL. Returns None for losses the fused tail does not implement
+    on a softmax head (hinge_max, or hinge/exp-on-probs oddities) — those
+    keep the scanned path. HingeLayer/ExpLossLayer heads carry their own
+    fixed tags ('hinge'/'exp') and don't go through this parser."""
+    if loss == "nll":
+        return ("nll", 0.0)
+    if loss == "nllsq":
+        return ("nllsq", 0.0)
+    if loss.startswith("nll"):
+        try:
+            t = float(np.clip(int(loss[-2:]) / 100, 0, 1))
+        except ValueError:
+            # reference prints its notice and uses plain NLL; numerically
+            # identical (threshold 1 -> log 0), so fuse as plain NLL (the
+            # scanned path still owns the one-time trace-time print)
+            return ("nll", 0.0)
+        return ("nllT", float(np.log(t)) if t > 0 else -1e30)
+    return None
+
+
 # ---- matcher scaffolding shared by all three fused-family matchers
 # (spec_from_net here, megastep_deep.deep_spec_from_net,
 # megastep_mlp.mlp_spec_from_net) — one copy of the eligibility rules.
@@ -214,8 +261,21 @@ def reg_of(lyr):
 def common_disqualifiers(net):
     """Net-level features no fused-epoch family supports (the scanned
     per-layer path handles them). SHUFFLE is NOT one: the fused path
-    permutes the epoch's step tensors inside the same jit."""
-    return net.compute_dtype is not None or net.remat or net.fused_tail
+    permutes the epoch's step tensors inside the same jit.
+
+    COMPUTE_DTYPE='bfloat16' is not one either: the fused kernels ARE the
+    bf16 execution of these nets. Their compute matmuls run the MXU's
+    default bf16 passes (operands rounded to bf16 in the systolic array,
+    f32 accumulation) — the same arithmetic the scanned bf16 body pays
+    for its matmuls — while parameters/elementwise stay f32, which in a
+    VMEM-resident kernel costs nothing (bf16 elementwise saves HBM
+    bandwidth; there is no HBM traffic here) and is strictly more
+    accurate. bf16 users accept rounding-level trajectory drift by
+    definition; tests/test_fused_bf16.py quantifies the fused-vs-scanned
+    gap at that scale. Other COMPUTE_DTYPEs (f64 etc.) stay scanned."""
+    bad_dtype = (net.compute_dtype is not None
+                 and net.compute_dtype != jnp.dtype(jnp.bfloat16))
+    return bad_dtype or net.remat or net.fused_tail
 
 
 def sublane_concat_ok(piece_rows):
@@ -256,7 +316,7 @@ def flagship_vmem_ok(spec):
 def spec_from_net(net):
     """Return a MegaSpec if the net matches the fused-epoch pattern
     (Input/Elastic -> Conv -> Pool -> Conv -> Pool -> Hidden -> Softmax,
-    leaky-relu activations, nll loss, plain f32 single-chip training),
+    fusable activations (act_of), nll loss, plain f32 single-chip training),
     else None."""
     from ..layers import (ConvLayer, ElasticLayer, HiddenLayer, InputLayer,
                           PoolLayer, SoftmaxLayer)
@@ -285,9 +345,8 @@ def spec_from_net(net):
         return None
     if head.loss != "nll":
         return None
-    slopes = [_leaky_slope(c1.actvn), _leaky_slope(c2.actvn),
-              _leaky_slope(hid.actvn)]
-    if any(s is None for s in slopes):
+    acts = [act_of(c1.actvn), act_of(c2.actvn), act_of(hid.actvn)]
+    if any(a is None for a in acts):
         return None
     if common_disqualifiers(net):
         return None
@@ -305,8 +364,9 @@ def spec_from_net(net):
         pool1=p1.pool_sz, pool2=p2.pool_sz,
         ib1=bool(p1.ignore_border), ib2=bool(p2.ignore_border),
         maps1=c1.num_maps, maps2=c2.num_maps, n_hid=hid.n_out,
-        n_out=head.n_out, slope1=slopes[0], slope2=slopes[1],
-        slope_h=slopes[2], pdrop=float(hid.pdrop), **aug,
+        n_out=head.n_out, slope1=acts[0][1], slope2=acts[1][1],
+        slope_h=acts[2][1], act1=acts[0][0], act2=acts[1][0],
+        act_h=acts[2][0], pdrop=float(hid.pdrop), **aug,
         reg1=reg_of(c1), reg2=reg_of(c2), reg_h=reg_of(hid),
         reg_o=reg_of(head), in_ch=in_ch,
     )
@@ -574,6 +634,44 @@ def _lrelu(z, slope):
     return jnp.maximum(z, 0.0) + jnp.minimum(z, 0.0) * slope
 
 
+def _act(z, kind, slope):
+    """Forward activation inside the fused kernels. Explicit formulas (no
+    jax.nn wrappers) so every op lowers through Mosaic; all kinds are
+    monotone increasing, which the roll-max pooling relies on (the window
+    max of h is h of the window max)."""
+    if kind == "leaky":
+        return _lrelu(z, slope)
+    if kind == "tanh":
+        return jnp.tanh(z)
+    if kind == "scaled_tanh":                 # registry: 1.7*tanh(2x/3)
+        return 1.7 * jnp.tanh(z * (2.0 / 3.0))
+    if kind == "sigmoid":                     # exp(±inf) is inf/0, not NaN
+        return 1.0 / (1.0 + jnp.exp(-z))
+    if kind == "softplus":                    # overflow-safe log1p(exp(z))
+        return jnp.maximum(z, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(z)))
+    raise NotImplementedError("fused activation kind: " + kind)
+
+
+def _dact(z, kind, slope):
+    """d(activation)/dz as a multiplier, recomputed from the PRE-activation
+    z only — the saved post-activation arrays are BIG_NEG-masked outside
+    the valid pixels, where 0-gradient * inf-derivative would make NaNs."""
+    if kind == "leaky":
+        return jnp.where(z > 0, 1.0, slope)
+    if kind == "tanh":
+        t = jnp.tanh(z)
+        return 1.0 - t * t
+    if kind == "scaled_tanh":
+        t = jnp.tanh(z * (2.0 / 3.0))
+        return (1.7 * 2.0 / 3.0) * (1.0 - t * t)
+    if kind == "sigmoid":
+        s = 1.0 / (1.0 + jnp.exp(-z))
+        return s * (1.0 - s)
+    if kind == "softplus":
+        return 1.0 / (1.0 + jnp.exp(-z))
+    raise NotImplementedError("fused activation kind: " + kind)
+
+
 def _roll(x, shift):
     """Lane roll; positive shift moves values toward higher lane indices
     (roll(e, k)[q] = e[q - k])."""
@@ -757,10 +855,10 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
 
 
 def _hidden_fwd(spec, f, wh, bh, db_ref):
-    """Shared hidden block of the fused dense tails: leaky-relu + optional
+    """Shared hidden block of the fused dense tails: activation + optional
     in-kernel dropout mask. Returns (z3, mask, h3d)."""
     z3 = _mm(f, wh) + bh                                  # (B, NH)
-    h3 = _lrelu(z3, spec.slope_h)
+    h3 = _act(z3, spec.act_h, spec.slope_h)
     if spec.pdrop:
         mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
         h3d = h3 * mask
@@ -777,7 +875,7 @@ def _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, *, need_df):
     dbo = jnp.sum(dz4, axis=0, keepdims=True)
     dh3d = _mm(dz4, wo, tb=True)                          # (B, NH)
     dh3 = dh3d * mask if spec.pdrop else dh3d
-    dz3 = dh3 * jnp.where(z3 > 0, 1.0, spec.slope_h)
+    dz3 = dh3 * _dact(z3, spec.act_h, spec.slope_h)
     dwh = _mm(f, dz3, ta=True)
     dbh = jnp.sum(dz3, axis=0, keepdims=True)
     df = _mm(dz3, wh, tb=True) if need_df else None
@@ -785,27 +883,62 @@ def _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, *, need_df):
 
 
 def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
-    """Hidden(leaky-relu, dropout) -> Softmax forward + NLL, shared by both
-    fused-epoch kernels. ``f`` is the dense input (B, NF). Returns
-    (cost_nll, min_true_logp, cache) where cache carries what backward
-    needs."""
+    """Hidden(act_h, dropout) -> linear scores z4 -> the configured loss,
+    shared by both fused-epoch kernels. ``spec.loss`` (default 'nll')
+    selects the reference's loss family (outlayers.py:12-64 via
+    layers/out.py OutputMixin.cost):
+      nll / nllsq / truncated nll<NN>  on log-softmax(z4)  (Softmax heads)
+      hinge  on raw scores                                 (HingeLayer)
+      exp    on row-centered scores                        (ExpLossLayer)
+    ``f`` is the dense input (B, NF). Returns (cost, min_true_feature,
+    cache) where cache carries what backward needs; the second output is
+    the per-step watchdog stream (true-class log-prob / score)."""
     B, NC = spec.batch, spec.n_out
+    loss = getattr(spec, "loss", "nll")
     z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref)
     z4 = _mm(h3d, wo) + bo                                # (B, NC)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
+              == y).astype(jnp.float32)
+    div = _loss_div(spec)
+
+    if loss == "hinge":
+        # mean over the whole (B, NC) matrix, true class included
+        # (constant 1 term) — outlayers.py:62-64
+        true_s = jnp.sum(z4 * onehot, axis=1, keepdims=True)  # (B, 1)
+        marg = z4 + 1.0 - true_s
+        m = (marg > 0).astype(jnp.float32)
+        cost = jnp.sum(jnp.maximum(marg, 0.0)) / (div * NC)
+        cache = (z3, mask, h3d, m, onehot, true_s)
+        return cost, jnp.min(true_s), cache
+
+    if loss == "exp":
+        # row-centered linear head, loss mean(exp(-score_true))
+        # (outlayers.py:105-126, 38-39)
+        zc4 = z4 - jnp.mean(z4, axis=1, keepdims=True)
+        true_s = jnp.sum(zc4 * onehot, axis=1, keepdims=True)
+        e = jnp.exp(-true_s)                              # (B, 1)
+        cost = jnp.sum(e) / div
+        cache = (z3, mask, h3d, e, onehot, true_s)
+        return cost, jnp.min(true_s), cache
+
     zc = z4 - jnp.max(z4, axis=1, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(zc), axis=1, keepdims=True))
     logp = zc - lse
-
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
-              == y).astype(jnp.float32)
     true_logp = jnp.sum(logp * onehot, axis=1, keepdims=True)  # (B, 1)
-    cost_nll = -jnp.sum(true_logp) / _loss_div(spec)
-    cache = (z3, mask, h3d, logp, onehot)
-    return cost_nll, jnp.min(true_logp), cache
+    if loss == "nll":
+        cost = -jnp.sum(true_logp) / div
+    elif loss == "nllsq":
+        # squared log-likelihood, NOT negated (outlayers.py:41-42)
+        cost = jnp.sum(true_logp * true_logp) / div
+    else:  # truncated 'nllT': per-sample NLL clamped at -log_thresh
+        cost = jnp.sum(
+            jnp.maximum(0.0, spec.log_thresh - true_logp)) / div
+    cache = (z3, mask, h3d, logp, onehot, true_logp)
+    return cost, jnp.min(true_logp), cache
 
 
 def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
-    """Hidden(leaky-relu, dropout) -> CenteredOut head forward + NLL
+    """Hidden(act_h, dropout) -> CenteredOut head forward + NLL
     (reference outlayers.py:153-224 via layers/out.py). ``centers`` is a
     (n_classes, n_feats) array (constant operand when frozen, state when
     learn_centers). head == 'logit': sigmoid features squeezed into
@@ -897,10 +1030,31 @@ def _dense_centered_bwd(spec, cache, f, wh, wo, centers, *, need_df=True):
 
 
 def _dense_softmax_bwd(spec, cache, f, wh, wo, *, need_df=True):
-    """Backward of _dense_softmax_fwd. Returns (dwh, dbh, dwo, dbo, df);
-    df is None when need_df=False (nothing learnable below the tail)."""
-    z3, mask, h3d, logp, onehot = cache
-    dz4 = (jnp.exp(logp) - onehot) * (1.0 / _loss_div(spec))  # (B, NC)
+    """Backward of _dense_softmax_fwd (hand-derived per loss — see the
+    forward's docstring for the formulas' reference lines). Returns
+    (dwh, dbh, dwo, dbo, df); df is None when need_df=False (nothing
+    learnable below the tail)."""
+    z3, mask, h3d, aux1, onehot, true_f = cache
+    loss = getattr(spec, "loss", "nll")
+    div = _loss_div(spec)
+    if loss == "hinge":
+        # dL/dz_bc = (m_bc - 1[c==y] * sum_c' m_bc') / (B*NC); the c==y
+        # term's own gate cancels (its margin is the constant 1)
+        m = aux1
+        dz4 = (m - onehot * jnp.sum(m, axis=1, keepdims=True)) * (
+            1.0 / (div * spec.n_out))
+    elif loss == "exp":
+        # centered scores: dL/dz_bc = (e_b/B) * (1/NC - 1[c==y])
+        e = aux1
+        dz4 = (e * (1.0 / div)) * (1.0 / spec.n_out - onehot)
+    elif loss == "nllsq":
+        # d(mean tl^2)/dz = (2 tl / B) * (onehot - softmax)
+        dz4 = (2.0 * true_f * (1.0 / div)) * (onehot - jnp.exp(aux1))
+    elif loss == "nll":
+        dz4 = (jnp.exp(aux1) - onehot) * (1.0 / div)      # (B, NC)
+    else:  # truncated nll: gradient gated off where the clamp is active
+        gate = (spec.log_thresh - true_f > 0).astype(jnp.float32)
+        dz4 = (gate * (1.0 / div)) * (jnp.exp(aux1) - onehot)
     return _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, need_df=need_df)
 
 
@@ -966,7 +1120,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
     for k in range(F1 * F1):
         z1 = z1 + _mm(w1_all[:, k * CB:(k + 1) * CB], rolls1[k])
-    h1 = _lrelu(z1, spec.slope1)
+    h1 = _act(z1, spec.act1, spec.slope1)
     v1 = v1_ref[:]
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
     mx1 = _pool_max(z1m, spec.pool1, H)
@@ -991,7 +1145,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     )                                                     # (F2^2*R1, P1SQ)
     w2_big = _mm(_mm(em2, w2), e9b2) * st2x               # (R2, F2^2*R1)
     z2 = _mm(w2_big, p1s) + _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)
-    h2 = _lrelu(z2, spec.slope2)
+    h2 = _act(z2, spec.act2, spec.slope2)
     v2 = v2_ref[:]
     z2m = jnp.where(v2 > 0, h2, BIG_NEG)
     mx2 = _pool_max(z2m, spec.pool2, spec.p1)
@@ -1039,7 +1193,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     for j, off in enumerate(_pool_offsets(spec.pool2, spec.p1)):
         gate = (a2r[j:j + 1, :] > 0) & (z2m == _roll(mx2, off))
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
-    dz2 = dz2a * jnp.where(z2 > 0, 1.0, spec.slope2)      # (R2, P1SQ)
+    dz2 = dz2a * _dact(z2, spec.act2, spec.slope2)        # (R2, P1SQ)
 
     # conv2 backward: one matmul per contraction against the patch matrix;
     # every tap's weight gradient falls out of ONE pair of matmuls through
@@ -1066,7 +1220,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     for j, off in enumerate(_pool_offsets(spec.pool1, H)):
         gate = (a1r[j:j + 1, :] > 0) & (z1m == _roll(mx1, off))
         dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
-    dz1 = dz1a * jnp.where(z1 > 0, 1.0, spec.slope1)      # (R1, HW)
+    dz1 = dz1a * _dact(z1, spec.act1, spec.slope1)        # (R1, HW)
 
     # conv1 backward (weights only; nothing learnable below): the per-tap
     # contractions are real matmuls (plain layouts — their outputs concat),

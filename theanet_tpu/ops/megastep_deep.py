@@ -40,9 +40,12 @@ from .megastep import (
     _dense_centered_fwd,
     _dense_softmax_bwd,
     _dense_softmax_fwd,
+    _act,
+    _dact,
     _leaky_slope,
     _lrelu,
     _mm,
+    act_of,
     _pool_max,
     _pool_offsets,
     _roll,
@@ -56,6 +59,7 @@ from .megastep import (
     aug_of,
     build_epoch_fn,
     common_disqualifiers,
+    head_loss_tag,
     reg_of,
     sublane_concat_ok,
 )
@@ -112,6 +116,16 @@ class DeepSpec(NamedTuple):
     # (B, 2, 2) tensor rides as an extra per-step input block
     n_aux: tuple = ()
     boost: float = 1.0
+    # activation kinds per conv level / for the hidden layer ('leaky'
+    # uses the slope; see megastep.act_of). Empty acts = all-leaky, so
+    # specs built before this field existed keep their meaning.
+    acts: tuple = ()
+    act_h: str = "leaky"
+    # dense-tail loss for head == 'softmax' patterns (megastep.
+    # _dense_softmax_fwd): 'nll' | 'nllsq' | 'nllT' (truncated, with
+    # log_thresh) | 'hinge' (HingeLayer head) | 'exp' (ExpLossLayer head)
+    loss: str = "nll"
+    log_thresh: float = 0.0
 
     @property
     def has_aux(self):
@@ -157,7 +171,8 @@ def deep_layer_idx(net):
 
 def _conv_stack_ok(convs, pools, net):
     """Shared eligibility checks for a matched conv/pool stack: returns
-    the per-level leaky slopes, or None if any check fails."""
+    the per-level activation tags (kind, slope), or None if any check
+    fails."""
     for c, p in zip(convs, pools):
         if c.stride != 1 or c.mode != "valid":
             return None
@@ -165,8 +180,8 @@ def _conv_stack_ok(convs, pools, net):
         # past a row's valid columns only while pool_sz <= filter_sz
         if p.pool_sz > c.filter_sz:
             return None
-    slopes = [_leaky_slope(c.actvn) for c in convs]
-    if any(s is None for s in slopes):
+    acts = [act_of(c.actvn) for c in convs]
+    if any(a is None for a in acts):
         return None
     if common_disqualifiers(net):
         return None
@@ -178,21 +193,23 @@ def _conv_stack_ok(convs, pools, net):
     if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
            for k in range(1, len(convs))):
         return None
-    return slopes
+    return acts
 
 
 def deep_spec_from_net(net):
     """Return a DeepSpec if the net matches [Color ->] [Elastic/Input ->]
-    (Conv -> Pool)*n -> Hidden -> [DropOut ->] Head for n >= 1 (leaky-relu
-    conv/hidden activations, nll loss, plain f32 single-chip training,
-    VMEM-resident working set), else None. Head is SoftmaxLayer,
-    CenteredOutLayer (LOGIT/RBF), or — directly on the conv features,
-    without the Hidden/DropOut — SoftAuxLayer (the aux-input head). The
-    bare n == 2 Softmax pattern is the flagship megastep kernel's and is
-    deliberately not matched here."""
+    (Conv -> Pool)*n -> Hidden -> [DropOut ->] Head for n >= 1 (fusable
+    conv/hidden activations — see megastep.act_of, nll loss, plain f32 single-chip training,
+    VMEM-resident working set), else None. Head is SoftmaxLayer (loss
+    nll / nllsq / truncated nll<NN>), HingeLayer, ExpLossLayer,
+    CenteredOutLayer (LOGIT/RBF, nll), or — directly on the conv
+    features, without the Hidden/DropOut — SoftAuxLayer (the aux-input
+    head). The bare n == 2 Softmax(nll) pattern is the flagship megastep
+    kernel's and is deliberately not matched here."""
     from ..layers import (CenteredOutLayer, ColorLayer, ConvLayer,
-                          DropOutLayer, ElasticLayer, HiddenLayer,
-                          InputLayer, PoolLayer, SoftmaxLayer)
+                          DropOutLayer, ElasticLayer, ExpLossLayer,
+                          HiddenLayer, HingeLayer, InputLayer, PoolLayer,
+                          SoftmaxLayer)
 
     L = net.net_layers
     if len(L) < 4:  # shortest match: Input -> Conv -> Pool -> SoftAux
@@ -237,8 +254,8 @@ def deep_spec_from_net(net):
         head = L[i]
         if head.loss != "nll" or head.aux_type != "LocationInfo":
             return None
-        slopes = _conv_stack_ok(convs, pools, net)
-        if slopes is None or not head.reg["rate"]:
+        conv_acts = _conv_stack_ok(convs, pools, net)
+        if conv_acts is None or not head.reg["rate"]:
             return None
         spec = DeepSpec(
             batch=net.batch_sz, img=L[0].out_sz,
@@ -246,7 +263,8 @@ def deep_spec_from_net(net):
             pools=tuple(p.pool_sz for p in pools),
             ibs=tuple(bool(p.ignore_border) for p in pools),
             maps=tuple(c.num_maps for c in convs),
-            slopes=tuple(slopes),
+            slopes=tuple(s for _, s in conv_acts),
+            acts=tuple(k for k, _ in conv_acts),
             n_hid=head.n_out, n_out=head.n_out, slope_h=1.0, pdrop=0.0,
             **aug_of(aug_src),
             regs=tuple(reg_of(c) for c in convs),
@@ -274,10 +292,23 @@ def deep_spec_from_net(net):
     head = L[i]
     plain_prefix = (not color_cfg["color"]) and pdrop2 == 0.0
     if type(head) is SoftmaxLayer:
-        if n == 2 and plain_prefix:
+        loss_tag = head_loss_tag(head.loss)
+        if loss_tag is None:
+            return None  # hinge_max / exotic losses keep the scanned path
+        if n == 2 and plain_prefix and loss_tag[0] == "nll":
             return None  # the flagship family's pattern
-        head_cfg = dict(head="softmax", n_classes=head.n_out)
+        head_cfg = dict(head="softmax", n_classes=head.n_out,
+                        loss=loss_tag[0], log_thresh=loss_tag[1])
+    elif type(head) is HingeLayer:
+        # linear scores + multiclass hinge (outlayers.py:129-147); rides
+        # the plain dense-tail branch with its fixed loss tag
+        head_cfg = dict(head="softmax", n_classes=head.n_out, loss="hinge")
+    elif type(head) is ExpLossLayer:
+        # row-centered linear scores + exp loss (outlayers.py:105-126)
+        head_cfg = dict(head="softmax", n_classes=head.n_out, loss="exp")
     elif type(head) is CenteredOutLayer:
+        if head.loss != "nll":
+            return None  # centered-head backward is derived for nll only
         jd = float(head.junk_dist)
         head_cfg = dict(head=head.kind.lower(), n_classes=head.n_classes,
                         junk_dist=min(jd, 1e30),  # inf-safe for f32 math
@@ -290,11 +321,9 @@ def deep_spec_from_net(net):
     in_ch = L[0].num_maps
     if convs[0].num_prev_maps != in_ch:
         return None
-    if head.loss != "nll":
-        return None
-    slopes = _conv_stack_ok(convs, pools, net)
-    slope_h = _leaky_slope(hid.actvn)
-    if slopes is None or slope_h is None:
+    conv_acts = _conv_stack_ok(convs, pools, net)
+    act_h = act_of(hid.actvn)
+    if conv_acts is None or act_h is None:
         return None
     # frozen tail layers keep no momentum buffers in the framework layout
     if any(not lyr.reg["rate"] for lyr in (hid, head)):
@@ -308,8 +337,9 @@ def deep_spec_from_net(net):
         pools=tuple(p.pool_sz for p in pools),
         ibs=tuple(bool(p.ignore_border) for p in pools),
         maps=tuple(c.num_maps for c in convs),
-        slopes=tuple(slopes),
-        n_hid=hid.n_out, n_out=head.n_out, slope_h=slope_h,
+        slopes=tuple(s for _, s in conv_acts),
+        acts=tuple(k for k, _ in conv_acts),
+        n_hid=hid.n_out, n_out=head.n_out, slope_h=act_h[1], act_h=act_h[0],
         # a trailing DropOutLayer folds in: independent masks multiply, so
         # keep = (1-p_hidden)(1-p_drop) is one Bernoulli draw
         pdrop=1.0 - (1.0 - float(hid.pdrop)) * (1.0 - pdrop2), **aug,
@@ -532,7 +562,7 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                  + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
             patches.append(ps)
             wbigs.append(w_big)
-        h = _lrelu(z, spec.slopes[k])
+        h = _act(z, spec.acts[k] if spec.acts else "leaky", spec.slopes[k])
         v = lvl[k]["valid"][:]
         zm = jnp.where(v > 0, h, BIG_NEG)
         mx = _pool_max(zm, spec.pools[k], stride)
@@ -626,7 +656,8 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         for j, off in enumerate(_pool_offsets(spec.pools[k], stride)):
             gate = (ar[j:j + 1, :] > 0) & (zm == _roll(mx, off))
             dza = dza + jnp.where(gate, _roll(dmx, off), 0.0)
-        dz = dza * jnp.where(z > 0, 1.0, spec.slopes[k])
+        dz = dza * _dact(z, spec.acts[k] if spec.acts else "leaky",
+                         spec.slopes[k])
 
         if k > 0:
             lanes = stride * stride

@@ -1,14 +1,14 @@
 """Fused whole-epoch training for the flat-MLP pattern (megastep sibling).
 
 The reference's second headline config (params/3flat.prms: ElasticLayer ->
-HiddenLayer(leaky-relu, pdrop) -> SoftmaxLayer(nll)) is just as launch-bound
+HiddenLayer(fusable actvn, pdrop) -> SoftmaxLayer(nll)) is just as launch-bound
 at batch 20 as the CNN flagship — the dense matmuls are microseconds of MXU
 work against ~36ms of per-dispatch latency in this environment. This module
 fuses the entire epoch into ONE pallas_call with grid=(n_batches,), sharing
 the elastic-augmentation block, the dense-tail forward/backward, and the
 old-accumulator momentum update with ops/megastep.py (the conv kernel).
 
-Supported net pattern: Input/Elastic -> Hidden(leaky-relu family, pdrop) ->
+Supported net pattern: Input/Elastic -> Hidden(fusable actvn, pdrop) ->
 Softmax(nll), any channel count, f32, single chip. The Trainer engages it
 through megastep.fused_plan exactly like the conv kernel (training_params
 MEGAFUSED, default "auto" = on-TPU when the pattern matches).
@@ -43,8 +43,8 @@ from .megastep import (
     _augment_block,
     _dense_softmax_bwd,
     _dense_softmax_fwd,
-    _leaky_slope,
     _mm,
+    act_of,
     _wt_cost,
     aug_of,
     common_disqualifiers,
@@ -79,6 +79,8 @@ class MlpSpec(NamedTuple):
     reg_o: LayerReg
     exact_movement: bool = False
     in_ch: int = 1
+    # hidden activation kind ('leaky' uses slope_h; see megastep.act_of)
+    act_h: str = "leaky"
 
     @property
     def hw(self):
@@ -91,7 +93,7 @@ class MlpSpec(NamedTuple):
 
 def mlp_spec_from_net(net):
     """Return an MlpSpec if the net matches the fused flat-MLP pattern
-    (Input/Elastic -> Hidden -> Softmax, leaky-relu hidden, nll loss, plain
+    (Input/Elastic -> Hidden -> Softmax, fusable hidden actvn, nll loss, plain
     f32 single-chip training and a VMEM-resident working set), else None."""
     from ..layers import ElasticLayer, HiddenLayer, InputLayer, SoftmaxLayer
 
@@ -104,8 +106,8 @@ def mlp_spec_from_net(net):
     hid, head = L[1], L[2]
     if head.loss != "nll":
         return None
-    slope = _leaky_slope(hid.actvn)
-    if slope is None:
+    act_h = act_of(hid.actvn)
+    if act_h is None:
         return None
     if common_disqualifiers(net):
         return None
@@ -124,7 +126,7 @@ def mlp_spec_from_net(net):
 
     spec = MlpSpec(
         batch=B, img=L[0].out_sz, n_hid=hid.n_out, n_out=head.n_out,
-        slope_h=slope, pdrop=float(hid.pdrop), **aug,
+        slope_h=act_h[1], act_h=act_h[0], pdrop=float(hid.pdrop), **aug,
         reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
     )
 

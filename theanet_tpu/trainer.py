@@ -318,11 +318,13 @@ class Trainer:
                     "MEGAFUSED=True, but this configuration cannot use a "
                     "fused epoch kernel (supported: [Color ->] [Elastic "
                     "->] (Conv -> Pool)*n -> Hidden -> [DropOut ->] "
-                    "Softmax(nll)/CenteredOut, any depth n >= 1, pool_sz "
+                    "Softmax(nll/nllsq/nll<NN>)/Hinge/ExpLoss/CenteredOut, "
+                    "any depth n >= 1, pool_sz "
                     "<= the adjacent filter_sz; (Conv -> Pool)*n -> "
                     "SoftAux (aux data required); "
                     "or Input/Elastic -> Hidden -> Softmax(nll); "
-                    "leaky-relu-family activations, f32, "
+                    "registry activations (excl. softmax-as-hidden), f32 "
+                    "or COMPUTE_DTYPE=bfloat16, "
                     "working set within VMEM; meshes must be data-parallel "
                     "(model axis 1) with BATCH_SZ divisible by the data "
                     "axis and the per-device shard within VMEM; the conv "
