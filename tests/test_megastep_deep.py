@@ -235,6 +235,71 @@ def test_deep_pflip_one_matches_per_layer():
     np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=2e-4)
 
 
+POOLLESS_CASES = [
+    # (name, img, stack) — stack items: ("c", maps, filt) | ("p", pool)
+    ("conv-conv-pool", 14, [("c", 2, 3), ("c", 3, 3), ("p", 2)]),
+    ("conv-pool-conv", 14, [("c", 2, 3), ("p", 2), ("c", 3, 3)]),
+    ("conv-only", 10, [("c", 3, 3)]),
+]
+
+
+def _poolless_net(mega, img, stack, nc=3, batch=4):
+    layers = [["InputLayer", {"img_sz": img}]]
+    for item in stack:
+        if item[0] == "c":
+            layers.append(["ConvLayer", {"num_maps": item[1],
+                                         "filter_sz": item[2], "stride": 1,
+                                         "mode": "valid", "actvn": "relu07",
+                                         "reg": {"L2": 1e-3}}])
+        else:
+            layers.append(["PoolLayer", {"pool_sz": item[1]}])
+    layers += [["HiddenLayer", {"n_out": 12, "pdrop": 0, "actvn": "relu02"}],
+               ["SoftmaxLayer", {"n_out": nc}]]
+    tr_prms = {"SEED": 7, "BATCH_SZ": batch, "NUM_EPOCHS": 2,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+@pytest.mark.parametrize("name,img,stack", POOLLESS_CASES,
+                         ids=[c[0] for c in POOLLESS_CASES])
+def test_poolless_conv_levels_fuse(name, img, stack):
+    """Conv levels without a PoolLayer ride the kernel as pool-1 identity
+    levels (zero rolls, every-position anchor grid) — Conv -> Conv stacks
+    and trailing pool-less convs fuse with exact scanned parity."""
+    batch, nc = 4, 3
+    net = make_net = _poolless_net(True, img, stack)
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert 1 in spec.pools
+    rng = np.random.RandomState(2)
+    x = rng.rand(3 * batch, 1, img, img).astype(np.float32)
+    y = rng.randint(0, nc, 3 * batch).astype(np.int32)
+    tr_f = Trainer(make_net, x, y, x, y)
+    assert tr_f._mega is not None
+    tr_u = Trainer(_poolless_net(False, img, stack), x, y, x, y)
+    for _ in range(2):
+        _, cf, _ = tr_f.run_epoch()
+        _, cu, _ = tr_u.run_epoch()
+        np.testing.assert_allclose(cf, cu, rtol=0, atol=3e-5)
+        tr_f.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+    df, du = tr_f.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lf, lu in zip(df["allwts"], du["allwts"]):
+        for a, b in zip(lf, lu):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
+
+
+def test_flagship_shape_with_missing_pool_uses_deep_family():
+    """Input -> Conv -> Conv -> Pool -> Hidden -> Softmax(nll) is NOT the
+    flagship 7-layer pattern; the deep family must take it rather than
+    deferring to a matcher that cannot match."""
+    net = _poolless_net(True, 14, [("c", 2, 3), ("c", 3, 3), ("p", 2)])
+    assert fused_plan(net) is not None
+    assert deep_spec_from_net(net) is not None
+
+
 def test_deep_matcher_leaves_two_conv_to_flagship():
     net = conv_stack_net(16, [(2, 3, 2, False, "relu07"),
                               (3, 3, 2, False, "relu15")], 8, 3, 4)

@@ -309,6 +309,27 @@ def test_megastep_loss_variants_hardware_matches_interpret(loss, log_t):
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
 
 
+def test_megastep_poolless_level_hardware_matches_interpret():
+    """A pool-1 (identity) level — the kernel form of a Conv layer with
+    no PoolLayer after it — through Mosaic vs interpret: zero-roll pool
+    max, every-position anchor grid/compaction, and its backward gates."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=14, filts=(3, 3), pools=(1, 2), ibs=(False, False),
+        maps=(2, 2), slopes=(0.1, 0.05),
+        n_hid=16, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg, reg), reg_h=reg, reg_o=reg,
+    )
+    kshapes = [(2, 9), (2, 1), (2, 9 * 2), (2, 1),
+               (spec.n_flat, 16), (1, 16), (16, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
 def test_megastep_deep_color_hardware_matches_interpret():
     """Deep family with the in-kernel ColorLayer active (widened
     field-bits block, pow/exp/log math) through Mosaic vs interpret."""

@@ -169,6 +169,17 @@ def deep_layer_idx(net):
                  if isinstance(lyr, (ConvLayer, HiddenLayer)))
 
 
+class _IdentityPoolType:
+    """Stand-in for a missing PoolLayer after a conv: window/stride 1,
+    which every pool-parameterized constant degenerates to an identity."""
+
+    pool_sz = 1
+    ignore_border = False
+
+
+_IDENTITY_POOL = _IdentityPoolType()
+
+
 def _conv_stack_ok(convs, pools, net):
     """Shared eligibility checks for a matched conv/pool stack: returns
     the per-level activation tags (kind, slope), or None if any check
@@ -237,12 +248,19 @@ def deep_spec_from_net(net):
         return None
 
     convs, pools = [], []
-    while (i + 1 < len(L) and type(L[i]) is ConvLayer
-           and type(L[i + 1]) is PoolLayer):
+    while i < len(L) and type(L[i]) is ConvLayer:
         convs.append(L[i])
-        pools.append(L[i + 1])
-        i += 2
+        i += 1
+        if i < len(L) and type(L[i]) is PoolLayer:
+            pools.append(L[i])
+            i += 1
+        else:
+            # conv level without a PoolLayer: pool 1 is the identity in
+            # the kernel's separable roll-max (zero rolls, anchor grid
+            # selects every position), so Conv -> Conv stacks fuse too
+            pools.append(_IDENTITY_POOL)
     n = len(convs)
+    implicit_pool = any(p is _IDENTITY_POOL for p in pools)
     if n < 1 or i >= len(L):
         return None
 
@@ -295,7 +313,8 @@ def deep_spec_from_net(net):
         loss_tag = head_loss_tag(head.loss)
         if loss_tag is None:
             return None  # hinge_max / exotic losses keep the scanned path
-        if n == 2 and plain_prefix and loss_tag[0] == "nll":
+        if n == 2 and plain_prefix and loss_tag[0] == "nll" \
+                and not implicit_pool:
             return None  # the flagship family's pattern
         head_cfg = dict(head="softmax", n_classes=head.n_out,
                         loss=loss_tag[0], log_thresh=loss_tag[1])
