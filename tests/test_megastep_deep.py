@@ -291,6 +291,85 @@ def test_poolless_conv_levels_fuse(name, img, stack):
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
 
 
+HID_STACK_CASES = [
+    ("2-hidden", [(16, 0.0, "relu02"), (12, 0.0, "relu05")],
+     ["SoftmaxLayer", {"n_out": 3}]),
+    ("3-hidden-mixed-acts", [(16, 0.0, "tanh"), (12, 0.0, "relu05"),
+                             (10, 0.0, "sigmoid")],
+     ["SoftmaxLayer", {"n_out": 3}]),
+    ("2-hidden-rbf", [(16, 0.0, "relu02"), (12, 0.0, "relu05")],
+     ["CenteredOutLayer", {"kind": "RBF", "n_features": 6, "n_classes": 3,
+                           "learn_centers": True, "junk_dist": 10.0}]),
+]
+
+
+def _hid_stack_net(mega, hiddens, head, img=14, batch=4, seed=11):
+    layers = [["InputLayer", {"img_sz": img}],
+              ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                             "mode": "valid", "actvn": "relu07",
+                             "reg": {"L2": 1e-3}}],
+              ["PoolLayer", {"pool_sz": 2}]]
+    for nh, pd, act in hiddens:
+        layers.append(["HiddenLayer", {"n_out": nh, "pdrop": pd,
+                                       "actvn": act,
+                                       "reg": {"momentum": 0.9,
+                                               "L1": 1e-4}}])
+    layers.append(head)
+    tr_prms = {"SEED": seed, "BATCH_SZ": batch, "NUM_EPOCHS": 2,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+@pytest.mark.parametrize("name,hiddens,head", HID_STACK_CASES,
+                         ids=[c[0] for c in HID_STACK_CASES])
+def test_hidden_stack_fuses(name, hiddens, head):
+    """Multi-hidden dense tails (pre_hidden stack): each extra
+    HiddenLayer rides the kernel with its own activation/dropout/reg and
+    a hand-chained backward; trajectories pinned to the scanned path."""
+    batch, nc = 4, 3
+    net = _hid_stack_net(True, hiddens, head)
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert len(spec.pre_hidden) == len(hiddens) - 1
+    rng = np.random.RandomState(2)
+    x = rng.rand(3 * batch, 1, 14, 14).astype(np.float32)
+    y = rng.randint(0, nc, 3 * batch).astype(np.int32)
+    tr_f = Trainer(_hid_stack_net(True, hiddens, head), x, y, x, y)
+    assert tr_f._mega is not None
+    tr_u = Trainer(_hid_stack_net(False, hiddens, head), x, y, x, y)
+    for _ in range(2):
+        _, cf, _ = tr_f.run_epoch()
+        _, cu, _ = tr_u.run_epoch()
+        np.testing.assert_allclose(cf, cu, rtol=0, atol=3e-5)
+        tr_f.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+    df, du = tr_f.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lf, lu in zip(df["allwts"], du["allwts"]):
+        for a, b in zip(lf, lu):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
+
+
+def test_hidden_stack_dropout_rates_engage():
+    """Pre-hidden dropout draws its own lane slice of the per-step bits;
+    with distinct pdrops per layer the fused net must train finitely and
+    the spec must fold each standalone DropOutLayer into ITS hidden."""
+    rng = np.random.RandomState(2)
+    x = rng.rand(12, 1, 14, 14).astype(np.float32)
+    y = rng.randint(0, 3, 12).astype(np.int32)
+    net = _hid_stack_net(True, [(16, 0.5, "relu02"), (12, 0.25, "relu05")],
+                         ["SoftmaxLayer", {"n_out": 3}])
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert spec.pre_hidden == ((16, "leaky", 0.02, 0.5),)
+    assert spec.pdrop == 0.25
+    tr = Trainer(net, x, y, x, y)
+    assert tr._mega is not None
+    _, costs, _ = tr.run_epoch()
+    assert np.isfinite(costs).all()
+
+
 def test_flagship_shape_with_missing_pool_uses_deep_family():
     """Input -> Conv -> Conv -> Pool -> Hidden -> Softmax(nll) is NOT the
     flagship 7-layer pattern; the deep family must take it rather than

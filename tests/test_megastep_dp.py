@@ -267,3 +267,46 @@ def test_dp_deep_shuffle_matches_single_device():
     _, costs1, _ = tr1.run_epoch()
     _, costs2, _ = tr2.run_epoch()
     np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
+
+
+def test_dp_deep_hidden_stack_matches_single_device():
+    """A pre-hidden stack rides the DP grad kernel: each dense layer's
+    dropout lane slice shards with the batch rows, so the mesh trajectory
+    matches single-chip fused exactly (same draws, pmean'd grads)."""
+    batch_sz = 16
+    x, y = make_data(4 * batch_sz)
+
+    def net():
+        layers = [
+            ["ElasticLayer", {"img_sz": 12, "translation": 1, "zoom": 1.05,
+                              "magnitude": 5, "sigma": 3, "pflip": 0.02,
+                              "angle": 2}],
+            ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                           "actvn": "relu10", "reg": {"L2": 0.001}}],
+            ["PoolLayer", {"pool_sz": 2}],
+            ["HiddenLayer", {"n_out": 24, "pdrop": 0.4, "actvn": "tanh",
+                             "reg": {"L1": 1e-4}}],
+            ["HiddenLayer", {"n_out": 16, "pdrop": 0.25,
+                             "reg": {"maxnorm": 2}}],
+            ["SoftmaxLayer", {"n_out": 10}],
+        ]
+        return NeuralNet(layers, prms(batch_sz))
+
+    tr1 = Trainer(net(), x, y, x, y)
+    assert tr1._mega is not None
+    assert len(tr1._mega_spec.pre_hidden) == 1
+    tr2 = Trainer(net(), x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+    assert tr2._mega is not None
+    for epoch in range(2):
+        _, costs1, minf1 = tr1.run_epoch()
+        _, costs2, minf2 = tr2.run_epoch()
+        np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(minf1, minf2, atol=1e-4)
+        tr1.net.inc_epoch_set_rate()
+        tr2.net.inc_epoch_set_rate()
+    tr1._mega_sync_frame()
+    tr2._mega_sync_frame()
+    for lp1, lp2 in zip(tr1.params, tr2.params):
+        for w1, w2 in zip(lp1, lp2):
+            np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                       atol=1e-4)

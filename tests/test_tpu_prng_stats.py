@@ -309,6 +309,29 @@ def test_megastep_loss_variants_hardware_matches_interpret(loss, log_t):
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
 
 
+def test_megastep_hidden_stack_hardware_matches_interpret():
+    """A 2-layer pre-hidden stack (own dropout lane slices, chained
+    backward) through Mosaic vs interpret mode."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=12, filts=(3,), pools=(2,), ibs=(False,),
+        maps=(2,), slopes=(0.1,),
+        n_hid=12, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg,), reg_h=reg, reg_o=reg,
+        pre_hidden=((24, "tanh", 0.0, 0.3), (16, "leaky", 0.05, 0.0)),
+        regs_pre=(reg, reg),
+    )
+    kshapes = [(2, 9), (2, 1),
+               (spec.n_flat, 24), (1, 24), (24, 16), (1, 16),
+               (16, 12), (1, 12), (12, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
 def test_megastep_poolless_level_hardware_matches_interpret():
     """A pool-1 (identity) level — the kernel form of a Conv layer with
     no PoolLayer after it — through Mosaic vs interpret: zero-roll pool

@@ -206,6 +206,13 @@ def act_of(actvn):
     return None
 
 
+def db_lanes(spec):
+    """Dropout-bits lane width per step: the final hidden's width plus
+    any pre-hidden stack widths (DeepSpec.pre_hidden); each dense layer
+    reads its own lane slice of the per-step dropout block."""
+    return spec.n_hid + sum(ph[0] for ph in getattr(spec, "pre_hidden", ()))
+
+
 def head_loss_tag(loss):
     """(tag, log_thresh) for fusable Softmax-head losses, mirroring
     OutputMixin.cost's dispatch (layers/out.py:46-96; reference
@@ -860,7 +867,13 @@ def _hidden_fwd(spec, f, wh, bh, db_ref):
     z3 = _mm(f, wh) + bh                                  # (B, NH)
     h3 = _act(z3, spec.act_h, spec.slope_h)
     if spec.pdrop:
-        mask = (_u01(db_ref[0]) >= spec.pdrop).astype(jnp.float32)
+        # the final hidden reads the LAST n_hid lanes of the dropout
+        # block (pre-hidden stacks own the leading lanes); with no
+        # pre-hiddens the block is exactly n_hid wide and this slice is
+        # the identity — bit-identical to the single-hidden layout
+        db = db_ref[0]
+        mask = (_u01(db[:, db.shape[1] - spec.n_hid:])
+                >= spec.pdrop).astype(jnp.float32)
         h3d = h3 * mask
     else:
         mask = None
@@ -1358,7 +1371,7 @@ def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles: int = 1):
         jax.random.bits(ks[2], (n_batches * n_tiles, spec.batch,
                                 spec.in_ch * spec.hw), u32),
         jax.random.bits(ks[3], (n_batches * n_tiles, spec.batch,
-                                spec.n_hid), u32),
+                                db_lanes(spec)), u32),
     )
 
 
@@ -1454,7 +1467,7 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
     (ub, fb) index by reference batch (step // n_tiles), and the per-step
     cost/minf stream is reduced back to reference-batch granularity (sum /
     min over tiles) before it reaches the watchdogs."""
-    B, HW, NH = spec.batch, spec.hw, spec.n_hid
+    B, HW, NH = spec.batch, spec.hw, db_lanes(spec)
     C0 = spec.in_ch
     n_state = len(kshapes)
     n_tiles = int(getattr(spec, "n_tiles", 1))

@@ -126,6 +126,13 @@ class DeepSpec(NamedTuple):
     # log_thresh) | 'hinge' (HingeLayer head) | 'exp' (ExpLossLayer head)
     loss: str = "nll"
     log_thresh: float = 0.0
+    # pre-hidden dense stack between the flatten and the FINAL hidden
+    # (which keeps n_hid/act_h/slope_h/pdrop/reg_h): one (width, act_kind,
+    # slope, pdrop) tuple per extra HiddenLayer, in net order, each with
+    # its LayerReg in regs_pre. A standalone DropOutLayer after a
+    # pre-hidden folds into its pdrop like the final hidden's does.
+    pre_hidden: tuple = ()
+    regs_pre: tuple = ()
 
     @property
     def has_aux(self):
@@ -296,19 +303,33 @@ def deep_spec_from_net(net):
             return None
         return spec if _fits_vmem(spec) else None
 
-    hid = L[i]
-    if type(hid) is not HiddenLayer or isinstance(hid, (SoftmaxLayer,
-                                                        CenteredOutLayer)):
-        return None
-    i += 1
-    pdrop2 = 0.0
-    if i < len(L) and type(L[i]) is DropOutLayer:
-        pdrop2 = float(L[i].pdrop)
+    # dense tail: [Hidden -> [DropOut]]*m, m >= 1; the last group is the
+    # spec's n_hid/act_h/pdrop fields, earlier groups fill pre_hidden
+    # (heads are HiddenLayer subclasses but their exact type differs, so
+    # `type(...) is HiddenLayer` never consumes them)
+    hid_groups = []
+    while i < len(L) and type(L[i]) is HiddenLayer:
+        h = L[i]
         i += 1
-    if i != len(L) - 1:
+        pd = 0.0
+        if i < len(L) and type(L[i]) is DropOutLayer:
+            pd = float(L[i].pdrop)
+            i += 1
+        hid_groups.append((h, pd))
+    if not hid_groups or i != len(L) - 1:
         return None
+    hid, pdrop2 = hid_groups[-1]
+    pre_hidden, regs_pre = [], []
+    for h, pd in hid_groups[:-1]:
+        a = act_of(h.actvn)
+        if a is None or not h.reg["rate"]:
+            return None
+        eff_pd = 1.0 - (1.0 - float(h.pdrop)) * (1.0 - pd)
+        pre_hidden.append((h.n_out, a[0], a[1], eff_pd))
+        regs_pre.append(reg_of(h))
     head = L[i]
-    plain_prefix = (not color_cfg["color"]) and pdrop2 == 0.0
+    plain_prefix = ((not color_cfg["color"]) and pdrop2 == 0.0
+                    and not pre_hidden)
     if type(head) is SoftmaxLayer:
         loss_tag = head_loss_tag(head.loss)
         if loss_tag is None:
@@ -364,6 +385,7 @@ def deep_spec_from_net(net):
         pdrop=1.0 - (1.0 - float(hid.pdrop)) * (1.0 - pdrop2), **aug,
         regs=tuple(reg_of(c) for c in convs),
         reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
+        pre_hidden=tuple(pre_hidden), regs_pre=tuple(regs_pre),
         **head_cfg, **color_cfg,
     )
     # every level must produce a positive spatial extent
@@ -397,6 +419,8 @@ def _fits_vmem(spec):
             + 5 * spec.maps[k] * B * lanes      # z/zm/mx/dz live set
         )
     work_bytes += 4 * 8 * B * spec.n_hid
+    for (nh_j, _, _, _) in spec.pre_hidden:
+        work_bytes += 4 * 8 * B * nh_j
     if spec.head != "softmax":
         # centers/aux-MLP state is counted above via get_wts; add the
         # (B, NF)/(B, NC) head working set
@@ -459,7 +483,11 @@ def deep_kernel_shapes(spec: DeepSpec):
                     (2, nah), (1, nah), (nah, nao), (1, nao),
                     (nao, spec.n_out), (1, spec.n_out)]
     else:
-        kshapes += [(spec.n_flat, spec.n_hid), (1, spec.n_hid),
+        prev_nf = spec.n_flat
+        for (nh_j, _, _, _) in spec.pre_hidden:
+            kshapes += [(prev_nf, nh_j), (1, nh_j)]
+            prev_nf = nh_j
+        kshapes += [(prev_nf, spec.n_hid), (1, spec.n_hid),
                     (spec.n_hid, spec.n_out), (1, spec.n_out)]
         if spec.head in ("logit", "rbf") and spec.learn_centers:
             kshapes.append((spec.n_classes, spec.n_out))
@@ -479,6 +507,8 @@ def deep_reg_kinds(spec: DeepSpec):
                      "cols", "bias"):
             out.append((spec.reg_o, kind))
     else:
+        for reg in spec.regs_pre:
+            out += [(reg, "cols"), (reg, "bias")]
         out += [(spec.reg_h, "cols"), (spec.reg_h, "bias"),
                 (spec.reg_o, "cols"), (spec.reg_o, "bias")]
         if spec.head in ("logit", "rbf") and spec.learn_centers:
@@ -535,7 +565,10 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
 
     ws = [params[2 * k] for k in range(n)]           # (Mk, Fk^2*M_{k-1})
     bs = [params[2 * k + 1] for k in range(n)]       # (Mk, 1)
-    tail = list(params[2 * n:])
+    m = len(spec.pre_hidden)
+    pre = [(params[2 * n + 2 * j], params[2 * n + 2 * j + 1])
+           for j in range(m)]
+    tail = list(params[2 * n + 2 * m:])
     if not softaux:
         wh, bh, wo, bo = tail[0], tail[1], tail[2], tail[3]
 
@@ -596,6 +629,25 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     p_embed = jnp.concatenate([pn] * Mn, axis=1) * selmask
     f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
+    # pre-hidden dense stack (leading lane slices of the dropout block;
+    # the final hidden reads the trailing n_hid lanes in _hidden_fwd)
+    pre_saved = []
+    db_off = 0
+    for j, (nh_j, kind_j, slope_j, pd_j) in enumerate(spec.pre_hidden):
+        wpj, bpj = pre[j]
+        zj = _mm(f, wpj) + bpj                       # (B, nh_j)
+        hj = _act(zj, kind_j, slope_j)
+        if pd_j:
+            mj = (_u01(db_ref[0][:, db_off:db_off + nh_j]) >= pd_j
+                  ).astype(jnp.float32)
+            hd = hj * mj
+        else:
+            mj = None
+            hd = hj
+        pre_saved.append((f, zj, mj))
+        f = hd
+        db_off += nh_j
+
     if softaux:
         # SoftAux head (reference auxiliary.py:102-160): softmax of the
         # linear features plus additive aux logits from the LocationInfo
@@ -618,8 +670,7 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         cost_nll, min_tl = -jnp.sum(true_logp) / B, jnp.min(true_logp)
         cache = None
     elif centered:
-        centers = (params[2 * n + 4] if spec.learn_centers
-                   else centers_ref[:])
+        centers = tail[4] if spec.learn_centers else centers_ref[:]
         cost_nll, min_tl, cache = _dense_centered_fwd(
             spec, f, wh, bh, wo, bo, y, db_ref, centers)
     else:
@@ -632,6 +683,8 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     if softaux:
         cost = cost + _wt_cost(spec.reg_o, tuple(tail))
     else:
+        for j in range(m):
+            cost = cost + _wt_cost(spec.regs_pre[j], pre[j])
         cost = cost + _wt_cost(spec.reg_h, (wh, bh))
         head_wts = ((wo, bo, centers) if centered and spec.learn_centers
                     else (wo, bo))
@@ -660,6 +713,19 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     else:
         dcenters = None
         dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
+
+    # chain back through the pre-hidden stack (df: w.r.t. each layer's
+    # dropped output -> w.r.t. its input)
+    dpre = []
+    for j in range(m - 1, -1, -1):
+        f_in, zj, mj = pre_saved[j]
+        _, kind_j, slope_j, pd_j = spec.pre_hidden[j]
+        dh = df * mj if pd_j else df
+        dz = dh * _dact(zj, kind_j, slope_j)
+        dpre.append((_mm(f_in, dz, ta=True),
+                     jnp.sum(dz, axis=0, keepdims=True)))
+        df = _mm(dz, pre[j][0], tb=True)
+    dpre.reverse()
 
     dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
     # un-embed via one mul + one one-hot matmul (see megastep._conv_fwd_bwd)
@@ -711,6 +777,8 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     if softaux:
         grads += tail_grads
     else:
+        for dwp, dbp in dpre:
+            grads += [dwp, dbp]
         grads += [dwh, dbh, dwo, dbo]
         if dcenters is not None:
             grads.append(dcenters)
@@ -785,8 +853,12 @@ def kernel_layout_deep(allwts, spec: DeepSpec):
                 h[4], h[5].reshape(1, nao),
                 h[6], h[7].reshape(1, spec.n_out)]
         return out
-    wh, bh = allwts[spec.n_levels]
-    head = allwts[spec.n_levels + 1]
+    m = len(spec.pre_hidden)
+    for j, (nh_j, _, _, _) in enumerate(spec.pre_hidden):
+        wpj, bpj = allwts[spec.n_levels + j]
+        out += [wpj, bpj.reshape(1, nh_j)]
+    wh, bh = allwts[spec.n_levels + m]
+    head = allwts[spec.n_levels + m + 1]
     out += [wh, bh.reshape(1, spec.n_hid), head[0],
             head[1].reshape(1, spec.n_out)]
     if spec.head in ("logit", "rbf") and spec.learn_centers:
@@ -812,6 +884,9 @@ def framework_layout_deep(kparams, spec: DeepSpec):
                     kparams[j + 4], kparams[j + 5].reshape(nao),
                     kparams[j + 6], kparams[j + 7].reshape(spec.n_out)])
         return out
+    for (nh_j, _, _, _) in spec.pre_hidden:
+        out.append([kparams[j], kparams[j + 1].reshape(nh_j)])
+        j += 2
     wh, bh = kparams[j], kparams[j + 1]
     wo, bo = kparams[j + 2], kparams[j + 3]
     head = [wo, bo.reshape(spec.n_out)]

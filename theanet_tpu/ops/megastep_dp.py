@@ -52,6 +52,7 @@ from .megastep import (
     _maxnorm,
     _reg_grad,
     build_constants,
+    db_lanes,
     epoch_noise_bits,
     flagship_vmem_ok,
     kernel_reg_kinds,
@@ -161,7 +162,7 @@ def make_dp_step_fn(spec, interpret=None):
     PER-DEVICE batch. Returns f(x, y, ub, fb, pb, db, kparams, aux=None) ->
     (grads, cost, minf) taking per-step blocks with the same leading-1
     layout as the epoch kernel's BlockSpecs."""
-    B, HW, NH = spec.batch, spec.hw, spec.n_hid
+    B, HW, NH = spec.batch, spec.hw, db_lanes(spec)
     C0 = spec.in_ch
     kshapes, const_arrs, _, fwd_bwd, has_aux = _family(spec)
     carrs = tuple(jnp.asarray(a) for a in const_arrs)
@@ -245,7 +246,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
     B = spec.batch
     b_loc = B // n_data
     spec_loc = spec._replace(batch=b_loc)
-    C0, HW, NH = spec.in_ch, spec.hw, spec.n_hid
+    C0, HW, NH = spec.in_ch, spec.hw, db_lanes(spec)
     step_fn = make_dp_step_fn(spec_loc, interpret=interpret)
     regs = (kernel_reg_kinds(spec) if isinstance(spec, MegaSpec)
             else deep_reg_kinds(spec))
