@@ -683,12 +683,16 @@ def test_matcher_prefix_suffix_fuzz(seed):
                                         "angle": 0, "nearest": True}])
     else:
         layers.append(["InputLayer", {"img_sz": img}])
-    n = int(rng.choice([1, 2]))
+    n = int(rng.choice([0, 1, 2]))   # 0 = flat dense net
     for _ in range(n):
         layers.append(["ConvLayer", {"num_maps": 2, "filter_sz": 3,
                                      "stride": 1, "mode": "valid",
                                      "actvn": "relu07"}])
         layers.append(["PoolLayer", {"pool_sz": 2}])
+    n_pre = int(rng.randint(0, 2))   # optional pre-hidden stack
+    for _ in range(n_pre):
+        layers.append(["HiddenLayer", {"n_out": 10, "pdrop": 0.25,
+                                       "actvn": "tanh"}])
     layers.append(["HiddenLayer", {"n_out": 8, "pdrop": 0.5,
                                    "actvn": "relu02"}])
     drop = bool(rng.randint(2))
@@ -700,10 +704,12 @@ def test_matcher_prefix_suffix_fuzz(seed):
                "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
     net = NeuralNet(layers, tr_prms)
     spec = deep_spec_from_net(net)
-    if n == 2 and not color and not drop:
+    if n == 2 and not color and not drop and not n_pre:
         assert spec is None  # plain 2-conv Softmax -> flagship family
         return
     assert spec is not None
+    assert spec.n_levels == n
+    assert len(spec.pre_hidden) == n_pre
     assert spec.color == color
     assert spec.pflip == (0.02 if elastic else 0.0)
     want_pdrop = 1 - (1 - 0.5) * (1 - (0.25 if drop else 0.0))
@@ -824,3 +830,191 @@ def test_deep_matcher_rejects_pool_bigger_than_filter():
                               (3, 3, 4, False, "relu15"),
                               (2, 3, 2, False, "relu05")], 8, 3, 4)
     assert deep_spec_from_net(net) is None
+
+
+# ---------------------------------------------------------------- flat nets
+
+
+def _flat_net(mega, hiddens, head, img=12, batch=4, elastic=False,
+              seed=7):
+    """hiddens: list of (n_out, pdrop, actvn). Flat dense net (no convs)."""
+    if elastic:
+        first = ["ElasticLayer", {"img_sz": img, "translation": 1,
+                                  "zoom": 1.05, "magnitude": 5, "sigma": 3,
+                                  "pflip": 0.02, "angle": 2}]
+    else:
+        first = ["InputLayer", {"img_sz": img}]
+    layers = [first]
+    for nh, pd, act in hiddens:
+        layers.append(["HiddenLayer", {"n_out": nh, "pdrop": pd,
+                                       "actvn": act,
+                                       "reg": {"L1": 1e-4,
+                                               "momentum": 0.9}}])
+    layers.append(head)
+    tr_prms = {"SEED": seed, "BATCH_SZ": batch, "NUM_EPOCHS": 2,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+FLAT_CASES = [
+    ("2-hidden-softmax", [(24, 0.0, "tanh"), (16, 0.0, "relu05")],
+     ["SoftmaxLayer", {"n_out": 5}]),
+    ("rbf-learn-centers", [(20, 0.0, "relu05")],
+     ["CenteredOutLayer", {"kind": "RBF", "n_features": 6, "n_classes": 5,
+                           "learn_centers": True, "junk_dist": 10.0}]),
+    ("hinge", [(20, 0.0, "relu05")], ["HingeLayer", {"n_out": 5}]),
+    ("nllsq", [(20, 0.0, "relu05")],
+     ["SoftmaxLayer", {"n_out": 5, "loss": "nllsq"}]),
+]
+
+
+@pytest.mark.parametrize("name,hiddens,head", FLAT_CASES,
+                         ids=[c[0] for c in FLAT_CASES])
+def test_flat_nets_fuse_through_deep_family(name, hiddens, head):
+    """FLAT dense nets (zero conv levels) ride the deep kernel: the
+    augmented rows feed the dense tail directly, so multi-hidden stacks
+    and every head/loss the family supports apply to conv-less nets too.
+    Identity-augmentation trajectories pinned to the scanned path."""
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(12, 1, 12, 12).astype(np.float32)
+    y = rng.randint(0, 5, 12).astype(np.int32)
+    net = _flat_net(True, hiddens, head)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.n_levels == 0
+    assert spec.n_flat == 144
+    tr_f = Trainer(_flat_net(True, hiddens, head), x, y, x, y)
+    assert tr_f._mega is not None and isinstance(tr_f._mega_spec, DeepSpec)
+    tr_u = Trainer(_flat_net(False, hiddens, head), x, y, x, y)
+    assert tr_u._mega is None
+    for _ in range(2):
+        _, cf, _ = tr_f.run_epoch()
+        _, cu, _ = tr_u.run_epoch()
+        np.testing.assert_allclose(cf, cu, rtol=0, atol=3e-5)
+        tr_f.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+    df, du = tr_f.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lf, lu in zip(df["allwts"], du["allwts"]):
+        for a, b in zip(lf, lu):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
+
+
+def test_flat_deep_kernel_matches_mlp_kernel_exactly():
+    """The bare Input/Elastic -> Hidden -> Softmax(nll) pattern is owned
+    by the tuned megastep_mlp kernel single-chip; the deep family's
+    zero-conv path must reproduce it EXACTLY on the same epoch noise
+    (same ub/fb/pb/db layout, full augmentation + dropout live) — the
+    invariant that lets fused_plan(for_mesh=True) swap families for DP
+    meshes without changing the trajectory."""
+    from theanet_tpu.ops import megastep_mlp as mlp_mod
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+    from theanet_tpu.ops.megastep_mlp import MlpSpec
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(12, 1, 12, 12).astype(np.float32)
+    y = rng.randint(0, 5, 12).astype(np.int32)
+    mk = lambda: _flat_net(True, [(24, 0.5, "relu10")],
+                           ["SoftmaxLayer", {"n_out": 5}], elastic=True)
+
+    tr_mlp = Trainer(mk(), x, y, x, y)
+    assert isinstance(tr_mlp._mega_spec, MlpSpec)
+    # force the deep family by hiding the MLP matcher
+    orig = mlp_mod.mlp_spec_from_net
+    mlp_mod.mlp_spec_from_net = lambda net: None
+    try:
+        tr_deep = Trainer(mk(), x, y, x, y)
+    finally:
+        mlp_mod.mlp_spec_from_net = orig
+    assert isinstance(tr_deep._mega_spec, DeepSpec)
+    assert tr_deep._mega_spec.n_levels == 0
+
+    for _ in range(2):
+        _, c1, m1 = tr_mlp.run_epoch()
+        _, c2, m2 = tr_deep.run_epoch()
+        np.testing.assert_allclose(c1, c2, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(m1, m2, rtol=0, atol=1e-5)
+        tr_mlp.net.inc_epoch_set_rate()
+        tr_deep.net.inc_epoch_set_rate()
+    d1, d2 = tr_mlp.checkpoint_dict(), tr_deep.checkpoint_dict()
+    for l1, l2 in zip(d1["allwts"], d2["allwts"]):
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_flat_multichannel_fuses():
+    """C0 > 1 flat nets lane-embed the channel-major augmented rows into
+    the reference flatten(2) order (identity-augmentation pin)."""
+    rng = np.random.RandomState(5)
+    x = rng.rand(12, 3, 8, 8).astype(np.float32)
+    y = rng.randint(0, 4, 12).astype(np.int32)
+
+    def mk(mega):
+        layers = [["InputLayer", {"img_sz": 8, "num_maps": 3}],
+                  ["HiddenLayer", {"n_out": 16, "actvn": "relu05",
+                                   "reg": {"L2": 1e-3}}],
+                  ["SoftmaxLayer", {"n_out": 4}]]
+        tr_prms = {"SEED": 9, "BATCH_SZ": 4, "NUM_EPOCHS": 2,
+                   "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+                   "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+                   "MEGAFUSED": mega}
+        return NeuralNet(layers, tr_prms)
+
+    # loss 'nll' + single hidden matches the MLP family first; hide it so
+    # the deep family's C0>1 flat embedding is what's under test
+    from theanet_tpu.ops import megastep_mlp as mlp_mod
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+
+    spec = deep_spec_from_net(mk(True))
+    assert spec is not None and spec.n_levels == 0 and spec.in_ch == 3
+    assert spec.n_flat == 3 * 64
+    orig = mlp_mod.mlp_spec_from_net
+    mlp_mod.mlp_spec_from_net = lambda net: None
+    try:
+        tr_f = Trainer(mk(True), x, y, x, y)
+    finally:
+        mlp_mod.mlp_spec_from_net = orig
+    assert isinstance(tr_f._mega_spec, DeepSpec)
+    tr_u = Trainer(mk(False), x, y, x, y)
+    for _ in range(2):
+        _, cf, _ = tr_f.run_epoch()
+        _, cu, _ = tr_u.run_epoch()
+        np.testing.assert_allclose(cf, cu, rtol=0, atol=3e-5)
+        tr_f.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+    df, du = tr_f.checkpoint_dict(), tr_u.checkpoint_dict()
+    for lf, lu in zip(df["allwts"], du["allwts"]):
+        for a, b in zip(lf, lu):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
+
+
+def test_flat_color_net_trains_fused():
+    """[Color ->] Elastic -> dense tail: the in-kernel color jitter works
+    without any conv level (per-sample draws in the fb block rows)."""
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+
+    rng = np.random.RandomState(6)
+    x = rng.rand(12, 3, 8, 8).astype(np.float32)
+    y = rng.randint(0, 4, 12).astype(np.int32)
+    layers = [["ColorLayer", {"img_sz": 8, "num_maps": 3, "balance": 0.3,
+                              "gamma": 1.2, "maxval": 1.0}],
+              ["ElasticLayer", {"img_sz": 8, "num_maps": 3,
+                                "translation": 1, "zoom": 1.05,
+                                "magnitude": 4, "sigma": 3,
+                                "pflip": 0.02, "angle": 2}],
+              ["HiddenLayer", {"n_out": 16, "pdrop": 0.25,
+                               "actvn": "relu05"}],
+              ["SoftmaxLayer", {"n_out": 4}]]
+    tr_prms = {"SEED": 11, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": True}
+    net = NeuralNet(layers, tr_prms)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.n_levels == 0 and spec.color
+    tr = Trainer(net, x, y, x, y)
+    assert isinstance(tr._mega_spec, DeepSpec)
+    _, costs, _ = tr.run_epoch()
+    assert np.isfinite(np.asarray(costs)).all()

@@ -310,3 +310,88 @@ def test_dp_deep_hidden_stack_matches_single_device():
         for w1, w2 in zip(lp1, lp2):
             np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
                                        atol=1e-4)
+
+
+def test_dp_flat_net_matches_single_device():
+    """FLAT dense nets (zero conv levels) run fused-DP: the trainer's
+    fused_plan(for_mesh=True) skips the DP-less MLP family and matches the
+    deep family's zero-conv spec, whose trajectory is pinned to the MLP
+    kernel elsewhere (test_megastep_deep). Mesh-vs-single-chip must agree:
+    same replicated noise draws, pmean'd gradients."""
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+    from theanet_tpu.ops.megastep_mlp import MlpSpec
+
+    batch_sz = 16
+    x, y = make_data(4 * batch_sz)
+
+    def net():
+        layers = [
+            ["ElasticLayer", {"img_sz": 12, "translation": 1, "zoom": 1.05,
+                              "magnitude": 5, "sigma": 3, "pflip": 0.02,
+                              "angle": 2}],
+            ["HiddenLayer", {"n_out": 24, "pdrop": 0.4, "actvn": "tanh",
+                             "reg": {"L1": 1e-4}}],
+            ["HiddenLayer", {"n_out": 16, "pdrop": 0.25,
+                             "reg": {"maxnorm": 2}}],
+            ["SoftmaxLayer", {"n_out": 10}],
+        ]
+        return NeuralNet(layers, prms(batch_sz))
+
+    tr1 = Trainer(net(), x, y, x, y)
+    assert tr1._mega is not None
+    assert isinstance(tr1._mega_spec, DeepSpec)
+    assert tr1._mega_spec.n_levels == 0
+    tr2 = Trainer(net(), x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+    assert tr2._mega is not None and isinstance(tr2._mega_spec, DeepSpec)
+    for epoch in range(2):
+        _, costs1, minf1 = tr1.run_epoch()
+        _, costs2, minf2 = tr2.run_epoch()
+        np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(minf1, minf2, atol=1e-4)
+        tr1.net.inc_epoch_set_rate()
+        tr2.net.inc_epoch_set_rate()
+    tr1._mega_sync_frame()
+    tr2._mega_sync_frame()
+    for lp1, lp2 in zip(tr1.params, tr2.params):
+        for w1, w2 in zip(lp1, lp2):
+            np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                       atol=1e-4)
+
+
+def test_dp_bare_mlp_pattern_runs_fused_on_mesh():
+    """The bare Elastic -> Hidden -> Softmax(nll) pattern (which the
+    tuned MLP kernel owns single-chip) must ALSO get fused-DP on a mesh
+    — via the deep family's zero-conv spec, not the scanned fallback."""
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+    from theanet_tpu.ops.megastep_mlp import MlpSpec
+
+    batch_sz = 16
+    x, y = make_data(4 * batch_sz)
+
+    def net():
+        layers = [
+            ["ElasticLayer", {"img_sz": 12, "translation": 1, "zoom": 1.05,
+                              "magnitude": 5, "sigma": 3, "pflip": 0.02,
+                              "angle": 2}],
+            ["HiddenLayer", {"n_out": 24, "pdrop": 0.5}],
+            ["SoftmaxLayer", {"n_out": 10}],
+        ]
+        return NeuralNet(layers, prms(batch_sz))
+
+    tr1 = Trainer(net(), x, y, x, y)
+    assert isinstance(tr1._mega_spec, MlpSpec)   # tuned kernel single-chip
+    tr2 = Trainer(net(), x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+    assert tr2._mega is not None
+    assert isinstance(tr2._mega_spec, DeepSpec)  # deep n=0 takes the mesh
+    for epoch in range(2):
+        _, costs1, _ = tr1.run_epoch()
+        _, costs2, _ = tr2.run_epoch()
+        np.testing.assert_allclose(costs1, costs2, rtol=1e-4, atol=1e-5)
+        tr1.net.inc_epoch_set_rate()
+        tr2.net.inc_epoch_set_rate()
+    tr1._mega_sync_frame()
+    tr2._mega_sync_frame()
+    for lp1, lp2 in zip(tr1.params, tr2.params):
+        for w1, w2 in zip(lp1, lp2):
+            np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                       atol=1e-4)

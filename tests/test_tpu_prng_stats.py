@@ -537,3 +537,24 @@ def test_megastep_deep_dp_grad_kernel_hardware_matches_interpret(head):
     np.testing.assert_allclose(m_hw, m_it, rtol=2e-2, atol=2e-2)
     for a, b in zip(g_hw, g_it):
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def test_megastep_flat_net_hardware_matches_interpret():
+    """A zero-conv-level (flat dense) deep spec — multi-hidden tail,
+    full augmentation, dropout — through Mosaic vs interpret mode."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=12, filts=(), pools=(), ibs=(), maps=(), slopes=(),
+        n_hid=12, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(), reg_h=reg, reg_o=reg,
+        pre_hidden=((16, "tanh", 0.0, 0.3),),
+        regs_pre=(reg,),
+    )
+    kshapes = [(spec.n_flat, 16), (1, 16),
+               (16, 12), (1, 12), (12, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)

@@ -415,15 +415,30 @@ class FusedPlan(NamedTuple):
     framework_layout: object
 
 
-def fused_plan(net):
+def fused_plan(net, for_mesh=False):
     """Match ``net`` against the fused-epoch kernel families (the 2-conv
-    flagship pattern here, other conv depths in megastep_deep, the
-    flat-MLP pattern in megastep_mlp) and return a FusedPlan for the first
-    match, else None."""
+    flagship pattern here, conv stacks of any other depth AND flat dense
+    nets in megastep_deep, the bare flat-MLP pattern in megastep_mlp) and
+    return a FusedPlan for the first match, else None.
+
+    Family order: flagship first (tuned 2-conv kernel), then the tuned
+    single-hidden flat-MLP kernel, then the generalized deep family —
+    which also matches flat nets (zero conv levels) that the MLP family
+    declines (multi-hidden tails, non-nll losses, centered/hinge/exp
+    heads, color prefixes). With ``for_mesh=True`` the MLP family is
+    skipped: it has no DP kernel, while the deep family's zero-conv
+    specs run megastep_dp's per-device grad kernel like any conv stack."""
     spec = spec_from_net(net)
     if spec is not None:
         return FusedPlan(spec, MEGA_LAYER_IDX, make_epoch_fn,
                          kernel_layout, framework_layout)
+    if not for_mesh:
+        from . import megastep_mlp as mlp
+
+        mspec = mlp.mlp_spec_from_net(net)
+        if mspec is not None:
+            return FusedPlan(mspec, mlp.MLP_LAYER_IDX, mlp.make_mlp_epoch_fn,
+                             mlp.kernel_layout_mlp, mlp.framework_layout_mlp)
     from . import megastep_deep as deep
 
     dspec = deep.deep_spec_from_net(net)
@@ -431,12 +446,6 @@ def fused_plan(net):
         return FusedPlan(dspec, deep.deep_layer_idx(net),
                          deep.make_deep_epoch_fn, deep.kernel_layout_deep,
                          deep.framework_layout_deep)
-    from . import megastep_mlp as mlp
-
-    mspec = mlp.mlp_spec_from_net(net)
-    if mspec is not None:
-        return FusedPlan(mspec, mlp.MLP_LAYER_IDX, mlp.make_mlp_epoch_fn,
-                         mlp.kernel_layout_mlp, mlp.framework_layout_mlp)
     return None
 
 

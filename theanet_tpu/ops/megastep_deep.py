@@ -3,11 +3,13 @@ generalization).
 
 The flagship kernel (ops/megastep.py) hand-fuses the reference's 2-conv
 headline topology (params/mnist.prms). This module generalizes the same
-design to Input/Elastic -> (Conv -> Pool)*n -> Hidden -> Softmax for n = 1
-or n >= 3 (n == 2 stays on the tuned flagship kernel): level 1 is the
-striped input conv, every deeper level is a tap-stacked shift-matmul conv,
-pooling is the separable roll-max + anchor compaction, and the backward is
-the same hand-derived chain run in reverse over the levels. One pallas_call
+design to [Color ->] Input/Elastic -> (Conv -> Pool)*n ->
+(Hidden -> [DropOut])*m -> Head for ANY n >= 0 (n == 2 Softmax(nll) stays
+on the tuned flagship kernel; n == 0 is a flat dense net whose augmented
+rows feed the dense tail directly): level 1 is the striped input conv,
+every deeper level is a tap-stacked shift-matmul conv, pooling is the
+separable roll-max + anchor compaction, and the backward is the same
+hand-derived chain run in reverse over the levels. One pallas_call
 with grid=(n_batches,) trains the whole epoch; parameters and momentum stay
 resident in VMEM across steps (reference semantics: theanet/neuralnet.py
 epoch loop + theanet/layer/layer.py:82-103 updates).
@@ -162,6 +164,8 @@ class DeepSpec(NamedTuple):
 
     @property
     def n_flat(self):
+        if not self.maps:        # flat dense net (zero conv levels)
+            return self.in_ch * self.hw
         return self.maps[-1] * self.sides[-1][2] ** 2
 
 
@@ -216,21 +220,25 @@ def _conv_stack_ok(convs, pools, net):
 
 def deep_spec_from_net(net):
     """Return a DeepSpec if the net matches [Color ->] [Elastic/Input ->]
-    (Conv -> Pool)*n -> Hidden -> [DropOut ->] Head for n >= 1 (fusable
-    conv/hidden activations — see megastep.act_of, nll loss, plain f32 single-chip training,
-    VMEM-resident working set), else None. Head is SoftmaxLayer (loss
+    (Conv -> Pool)*n -> (Hidden -> [DropOut])*m -> Head for n >= 0, m >= 1
+    (fusable activations — see megastep.act_of — and a VMEM-resident
+    working set), else None. n == 0 is a FLAT dense net: the augmented
+    rows feed the dense tail directly. Head is SoftmaxLayer (loss
     nll / nllsq / truncated nll<NN>), HingeLayer, ExpLossLayer,
     CenteredOutLayer (LOGIT/RBF, nll), or — directly on the conv
     features, without the Hidden/DropOut — SoftAuxLayer (the aux-input
     head). The bare n == 2 Softmax(nll) pattern is the flagship megastep
-    kernel's and is deliberately not matched here."""
+    kernel's and is deliberately not matched here; the bare flat
+    Input/Elastic -> Hidden -> Softmax(nll) pattern is megastep_mlp's
+    when the caller wants the single-chip tuned kernel (fused_plan
+    orders the families)."""
     from ..layers import (CenteredOutLayer, ColorLayer, ConvLayer,
                           DropOutLayer, ElasticLayer, ExpLossLayer,
                           HiddenLayer, HingeLayer, InputLayer, PoolLayer,
                           SoftmaxLayer)
 
     L = net.net_layers
-    if len(L) < 4:  # shortest match: Input -> Conv -> Pool -> SoftAux
+    if len(L) < 3:  # shortest match: Input -> Hidden -> Head (flat net)
         return None
 
     i = 0
@@ -268,12 +276,15 @@ def deep_spec_from_net(net):
             pools.append(_IDENTITY_POOL)
     n = len(convs)
     implicit_pool = any(p is _IDENTITY_POOL for p in pools)
-    if n < 1 or i >= len(L):
+    # n == 0 is a FLAT dense net (Input/Elastic/Color -> dense tail): the
+    # kernel feeds the augmented rows straight into the dense tail, so
+    # every head/loss/pre-hidden capability below applies to flat nets too
+    if i >= len(L):
         return None
 
     from ..layers import SoftAuxLayer
 
-    if type(L[i]) is SoftAuxLayer and i == len(L) - 1:
+    if n >= 1 and type(L[i]) is SoftAuxLayer and i == len(L) - 1:
         # SoftAux head directly on the conv features (synth_aux.prms):
         # its built-in linear "hidden" plays the tail's hidden-layer role
         head = L[i]
@@ -359,7 +370,7 @@ def deep_spec_from_net(net):
     else:
         return None
     in_ch = L[0].num_maps
-    if convs[0].num_prev_maps != in_ch:
+    if n and convs[0].num_prev_maps != in_ch:
         return None
     conv_acts = _conv_stack_ok(convs, pools, net)
     act_h = act_of(hid.actvn)
@@ -407,8 +418,15 @@ def _fits_vmem(spec):
     state_bytes = 4 * 3 * sum(
         int(np.prod(s)) for s in deep_kernel_shapes(spec)
     )
-    work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
-                                     + 5 * spec.maps[0]))
+    if spec.n_levels == 0:
+        # flat dense net: resample workspace + the channel lane-embedding
+        # (budget verified on v5e by the megastep_mlp twin at the 3flat
+        # shape — hidden 1000, 457 classes, 28x28)
+        work_bytes = 4 * (spec.hw * spec.hw
+                          + spec.in_ch * B * spec.hw * (1 + spec.in_ch))
+    else:
+        work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
+                                         + 5 * spec.maps[0]))
     for k in range(1, spec.n_levels):
         lanes = spec.sides[k][0] ** 2
         fk2 = spec.filts[k] ** 2
@@ -425,7 +443,11 @@ def _fits_vmem(spec):
         # centers/aux-MLP state is counted above via get_wts; add the
         # (B, NF)/(B, NC) head working set
         work_bytes += 4 * 6 * B * (spec.n_out + spec.n_classes)
-    return const_bytes + state_bytes + work_bytes <= 22 * 1024 * 1024
+    # flat nets share megastep_mlp's empirically-verified 24 MB budget;
+    # conv stacks keep the tighter 22 MB gate (their traced working set
+    # is harder to bound)
+    budget = (24 if spec.n_levels == 0 else 22) * 1024 * 1024
+    return const_bytes + state_bytes + work_bytes <= budget
 
 
 def build_constants_deep(spec: DeepSpec):
@@ -453,14 +475,22 @@ def build_constants_deep(spec: DeepSpec):
         if k > 0:
             consts[f"sh{k}"] = _shift_stack(spec.filts[k], stride)
         prev_maps = mk
-    consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
-                               (1, spec.maps[-1]))
-    pnsq = spec.sides[-1][2] ** 2
-    consts["selmask"] = np.repeat(
-        np.repeat(np.eye(spec.maps[-1], dtype=np.float32), B, axis=0),
-        pnsq, axis=1)                                    # (Rn, NF)
-    consts["selsum"] = np.tile(np.eye(pnsq, dtype=np.float32),
-                               (spec.maps[-1], 1))       # (NF, pn^2)
+    if spec.n_levels == 0:
+        # flat net: the flatten selector sums the channel-major augmented
+        # rows' lane embeddings into (B, C0*HW) reference flatten(2) order
+        # (cf. megastep_mlp.build_constants_mlp); no pool compaction, so
+        # no selmask/selsum
+        consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
+                                   (1, spec.in_ch))
+    else:
+        consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
+                                   (1, spec.maps[-1]))
+        pnsq = spec.sides[-1][2] ** 2
+        consts["selmask"] = np.repeat(
+            np.repeat(np.eye(spec.maps[-1], dtype=np.float32), B, axis=0),
+            pnsq, axis=1)                                # (Rn, NF)
+        consts["selsum"] = np.tile(np.eye(pnsq, dtype=np.float32),
+                                   (spec.maps[-1], 1))   # (NF, pn^2)
     if spec.head in ("logit", "rbf") and not spec.learn_centers:
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
@@ -517,7 +547,9 @@ def deep_reg_kinds(spec: DeepSpec):
 
 
 def _n_deep_consts(spec: DeepSpec):
-    return (1 + sum(6 if k == 0 else 7 for k in range(spec.n_levels)) + 3
+    n_sel = 1 if spec.n_levels == 0 else 3   # sumsel [+ selmask + selsum]
+    return (1 + sum(6 if k == 0 else 7 for k in range(spec.n_levels))
+            + n_sel
             + (1 if (spec.head in ("logit", "rbf")
                      and not spec.learn_centers) else 0))
 
@@ -538,10 +570,15 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
             i += 1
         lvl.append(d)
     sumsel_ref = c_refs[i]
-    selmask_ref, selsum_ref = c_refs[i + 1], c_refs[i + 2]
+    if spec.n_levels == 0:
+        selmask_ref = selsum_ref = None      # flat net: no pool compaction
+        i += 1
+    else:
+        selmask_ref, selsum_ref = c_refs[i + 1], c_refs[i + 2]
+        i += 3
     centers_ref = None
     if spec.head in ("logit", "rbf") and not spec.learn_centers:
-        centers_ref = c_refs[i + 3]
+        centers_ref = c_refs[i]
     return ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref, centers_ref
 
 
@@ -573,61 +610,78 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         wh, bh, wo, bo = tail[0], tail[1], tail[2], tail[3]
 
     aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
+    C0 = spec.in_ch
 
-    # ---------------- forward through the conv levels
-    F0, C0 = spec.filts[0], spec.in_ch
-    offs0 = _tap_offsets(F0, spec.img)
-    em0, e9b0, st0x = lvl[0]["em"][:], lvl[0]["e9b"][:], lvl[0]["stx"][:]
-    rolls0 = [_roll(aug, -off) for off in offs0]
-    lanes0 = spec.hw
-    # striped tap matmuls (the flagship's conv1): each tap's weight block
-    # is embedded into an (R0, C0*B) block matrix and applied to the
-    # lane-rolled augmented input; all taps' blocks build in ONE
-    # (em @ w) @ e9b * stx pair (block-diagonal e9b adds only zero terms
-    # per contraction — bitwise-exact vs the per-tap loop)
-    CB0 = C0 * B
-    w_all0 = _mm(_mm(em0, ws[0]), e9b0) * st0x           # (R0, F0^2*C0*B)
-    z = _mm(em0, bs[0]) * jnp.ones((1, lanes0), jnp.float32)
-    for k in range(F0 * F0):
-        z = z + _mm(w_all0[:, k * CB0:(k + 1) * CB0], rolls0[k])
+    if n == 0:
+        # ---------------- flat dense net: the augmented rows feed the
+        # dense tail directly, in the reference's flatten(2) order
+        # (channel-major lanes). For C0 > 1 the channel-major rows embed
+        # into disjoint lane blocks and sum through the flatten selector
+        # (cf. megastep_mlp._kernel_mlp — same construction).
+        if C0 == 1:
+            f = aug                                      # (B, HW)
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (C0 * B, 1), 0)
+            embed = jnp.concatenate(
+                [aug * (rows // B == c).astype(jnp.float32)
+                 for c in range(C0)], axis=1)            # (C0*B, C0*HW)
+            f = _mm(sumsel_ref[:], embed, hi=spec.exact_movement)
+    else:
+        # ---------------- forward through the conv levels
+        F0 = spec.filts[0]
+        offs0 = _tap_offsets(F0, spec.img)
+        em0, e9b0, st0x = (lvl[0]["em"][:], lvl[0]["e9b"][:],
+                           lvl[0]["stx"][:])
+        rolls0 = [_roll(aug, -off) for off in offs0]
+        lanes0 = spec.hw
+        # striped tap matmuls (the flagship's conv1): each tap's weight
+        # block is embedded into an (R0, C0*B) block matrix and applied to
+        # the lane-rolled augmented input; all taps' blocks build in ONE
+        # (em @ w) @ e9b * stx pair (block-diagonal e9b adds only zero
+        # terms per contraction — bitwise-exact vs the per-tap loop)
+        CB0 = C0 * B
+        w_all0 = _mm(_mm(em0, ws[0]), e9b0) * st0x       # (R0, F0^2*C0*B)
+        z = _mm(em0, bs[0]) * jnp.ones((1, lanes0), jnp.float32)
+        for k in range(F0 * F0):
+            z = z + _mm(w_all0[:, k * CB0:(k + 1) * CB0], rolls0[k])
 
-    saved = []                      # per level: (z, zm, mx, p, extras)
-    patches = [None]                # level k>=1 patch matrices
-    wbigs = [None]
-    for k in range(n):
-        stride, c, po = spec.sides[k]
-        if k > 0:
-            lanes = stride * stride
-            Fk = spec.filts[k]
-            Rp = spec.maps[k - 1] * B
-            emk = lvl[k]["em"][:]
-            e9bk = lvl[k]["e9b"][:]
-            stkx = lvl[k]["stx"][:]
-            sh = lvl[k]["sh"][:]
-            p_prev = saved[k - 1][3]
-            ps = jnp.concatenate(
-                [_mm(p_prev, sh[t * lanes:(t + 1) * lanes, :],
-                     hi=spec.exact_movement)
-                 for t in range(Fk * Fk)], axis=0)       # (Fk^2*Rp, lanes)
-            w_big = _mm(_mm(emk, ws[k]), e9bk) * stkx    # (Rk, Fk^2*Rp)
-            z = (_mm(w_big, ps)
-                 + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
-            patches.append(ps)
-            wbigs.append(w_big)
-        h = _act(z, spec.acts[k] if spec.acts else "leaky", spec.slopes[k])
-        v = lvl[k]["valid"][:]
-        zm = jnp.where(v > 0, h, BIG_NEG)
-        mx = _pool_max(zm, spec.pools[k], stride)
-        p = _mm(mx, lvl[k]["c"][:], hi=spec.exact_movement)  # (Rk, po^2)
-        saved.append((z, zm, mx, p))
+        saved = []                  # per level: (z, zm, mx, p, extras)
+        patches = [None]            # level k>=1 patch matrices
+        wbigs = [None]
+        for k in range(n):
+            stride, c, po = spec.sides[k]
+            if k > 0:
+                lanes = stride * stride
+                Fk = spec.filts[k]
+                Rp = spec.maps[k - 1] * B
+                emk = lvl[k]["em"][:]
+                e9bk = lvl[k]["e9b"][:]
+                stkx = lvl[k]["stx"][:]
+                sh = lvl[k]["sh"][:]
+                p_prev = saved[k - 1][3]
+                ps = jnp.concatenate(
+                    [_mm(p_prev, sh[t * lanes:(t + 1) * lanes, :],
+                         hi=spec.exact_movement)
+                     for t in range(Fk * Fk)], axis=0)   # (Fk^2*Rp, lanes)
+                w_big = _mm(_mm(emk, ws[k]), e9bk) * stkx  # (Rk, Fk^2*Rp)
+                z = (_mm(w_big, ps)
+                     + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
+                patches.append(ps)
+                wbigs.append(w_big)
+            h = _act(z, spec.acts[k] if spec.acts else "leaky",
+                     spec.slopes[k])
+            v = lvl[k]["valid"][:]
+            zm = jnp.where(v > 0, h, BIG_NEG)
+            mx = _pool_max(zm, spec.pools[k], stride)
+            p = _mm(mx, lvl[k]["c"][:], hi=spec.exact_movement)
+            saved.append((z, zm, mx, p))
 
-    # ---------------- flatten + dense tail
-    Mn = spec.maps[-1]
-    pn = saved[-1][3]
-    PNSQ = spec.sides[-1][2] ** 2
-    selmask = selmask_ref[:]
-    p_embed = jnp.concatenate([pn] * Mn, axis=1) * selmask
-    f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
+        # ---------------- flatten + dense tail
+        Mn = spec.maps[-1]
+        pn = saved[-1][3]
+        selmask = selmask_ref[:]
+        p_embed = jnp.concatenate([pn] * Mn, axis=1) * selmask
+        f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
     # pre-hidden dense stack (leading lane slices of the dropout block;
     # the final hidden reads the trailing n_hid lanes in _hidden_fwd)
@@ -727,9 +781,11 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         df = _mm(dz, pre[j][0], tb=True)
     dpre.reverse()
 
-    dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
-    # un-embed via one mul + one one-hot matmul (see megastep._conv_fwd_bwd)
-    dp = _mm(dpe * selmask, selsum_ref[:], hi=spec.exact_movement)
+    # flat nets (n == 0) stop here: nothing learnable below the dense tail
+    if n > 0:
+        dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
+        # un-embed via one mul + one one-hot matmul (megastep._conv_fwd_bwd)
+        dp = _mm(dpe * selmask, selsum_ref[:], hi=spec.exact_movement)
 
     dws, dbs = [None] * n, [None] * n
     for k in range(n - 1, -1, -1):

@@ -132,7 +132,10 @@ def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
                for k in range(1, spec.n_levels)):
             return False
         return _deep_vmem_ok(spec._replace(batch=b_loc))
-    return False  # flat-MLP family: scanned GSPMD path handles its meshes
+    # the tuned flat-MLP family (MlpSpec) has no DP kernel, but flat nets
+    # never reach here under a mesh: fused_plan(for_mesh=True) matches
+    # them as zero-conv-level DeepSpecs, handled above
+    return False
 
 
 def _kernel_grad(spec, fwd_bwd, n_state, n_consts, has_aux, *refs):

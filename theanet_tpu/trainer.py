@@ -263,7 +263,8 @@ class Trainer:
             eligible = ((mesh is None or dp_mesh)
                         and self.n_train_batches >= 1
                         and train_x.shape[2] == train_x.shape[3])
-            plan = mega_mod.fused_plan(net) if eligible else None
+            plan = (mega_mod.fused_plan(net, for_mesh=mesh is not None)
+                    if eligible else None)
             if plan is not None and mesh is not None:
                 from .ops import megastep_dp
 
@@ -317,19 +318,18 @@ class Trainer:
                 raise ValueError(
                     "MEGAFUSED=True, but this configuration cannot use a "
                     "fused epoch kernel (supported: [Color ->] [Elastic "
-                    "->] (Conv -> Pool)*n -> Hidden -> [DropOut ->] "
+                    "->] (Conv -> Pool)*n -> (Hidden -> [DropOut])*m -> "
                     "Softmax(nll/nllsq/nll<NN>)/Hinge/ExpLoss/CenteredOut, "
-                    "any depth n >= 1, pool_sz "
+                    "any depth n >= 0 (n == 0 is a flat dense net) and "
+                    "m >= 1, pool_sz "
                     "<= the adjacent filter_sz; (Conv -> Pool)*n -> "
                     "SoftAux (aux data required); "
-                    "or Input/Elastic -> Hidden -> Softmax(nll); "
                     "registry activations (excl. softmax-as-hidden), f32 "
                     "or COMPUTE_DTYPE=bfloat16, "
                     "working set within VMEM; meshes must be data-parallel "
                     "(model axis 1) with BATCH_SZ divisible by the data "
-                    "axis and the per-device shard within VMEM; the conv "
-                    "families run on DP meshes, the flat-MLP family does "
-                    "not — see docs/tutorial.md). Use MEGAFUSED='auto' to "
+                    "axis and the per-device shard within VMEM — see "
+                    "docs/tutorial.md). Use MEGAFUSED='auto' to "
                     "fall back silently."
                 )
             if plan is not None:
