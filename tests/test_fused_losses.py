@@ -113,6 +113,58 @@ def test_truncated_gate_actually_mixes():
     assert gate.any() and not gate.all(), (tl, gate)
 
 
+def test_two_conv_unparseable_suffix_stays_fused():
+    """An unparseable 'nll<xx>' suffix normalizes to plain NLL, but the
+    flagship matcher accepts the LITERAL loss 'nll' only — a 2-conv net
+    with such a loss must therefore fuse through the deep family rather
+    than being deferred to a matcher that rejects it (regression: the
+    deferral used to key on the normalized tag, losing fusion)."""
+    from theanet_tpu.ops.megastep import fused_plan
+    from theanet_tpu.ops.megastep_deep import DeepSpec
+
+    head = ["SoftmaxLayer", {"n_out": NC, "loss": "nllxy"}]
+    layers = [
+        ["InputLayer", {"img_sz": IMG}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu07"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu02"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 10, "pdrop": 0}],
+        head,
+    ]
+    tr_prms = {"SEED": 43, "BATCH_SZ": B, "NUM_EPOCHS": 2,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": B,
+               "INIT_LEARNING_RATE": 0.15, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": True}
+    plan = fused_plan(NeuralNet(layers, tr_prms))
+    assert plan is not None and isinstance(plan.spec, DeepSpec)
+    assert plan.spec.loss == "nll"
+    # the literal 'nll' twin still belongs to the flagship family
+    lit = [l if l[0] != "SoftmaxLayer"
+           else ["SoftmaxLayer", {"n_out": NC, "loss": "nll"}]
+           for l in layers]
+    lit_plan = fused_plan(NeuralNet(lit, tr_prms))
+    assert lit_plan is not None and not isinstance(lit_plan.spec, DeepSpec)
+
+    x, y = _data()
+    tr_f = Trainer(NeuralNet(layers, tr_prms), x, y, x, y)
+    assert isinstance(tr_f._mega_spec, DeepSpec)
+    scn = dict(tr_prms, MEGAFUSED=False)
+    tr_u = Trainer(NeuralNet(layers, scn), x, y, x, y)
+    for _ in range(2):
+        _, cf, _ = tr_f.run_epoch()
+        _, cu, _ = tr_u.run_epoch()
+        np.testing.assert_allclose(cf, cu, rtol=0, atol=3e-5)
+        tr_f.net.inc_epoch_set_rate()
+        tr_u.net.inc_epoch_set_rate()
+    for lf, lu in zip(tr_f.checkpoint_dict()["allwts"],
+                      tr_u.checkpoint_dict()["allwts"]):
+        for wf, wu in zip(lf, lu):
+            np.testing.assert_allclose(wf, wu, rtol=0, atol=1e-4)
+
+
 def test_head_loss_tag_dispatch():
     assert head_loss_tag("nll") == ("nll", 0.0)
     assert head_loss_tag("nllsq") == ("nllsq", 0.0)

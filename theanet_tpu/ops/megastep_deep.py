@@ -345,9 +345,13 @@ def deep_spec_from_net(net):
         loss_tag = head_loss_tag(head.loss)
         if loss_tag is None:
             return None  # hinge_max / exotic losses keep the scanned path
-        if n == 2 and plain_prefix and loss_tag[0] == "nll" \
+        if n == 2 and plain_prefix and head.loss == "nll" \
                 and not implicit_pool:
-            return None  # the flagship family's pattern
+            # the flagship family's pattern — LITERAL 'nll' only: an
+            # unparseable 'nll<xx>' suffix normalizes to the same plain-NLL
+            # tag, but the flagship matcher takes head.loss == 'nll' only,
+            # so deferring it there would lose fusion entirely
+            return None
         head_cfg = dict(head="softmax", n_classes=head.n_out,
                         loss=loss_tag[0], log_thresh=loss_tag[1])
     elif type(head) is HingeLayer:
@@ -745,6 +749,10 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         cost = cost + _wt_cost(spec.reg_o, head_wts)
 
     # ---------------- backward
+    # df (grad w.r.t. the dense-tail input) is only consumed by the
+    # pre-hidden chain and the conv un-embed; flat single-hidden nets
+    # (n == 0, no pre-hiddens) skip that matmul, like the MLP kernel.
+    need_df = n > 0 or m > 0
     if softaux:
         dz4 = (jnp.exp(logp) - onehot) * (1.0 / B)
         dWt = _mm(f, dz4, ta=True)
@@ -758,15 +766,16 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         dz1a = dh1a * jnp.where(z1a > 0, 1.0, 0.50)
         dw1a = _mm(x2, dz1a, ta=True)
         db1a = jnp.sum(dz1a, axis=0, keepdims=True)
-        df = _mm(dz4, Wt, tb=True)
+        df = _mm(dz4, Wt, tb=True) if need_df else None
         tail_grads = [dWt, dbt, dw1a, db1a, dw2a, db2a, dcw, dbt]
         dcenters = None
     elif centered:
         dwh, dbh, dwo, dbo, dcenters, df = _dense_centered_bwd(
-            spec, cache, f, wh, wo, centers)
+            spec, cache, f, wh, wo, centers, need_df=need_df)
     else:
         dcenters = None
-        dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
+        dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(
+            spec, cache, f, wh, wo, need_df=need_df)
 
     # chain back through the pre-hidden stack (df: w.r.t. each layer's
     # dropped output -> w.r.t. its input)
