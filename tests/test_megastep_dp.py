@@ -111,6 +111,28 @@ def test_dp_multichannel_pflip_matches_single_device_fused():
         net2.inc_epoch_set_rate()
 
 
+def test_dp_bf16_config_fuses_and_matches_single_device():
+    """COMPUTE_DTYPE='bfloat16' composes with the DP mesh exactly like it
+    composes single-chip (megastep.common_disqualifiers admits bf16): the
+    per-device grad kernel is the same kernel body, so the DP-vs-single-
+    chip delta stays at batch-reduction reassociation scale. Guards the
+    bf16-fusion x fused-DP combination, which neither test_fused_bf16
+    (single-chip) nor the other DP cases (f32) cover."""
+    x, y = make_data(64)
+    net1 = NeuralNet(spec(), dict(prms(16), COMPUTE_DTYPE="bfloat16"))
+    tr1 = Trainer(net1, x, y, x, y)
+    net2 = NeuralNet(spec(), dict(prms(16), COMPUTE_DTYPE="bfloat16"))
+    tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
+    assert tr1._mega is not None, "bf16 single-chip config must fuse"
+    assert tr2._mega is not None, "bf16 DP config must fuse"
+    for epoch in range(2):
+        _, c1, _ = tr1.run_epoch()
+        _, c2, _ = tr2.run_epoch()
+        np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
+        net1.inc_epoch_set_rate()
+        net2.inc_epoch_set_rate()
+
+
 def test_dp_shuffle_matches_single_device_fused():
     x, y = make_data(64)
     p = prms(16)
