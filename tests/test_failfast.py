@@ -72,6 +72,27 @@ def test_nonshardable_hidden_warns_but_trains():
     assert np.isfinite(total)
 
 
+def test_unrecognized_megafused_value_is_named_error():
+    """MEGAFUSED: 1 (or 'true') must not silently fall through to the
+    scanned path — want_mega tests identity against True/'auto', so an
+    unrecognized value would otherwise disable fusion with no signal."""
+    from theanet_tpu.model import NeuralNet
+    from theanet_tpu.trainer import Trainer
+
+    layers = [["InputLayer", {"img_sz": 8}],
+              ["HiddenLayer", {"n_out": 8}],
+              ["SoftmaxLayer", {"n_out": 3}]]
+    x = np.zeros((8, 1, 8, 8), np.float32)
+    y = np.zeros((8,), np.int32)
+    for bad in (1, 0, "true", "AUTO"):
+        prms = {"SEED": 7, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+                "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+                "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 1,
+                "MEGAFUSED": bad}
+        with pytest.raises(ValueError, match="MEGAFUSED"):
+            Trainer(NeuralNet(layers, prms), x, y, x, y)
+
+
 def test_streamed_double_augmentation_guard():
     x, y = _data()
     tr = Trainer(_net(batch_sz=8, elastic=True), x, y, x, y)

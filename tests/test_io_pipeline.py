@@ -163,7 +163,7 @@ def test_streamed_aux_batches():
     batches3 = [(x[:4], y[:4], aux[:4]), (x[4:], y[4:], aux[4:])]
     total, costs = tr.run_epoch_streamed(batches3)
     assert len(costs) == 2 and np.isfinite(total)
-    with pytest.raises(AssertionError, match="auxiliary"):
+    with pytest.raises(ValueError, match="auxiliary"):
         tr.run_epoch_streamed([(x[:4], y[:4])])
 
 

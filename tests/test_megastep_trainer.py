@@ -75,6 +75,31 @@ def test_megafused_selected_and_matches_unfused():
             np.testing.assert_allclose(wm, wu, atol=5e-5)
 
 
+def test_readonly_sync_keeps_kernel_state_valid():
+    """eval/checkpoint between fused epochs are READ-ONLY syncs: the
+    kernel-layout copy stays the truth ('both'), so the next epoch reuses
+    it without re-paying the to_kernel conversions; frame mutators
+    (run_batch & co) demote to 'frame' and force the re-conversion."""
+    x, y = _data()
+    tr = Trainer(_net(True), x, y, x, y)
+    tr.run_epoch()
+    assert tr._state_src == "mega"
+    calls = []
+    orig = tr._mega_to_kernel
+    tr._mega_to_kernel = lambda p: (calls.append(1), orig(p))[1]
+    tr.evaluate_full("test")
+    assert tr._state_src == "both"
+    tr.checkpoint_dict()
+    tr.net.inc_epoch_set_rate()
+    tr.run_epoch()  # reuses the kernel copy: zero to_kernel conversions
+    assert not calls
+    assert tr._state_src == "mega"
+    tr.run_batch(0, step=10_000)  # mutates frame params
+    assert tr._state_src == "frame"
+    tr.run_epoch()  # must re-convert params AND moms
+    assert len(calls) == 2
+
+
 def test_megafused_with_full_augmentation_trains():
     x, y = _data()
     tr = Trainer(_net(True, pdrop=0.5, elastic=True), x, y, x, y)

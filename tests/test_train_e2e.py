@@ -155,3 +155,83 @@ def test_cli_chained_intervals(tmp_path):
     assert len(rows) == 4, proc.stdout
     labels = [int(l.split()[0]) for l in rows]
     assert labels == [0, 2, 4, 5], proc.stdout
+
+
+def _cli_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+@pytest.mark.parametrize("stepwise", [False, True],
+                         ids=["chained", "stepwise"])
+def test_cli_nan_watchdog_aborts_with_dump(tmp_path, stepwise):
+    """A NaN cost must abort the run (reference train.py:222-226) with the
+    at-failure epoch/iteration label and a weight dump — in chained mode
+    AND in THEANET_STEPWISE=1 mode (regression: the stepwise total was
+    np.nansum'd, which stripped the NaN and silenced the watchdog)."""
+    prms = {
+        "layers": [["InputLayer", {}],
+                   ["HiddenLayer", {"n_out": 16}],
+                   ["SoftmaxLayer", {"n_out": 10}]],
+        "training_params": {
+            "SEED": 3, "BATCH_SZ": 50, "NUM_EPOCHS": 6, "EPOCHS_TO_TEST": 3,
+            "TEST_SAMP_SZ": 100, "INIT_LEARNING_RATE": 1e18,
+            "EPOCHS_TO_HALF_RATE": 3,
+        },
+    }
+    cfg = tmp_path / "nan.prms"
+    cfg.write_text(repr(prms))
+    env = _cli_env()
+    if stepwise:
+        env["THEANET_STEPWISE"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), "synth", str(cfg)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode != 0
+    out = proc.stdout + proc.stderr
+    assert "Nan cost at Epoch:0" in out, out[-2000:]
+    assert "Epoch:0 Iteration:" in out
+    assert "nan" in proc.stdout  # the at-failure weight dump
+
+
+def test_cli_chained_divergence_replay(tmp_path):
+    """Exp-head divergence (min true-class feature < -6) inside a chained
+    chunk must dump AT-FAILURE weights for each diverging epoch (rewind to
+    the chunk start + deterministic replay), then restore the chunk-end
+    state and CONTINUE — divergence warns, it does not abort. A checkpoint
+    with one large-negative output bias diverges deterministically (the
+    row-centered score of that class sits ~-13) at a harmless LR."""
+    layers = [["InputLayer", {"img_sz": 28}],
+              ["HiddenLayer", {"n_out": 16}],
+              ["ExpLossLayer", {"n_out": 10}]]
+    prms = {"SEED": 3, "BATCH_SZ": 50, "NUM_EPOCHS": 8, "EPOCHS_TO_TEST": 4,
+            "TEST_SAMP_SZ": 100, "INIT_LEARNING_RATE": 1e-9,
+            "EPOCHS_TO_HALF_RATE": 4, "CUR_EPOCH": 0}
+    net = NeuralNet(layers, prms)
+    d = net.get_init_params()
+    w, b = d["allwts"][2]
+    b = np.asarray(b).copy()
+    b[3] = -15.0
+    d["allwts"][2] = (np.asarray(w) * 0.0, b)
+    ckpt = tmp_path / "div.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump(d, f, -1)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), "synth", str(ckpt)],
+        cwd=tmp_path, env=_cli_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    # every epoch of the 1-4 chunk diverges; each dump carries ITS epoch's
+    # label and replayed at-failure weights, not the chunk-end state
+    for ep in (1, 2, 3, 4):
+        assert f"Epoch:{ep} Iteration:" in out, out[-3000:]
+    assert out.count("min true-class feature:") >= 5
+    # ... and the run still completes (rows for epochs 0, 4 + final)
+    rows = [l for l in out.splitlines() if "%  (" in l]
+    assert len(rows) >= 3, out

@@ -217,6 +217,33 @@ def test_snapshot_restore_replays_identically():
     np.testing.assert_array_equal(outs1[0], costs3)
 
 
+def test_snapshot_restore_rewinds_stream_step():
+    """The streamed-batch RNG derives from a trainer-level step counter;
+    restore_state must rewind it with the state tensors, or a post-restore
+    re-run of the same pipeline silently trains a different trajectory."""
+    net, tr, x, y = mk_trainer()
+    batches = [(x[i * 8:(i + 1) * 8], y[i * 8:(i + 1) * 8])
+               for i in range(4)]
+    snap = tr.snapshot_state()
+    _, costs1 = tr.run_epoch_streamed(batches)
+    assert tr._stream_step == 4
+    tr.restore_state(snap)
+    assert tr._stream_step == 0
+    _, costs2 = tr.run_epoch_streamed(batches)
+    np.testing.assert_array_equal(costs1, costs2)
+
+
+def test_empty_eval_window_is_named_error():
+    """TEST_SAMP_SZ < BATCH_SZ gives zero whole batches per rotating eval
+    window; the reference's test_wrapper divides by zero there. Fail with
+    an error that names the cause instead of a bare concatenate crash."""
+    import pytest
+
+    _, tr, _, _ = mk_trainer()
+    with pytest.raises(ValueError, match="TEST_SAMP_SZ"):
+        tr.evaluate("test", [])
+
+
 def test_sync_net_reflects_trained_weights():
     """net.get_wts_info()/get_wts() read layer params_init, which only
     sync_net (or checkpointing) refreshes — the watchdog diagnostics in the

@@ -196,7 +196,9 @@ def main(argv=None):
             min_true_f.append(feats[np.arange(len(y)), y].min())
             if np.isnan(cost):
                 break
-        return float(np.nansum(costs)), np.asarray(costs), np.asarray(min_true_f)
+        # plain sum ON PURPOSE: a NaN cost must reach watchdogs() as a NaN
+        # total (np.nansum would strip the very signal the break detected)
+        return float(np.sum(costs)), np.asarray(costs), np.asarray(min_true_f)
 
     is_exp_head = layers[-1][0][:3] == "Exp"
     epochs_to_test = tr_prms["EPOCHS_TO_TEST"]
@@ -280,17 +282,27 @@ def main(argv=None):
         )
 
         if chain:
+            replayed = False
             for j in range(chunk_len):
-                if np.isnan(totals[j]) and j < chunk_len - 1:
+                nan_j = np.isnan(totals[j])
+                div_j = is_exp_head and float(minf2d[j].min()) < -6
+                if (nan_j or div_j) and j < chunk_len - 1:
                     # the chunk trained past the failure; rewind to the
                     # chunk start and replay up to the failing epoch so the
-                    # NaN watchdog prints the at-failure weights the
-                    # reference's per-batch loop would have shown (the
-                    # replay is deterministic: LR and all per-epoch RNG
-                    # derive from the restored epoch counter)
+                    # watchdog dump (NaN abort OR Exp-head divergence)
+                    # prints the at-failure weights the reference's
+                    # per-batch loop would have shown (the replay is
+                    # deterministic: LR and all per-epoch RNG derive from
+                    # the restored epoch counter)
                     trainer.restore_state(snap)
                     trainer.run_epochs(j + 1)
+                    replayed = True
                 watchdogs(epoch + j, float(totals[j]), costs2d[j], minf2d[j])
+            if replayed:
+                # only the divergence dump returns here (NaN raises): put
+                # the state back where the chained run had already gotten
+                trainer.restore_state(snap)
+                trainer.run_epochs(chunk_len)
             total_cost = float(totals[-1])
         else:
             watchdogs(epoch, total_cost, costs, min_true_f)

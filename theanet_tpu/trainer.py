@@ -244,6 +244,15 @@ class Trainer:
         # checkpointing, per-batch APIs).
         self._mega = None
         mega_mode = net.tr_prms.get("MEGAFUSED", "auto")
+        # identity checks on purpose: 1 == True in Python, but a user who
+        # wrote MEGAFUSED: 1 (or 'true', 'AUTO') must not silently train
+        # ~5x slower on the scanned path — reject anything unrecognized
+        if not (mega_mode is True or mega_mode is False
+                or mega_mode == "auto"):
+            raise ValueError(
+                "MEGAFUSED must be True, False, or 'auto' "
+                f"(got {mega_mode!r})"
+            )
         # gate on where the data actually lives, not the session backend —
         # a TPU session can still build a CPU trainer (jax.default_device)
         data_platform = next(iter(self.d_train_x.devices())).platform
@@ -411,26 +420,46 @@ class Trainer:
                 self._km = None
                 self._state_src = "frame"  # which layout holds the truth
 
-    def _mega_sync_frame(self):
-        """Pull kernel-layout training state back into self.params/moms."""
-        if self._mega is not None and self._state_src == "mega":
+    def _mega_sync_frame(self, *, mutating=False):
+        """Pull kernel-layout training state back into self.params/moms.
+
+        Read-only callers (eval, checkpoint, predict, sync_net) leave the
+        kernel copy valid — state 'both' — so the next fused epoch reuses
+        it instead of paying two to_kernel re-conversions (~2 jit
+        dispatches, ~72ms through a remote-TPU tunnel) per test interval.
+        Callers that go on to MUTATE self.params/moms pass mutating=True,
+        which demotes to 'frame' (kernel copy stale)."""
+        if self._mega is None:
+            return
+        if self._state_src == "mega":
             self.params = self._mega_from_kernel(self._kp, self.params)
             self.moms = self._mega_from_kernel(self._km, self.moms)
+            self._state_src = "both"
+        if mutating:
             self._state_src = "frame"
 
-    def _run_epoch_mega(self, lr):
+    def _mega_dispatch_epoch(self, lr):
+        """One fused-epoch dispatch with NO host sync: converts the frame
+        state to kernel layout if it is the current truth and returns the
+        device-resident (n_batches, 2) cost/minf stream. run_epoch AND
+        run_epochs both dispatch through here so the single-epoch and
+        chained trajectories cannot fork."""
         if self._state_src == "frame":
             self._kp = self._mega_to_kernel(self.params)
             self._km = self._mega_to_kernel(self.moms)
-            self._state_src = "mega"
         epoch_no = self.net.get_epoch()
-        self._kp, self._km, cost_minf = self._mega_epoch.from_key(
+        self._kp, self._km, cm = self._mega_epoch.from_key(
             self._kp, self._km, self._mega_x, self._mega_y,
             self.net.base_key, epoch_no, jnp.float32(lr),
             channel_major=True, shuffle=self.shuffle,
             aux_steps=self._mega_aux,
         )
-        cost_minf = np.asarray(cost_minf)  # ONE device->host transfer
+        # the epoch advanced the kernel copy; any frame copy is now stale
+        self._state_src = "mega"
+        return cm
+
+    def _run_epoch_mega(self, lr):
+        cost_minf = np.asarray(self._mega_dispatch_epoch(lr))  # ONE sync
         costs = cost_minf[:, 0]
         return float(costs.sum()), costs, cost_minf[:, 1]
 
@@ -482,21 +511,9 @@ class Trainer:
             minf = np.asarray(jnp.stack([m for _, m in outs]))
             return costs.sum(axis=1), costs, minf
 
-        if self._state_src == "frame":
-            self._kp = self._mega_to_kernel(self.params)
-            self._km = self._mega_to_kernel(self.moms)
-            self._state_src = "mega"
         cms = []
         for _ in range(k):
-            epoch_no = self.net.get_epoch()
-            lr = self.net.get_rate()
-            self._kp, self._km, cm = self._mega_epoch.from_key(
-                self._kp, self._km, self._mega_x, self._mega_y,
-                self.net.base_key, epoch_no, jnp.float32(lr),
-                channel_major=True, shuffle=self.shuffle,
-                aux_steps=self._mega_aux,
-            )
-            cms.append(cm)
+            cms.append(self._mega_dispatch_epoch(self.net.get_rate()))
             self.net.inc_epoch_set_rate()
         all_cm = np.asarray(jnp.stack(cms))  # ONE device->host transfer
         costs = all_cm[:, :, 0]
@@ -510,7 +527,7 @@ class Trainer:
         A trainer-level step counter keeps PRNG keys (dropout, augmentation)
         fresh across epochs regardless of the producer type.
         Returns (total_cost, costs array)."""
-        self._mega_sync_frame()
+        self._mega_sync_frame(mutating=True)
         # Double-augmentation guard: a host pipeline that warps batches
         # (deform=...) feeding a net whose input layer ALSO warps in-graph
         # would augment twice — almost certainly a config mistake.
@@ -537,10 +554,11 @@ class Trainer:
             else:
                 x, y = batch
                 aux = None
-                assert not self.net.takes_aux(), (
-                    "this net requires auxiliary input; stream (x, y, aux) "
-                    "tuples"
-                )
+                if self.net.takes_aux():
+                    raise ValueError(
+                        "this net requires auxiliary input; stream "
+                        "(x, y, aux) tuples"
+                    )
             self.params, self.moms, cost, _, _ = self._train_raw(
                 self.params, self.moms,
                 jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32),
@@ -561,7 +579,7 @@ class Trainer:
     def run_batch_indices(self, idx, step: int, lr: Optional[float] = None):
         """Train one step on an arbitrary index vector (take_index_list
         parity). ``idx`` must have length BATCH_SZ for shape stability."""
-        self._mega_sync_frame()
+        self._mega_sync_frame(mutating=True)
         lr = self.net.get_rate() if lr is None else lr
         idx = jnp.asarray(np.asarray(idx, np.int32))
         self.params, self.moms, cost, feats, logp = self._train_indices(
@@ -572,7 +590,7 @@ class Trainer:
     def reset_momentum(self):
         """Zero all gradient accumulators (the reference's
         reset_accumulated_gradients, neuralnet.py:243-254)."""
-        self._mega_sync_frame()
+        self._mega_sync_frame(mutating=True)
         from .optim import init_momentum
 
         moms = init_momentum(self.net.net_layers, self.params)
@@ -614,7 +632,7 @@ class Trainer:
     def run_batch(self, ibatch: int, step: int, lr: Optional[float] = None):
         """Single-batch step (the reference's granularity), for debugging and
         watchdog-exact parity."""
-        self._mega_sync_frame()
+        self._mega_sync_frame(mutating=True)
         lr = self.net.get_rate() if lr is None else lr
         self.params, self.moms, cost, feats, logp = self._train_batch(
             self.params, self.moms, jnp.int32(ibatch), jnp.int32(step), jnp.float32(lr)
@@ -635,6 +653,14 @@ class Trainer:
         are appended — the reference's get_test_model(preds_feats=True)
         surface (neuralnet.py:272-273): (err%, second%, features, y_preds)."""
         self._mega_sync_frame()
+        if len(batch_ids) == 0:
+            raise ValueError(
+                "empty eval window: TEST_SAMP_SZ smaller than BATCH_SZ "
+                "yields zero whole batches per rotating window (the "
+                "reference's test_wrapper divides by zero on the same "
+                "config, train.py:155-161); raise TEST_SAMP_SZ to at "
+                "least one batch"
+            )
         idx = self._window_sample_idx(batch_ids)
         # The one-call window statistic equals the reference's mean of
         # per-batch means ONLY because every window batch is whole
@@ -642,9 +668,13 @@ class Trainer:
         # this holds for every reachable path; fail loudly if a future
         # caller ever changes that rather than silently shifting the stat
         # (docs/reference_parity.md "get_test_model" row).
-        assert len(idx) % self.batch_sz == 0, (
-            "evaluate window must consist of whole batches"
-        )
+        if len(idx) % self.batch_sz != 0:
+            # a real error, not an assert: this invariant is load-bearing
+            # for the statistic itself and must survive python -O
+            raise ValueError(
+                "evaluate window must consist of whole batches "
+                f"({len(idx)} samples vs BATCH_SZ={self.batch_sz})"
+            )
         if which == "test":
             out = self._eval_window(
                 self.params, self.d_test_x, self.d_test_y, self.d_test_aux,
@@ -684,17 +714,18 @@ class Trainer:
         the epoch counter. One parameter-set copy on device, no host
         transfer — cheap enough to take per chained-epoch chunk so NaN
         diagnostics can replay to the failing epoch (restore_state)."""
-        if self._mega is not None and self._state_src == "mega":
+        if self._mega is not None and self._state_src in ("mega", "both"):
             st = ("mega", jax.tree.map(jnp.copy, (self._kp, self._km)))
         else:
             st = ("frame", jax.tree.map(jnp.copy, (self.params, self.moms)))
-        return (st, self.net.get_epoch())
+        return (st, self.net.get_epoch(), self._stream_step)
 
     def restore_state(self, snap):
-        """Rewind training to a snapshot_state() point: state tensors and
-        the epoch counter (the LR schedule and all per-epoch RNG derive
-        from it, so re-running from here reproduces the trajectory)."""
-        (kind, state), epoch = snap
+        """Rewind training to a snapshot_state() point: state tensors, the
+        epoch counter (the LR schedule and all per-epoch RNG derive from
+        it), and the streamed-step counter (streamed-batch RNG derives
+        from that one) — re-running from here reproduces the trajectory."""
+        (kind, state), epoch, stream_step = snap
         if kind == "mega":
             self._kp, self._km = jax.tree.map(jnp.copy, state)
             self._state_src = "mega"
@@ -703,3 +734,4 @@ class Trainer:
             if self._mega is not None:
                 self._state_src = "frame"
         self.net.tr_prms["CUR_EPOCH"] = epoch
+        self._stream_step = stream_step
