@@ -50,19 +50,39 @@ struct Rng {
   }
 };
 
-void parallel_for(int n, int n_threads, const std::function<void(int, int)>& fn) {
+// Runs fn over [0, n) in n_threads chunks. Returns 0 on success, 1 if any
+// worker threw (bad_alloc under memory pressure, etc.) — exceptions must
+// not escape a std::thread (std::terminate would kill the host Python
+// process instead of surfacing through the producer-failure path).
+int parallel_for(int n, int n_threads, const std::function<void(int, int)>& fn) {
+  std::atomic<bool> err{false};
+  auto guarded = [&](int lo, int hi) {
+    try {
+      fn(lo, hi);
+    } catch (...) {
+      err.store(true);
+    }
+  };
   if (n_threads <= 1 || n <= 1) {
-    fn(0, n);
-    return;
+    guarded(0, n);
+    return err.load() ? 1 : 0;
   }
   std::vector<std::thread> threads;
   int chunk = (n + n_threads - 1) / n_threads;
+  int spawned_hi = 0;
   for (int t = 0; t < n_threads; t++) {
     int lo = t * chunk, hi = std::min(n, lo + chunk);
     if (lo >= hi) break;
-    threads.emplace_back([=, &fn] { fn(lo, hi); });
+    try {
+      threads.emplace_back([=] { guarded(lo, hi); });
+      spawned_hi = hi;
+    } catch (...) {
+      break;  // spawn failed: run the rest inline below
+    }
   }
+  if (spawned_hi < n) guarded(spawned_hi, n);
   for (auto& th : threads) th.join();
+  return err.load() ? 1 : 0;
 }
 
 // Separable gaussian smoothing of a (h, w) field, 'same' zero padding —
@@ -165,36 +185,55 @@ void theanet_make_warp(float* target,  // out, (2, h, w)
 }
 
 // Deform a batch in place: bilinear/nearest resample at the shared warp plus
-// per-pixel flip noise. x is (b, c, h, w) float32.
-void theanet_deform_batch(float* x, int b, int c, int h, int w,
-                          const float* target,  // (2, h, w)
-                          int nearest, float pflip, uint64_t seed,
-                          int n_threads) {
+// per-pixel flip noise. x is (b, c, h, w) float32. The warp is shared by all
+// b*c planes, so the per-pixel clip/floor/weight arithmetic is hoisted out
+// of the plane loop: each plane pays only 4 fused multiply-adds (or one
+// gather) per pixel. Returns 0 on success, nonzero if a worker failed.
+int theanet_deform_batch(float* x, int b, int c, int h, int w,
+                         const float* target,  // (2, h, w)
+                         int nearest, float pflip, uint64_t seed,
+                         int n_threads) {
   const float* ty = target;
   const float* tx = target + h * w;
   int hw = h * w;
-  std::vector<float> out_plane(hw);
 
-  parallel_for(b * c, n_threads, [&](int lo, int hi) {
+  // per-pixel source offsets + bilinear weights, once per warp
+  std::vector<int32_t> off(hw);
+  std::vector<float> w00, w01, w10, w11;
+  if (nearest) {
+    for (int i = 0; i < hw; i++) {
+      float fy = std::fmin(std::fmax(ty[i], 0.f), h - 1 - 0.001f);
+      float fx = std::fmin(std::fmax(tx[i], 0.f), w - 1 - 0.001f);
+      off[i] = int(fy + 0.5f) * w + int(fx + 0.5f);
+    }
+  } else {
+    w00.resize(hw); w01.resize(hw); w10.resize(hw); w11.resize(hw);
+    for (int i = 0; i < hw; i++) {
+      float fy = std::fmin(std::fmax(ty[i], 0.f), h - 1 - 0.001f);
+      float fx = std::fmin(std::fmax(tx[i], 0.f), w - 1 - 0.001f);
+      int y0 = int(fy), x0 = int(fx);
+      float ay = fy - y0, ax = fx - x0;
+      off[i] = y0 * w + x0;
+      w00[i] = (1 - ay) * (1 - ax);
+      w01[i] = (1 - ay) * ax;
+      w10[i] = ay * (1 - ax);
+      w11[i] = ay * ax;
+    }
+  }
+
+  return parallel_for(b * c, n_threads, [&](int lo, int hi) {
     std::vector<float> out(hw);
     for (int bc = lo; bc < hi; bc++) {
       float* img = x + size_t(bc) * hw;
       Rng rng(seed * 0x100000001b3ull + bc + 1);
-      for (int i = 0; i < hw; i++) {
-        float fy = std::fmin(std::fmax(ty[i], 0.f), h - 1 - 0.001f);
-        float fx = std::fmin(std::fmax(tx[i], 0.f), w - 1 - 0.001f);
-        float v;
-        if (nearest) {
-          int yy = int(fy + 0.5f), xx = int(fx + 0.5f);
-          v = img[yy * w + xx];
-        } else {
-          int y0 = int(fy), x0 = int(fx);
-          float ay = fy - y0, ax = fx - x0;
-          const float* p = img + y0 * w + x0;
-          v = p[0] * (1 - ay) * (1 - ax) + p[1] * (1 - ay) * ax +
-              p[w] * ay * (1 - ax) + p[w + 1] * ay * ax;
+      if (nearest) {
+        for (int i = 0; i < hw; i++) out[i] = img[off[i]];
+      } else {
+        for (int i = 0; i < hw; i++) {
+          const float* p = img + off[i];
+          out[i] = p[0] * w00[i] + p[1] * w01[i] +
+                   p[w] * w10[i] + p[w + 1] * w11[i];
         }
-        out[i] = v;
       }
       if (pflip > 0.f) {
         for (int i = 0; i < hw; i++)
@@ -203,7 +242,6 @@ void theanet_deform_batch(float* x, int b, int c, int h, int w,
       std::memcpy(img, out.data(), sizeof(float) * hw);
     }
   });
-  (void)out_plane;
 }
 
 // Gather rows: dst[i] = src[idx[i]] — shuffled batch assembly, threaded.

@@ -235,3 +235,52 @@ def test_pipeline_streams_aux_end_to_end():
         total, costs = tr.run_epoch_streamed(pipe)
         assert len(costs) == 12 and np.isfinite(total)
         net.inc_epoch_set_rate()
+
+
+def test_pipeline_close_stops_abandoned_producer():
+    """An iterator abandoned mid-epoch (its suspended frame pinned alive, so
+    GC never closes the generator) must be stoppable via close(): the
+    producer thread exits instead of polling a full queue forever."""
+    import threading
+    import time
+
+    from theanet_tpu.io.pipeline import HostPipeline
+
+    x = np.random.RandomState(0).rand(64, 1, 6, 6).astype(np.float32)
+    y = np.zeros(64, np.int32)
+    p = HostPipeline(x, y, batch_sz=4, shuffle=False, to_device=False,
+                     depth=1)
+    it = iter(p)
+    next(it)  # producer running, queue full
+    assert len(p._producers) == 1
+    (stop, t) = p._producers[0]
+    assert t.is_alive()
+    p.close()  # no GC involved — explicit shutdown
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+    assert p._producers == []
+    # exhausted iterators reap themselves too
+    before = threading.active_count()
+    for _ in iter(HostPipeline(x, y, batch_sz=4, shuffle=False,
+                               to_device=False)):
+        pass
+    time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_shuffle_rotates_partial_batch_tail():
+    """With a dataset that does not divide into whole batches, shuffle=True
+    must rotate WHICH samples fall into the dropped tail — a permutation of
+    only the truncated prefix would exclude the same samples from every
+    epoch forever."""
+    from theanet_tpu.io.pipeline import HostPipeline
+
+    n = 10  # batch 4 -> 2 whole batches, 2-sample tail dropped per epoch
+    x = np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1)
+    y = np.arange(n, dtype=np.int32)
+    p = HostPipeline(x, y, batch_sz=4, shuffle=True, to_device=False, seed=3)
+    seen = set()
+    for _ in range(6):
+        for bx, _by in iter(p):
+            seen.update(int(v) for v in bx.ravel())
+    assert seen == set(range(n)), seen

@@ -33,41 +33,55 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libtheanet_native.so")
 
 _lib = None
 _lib_tried = False
+_lib_lock = threading.Lock()
 
 
 def native_lib():
-    """Load (building if necessary) the native library; None if unavailable."""
+    """Load (building if necessary) the native library; None if unavailable.
+
+    Thread-safe: concurrent first calls (e.g. two HostPipeline producer
+    threads) serialize on a lock — a check-then-set race would let one
+    caller observe a half-built .so (or a not-yet-set _lib) and silently
+    cache the numpy fallback for the whole process, making augmentation
+    RNG streams race-dependent. make is invoked whenever the source dir is
+    present (a fast no-op when the .so is fresh), so editing deformer.cc
+    never leaves a stale library behind."""
     global _lib, _lib_tried
-    if _lib is not None or _lib_tried:
+    if _lib_tried:  # benign racy fast path: set only AFTER _lib is final
         return _lib
-    _lib_tried = True
-    try:
-        if not os.path.isfile(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True, capture_output=True, timeout=120,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.theanet_make_warp.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-            ctypes.c_float, ctypes.c_uint64,
-        ]
-        lib.theanet_deform_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.c_float, ctypes.c_uint64, ctypes.c_int,
-        ]
-        lib.theanet_gather_rows.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int,
-        ]
-        _lib = lib
-    except Exception as e:  # no toolchain / build failure
-        print("theanet_tpu.io: native library unavailable ({}); using numpy "
-              "fallbacks".format(e))
-        _lib = None
+    with _lib_lock:
+        if _lib_tried:
+            return _lib
+        try:
+            if os.path.isdir(_NATIVE_DIR):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.theanet_make_warp.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                ctypes.c_float, ctypes.c_uint64,
+            ]
+            lib.theanet_deform_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_float, ctypes.c_uint64, ctypes.c_int,
+            ]
+            lib.theanet_deform_batch.restype = ctypes.c_int
+            lib.theanet_gather_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int,
+            ]
+            _lib = lib
+        except Exception as e:  # no toolchain / build failure
+            print("theanet_tpu.io: native library unavailable ({}); using "
+                  "numpy fallbacks".format(e))
+            _lib = None
+        _lib_tried = True
     return _lib
 
 
@@ -105,12 +119,25 @@ def deform_batch_host(x, target, nearest=False, pflip=0.0, seed=0,
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
     if lib is not None:
-        assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
+        if x.dtype != np.float32 or not x.flags["C_CONTIGUOUS"]:
+            # the in-place contract forbids a silent copy, and the ctypes
+            # kernel would reinterpret the buffer as C-order float32 — a
+            # real error (asserts vanish under python -O)
+            raise ValueError(
+                "deform_batch_host mutates x in place: pass a C-contiguous "
+                f"float32 array (got {x.dtype}, "
+                f"contiguous={x.flags['C_CONTIGUOUS']})"
+            )
         target = np.ascontiguousarray(target, dtype=np.float32)
-        lib.theanet_deform_batch(
+        rc = lib.theanet_deform_batch(
             _fptr(x), b, c, h, w, _fptr(target), int(nearest), float(pflip),
             np.uint64(seed), n_threads,
         )
+        if rc != 0:
+            raise RuntimeError(
+                "native deform worker failed (likely allocation failure "
+                "under memory pressure)"
+            )
         return x
     # numpy fallback
     ty = np.clip(target[0], 0, h - 1 - 0.001)
@@ -138,10 +165,10 @@ def gather_rows_host(src, idx, n_threads=0):
     lib = native_lib()
     src = np.ascontiguousarray(src, dtype=np.float32)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
-    out = np.empty((len(idx),) + src.shape[1:], dtype=np.float32)
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
     if lib is not None:
+        out = np.empty((len(idx),) + src.shape[1:], dtype=np.float32)
         row = int(np.prod(src.shape[1:]))
         lib.theanet_gather_rows(
             _fptr(src), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -193,12 +220,31 @@ class HostPipeline:
         self.n_batches = len(data_x) // batch_sz
         self._epoch = 0  # bumps per __iter__ so every epoch gets a fresh
         #                  shuffle order and fresh deformations
+        self._epoch_lock = threading.Lock()
+        self._producers = []  # live (stop_event, thread) pairs
+
+    def close(self):
+        """Stop and join any producer threads still alive (iterators that
+        were abandoned mid-epoch without being garbage-collected). Idempotent;
+        exhausted iterators clean up after themselves."""
+        with self._epoch_lock:
+            producers, self._producers = self._producers, []
+        for stop, t in producers:
+            stop.set()
+            t.join(timeout=5.0)
 
     def __iter__(self):
+        # atomic read-then-increment: concurrent iterators must not share an
+        # epoch number (same shuffle order + same warp/flip seeds would
+        # replay byte-identical augmentation streams)
+        with self._epoch_lock:
+            epoch = self._epoch
+            self._epoch += 1
+        return self._iter_epoch(epoch)
+
+    def _iter_epoch(self, epoch):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
-        epoch = self._epoch
-        self._epoch += 1
         failure = []
 
         def producer_guarded():
@@ -210,9 +256,15 @@ class HostPipeline:
 
         def producer():
             rng = np.random.RandomState((self.seed + 77003 * epoch) % (2**31))
-            order = np.arange(self.n_batches * self.batch_sz)
             if self.shuffle:
-                rng.shuffle(order)
+                # permute ALL samples and keep the first n_batches*batch_sz:
+                # the partial-batch tail is dropped (whole batches only, like
+                # the reference), but WHICH samples land in the tail rotates
+                # per epoch instead of excluding the same ones forever
+                order = rng.permutation(len(self.data_x))[
+                    : self.n_batches * self.batch_sz]
+            else:
+                order = np.arange(self.n_batches * self.batch_sz)
             for b in range(self.n_batches):
                 if stop.is_set():
                     break
@@ -242,7 +294,11 @@ class HostPipeline:
                         x, warp,
                         nearest=d.get("nearest", False),
                         pflip=d.get("pflip", 0.0),
-                        seed=self.seed * 7 + step,
+                        # multiplier must exceed any realistic step count,
+                        # like the warp stream's: seed*7+step collides
+                        # across the fresh-pipeline-per-epoch usage
+                        # (seed=epoch), replaying identical flip masks
+                        seed=self.seed * 1000003 + 2 * step + 1,
                     )
                 if self.to_device:
                     import jax
@@ -256,6 +312,8 @@ class HostPipeline:
             _put(q, None, stop)
 
         t = threading.Thread(target=producer_guarded, daemon=True)
+        with self._epoch_lock:
+            self._producers.append((stop, t))
         t.start()
         try:
             while True:
@@ -268,4 +326,13 @@ class HostPipeline:
                     break
                 yield item
         finally:
+            # stop + join here covers generator close/GC; pipeline.close()
+            # covers iterators whose suspended frames are pinned alive
+            # (e.g. by a held traceback) and never collected
             stop.set()
+            t.join(timeout=5.0)
+            with self._epoch_lock:
+                try:
+                    self._producers.remove((stop, t))
+                except ValueError:
+                    pass  # already reaped by close()
