@@ -156,3 +156,50 @@ def test_fused_tail_exact_match_without_dropout():
         )
         n1.inc_epoch_set_rate()
         n2.inc_epoch_set_rate()
+
+
+def test_fused_tail_explicit_f32_engages():
+    """COMPUTE_DTYPE='float32' spells out the default; it must not silently
+    disable the kernel the way a genuinely different dtype does."""
+    assert NeuralNet(
+        net_spec(), prms(FUSED_TAIL=True, COMPUTE_DTYPE="float32")
+    ).fused_tail
+
+
+def test_fused_tail_disabled_under_mesh(capsys):
+    """The Pallas tail has no GSPMD partitioning rule: building a Trainer on
+    a mesh must drop to the scanned/sharded tail (with a notice) instead of
+    tracing the kernel into the sharded step."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from theanet_tpu.parallel.mesh import make_mesh
+
+    net = NeuralNet(net_spec(), prms(FUSED_TAIL=True))
+    assert net.fused_tail
+    tr = Trainer(net, synth.training_x[:64], synth.training_y[:64],
+                 synth.testing_x[:64], synth.testing_y[:64],
+                 mesh=make_mesh(n_data=4, n_model=1))
+    assert not net.fused_tail
+    assert "FUSED_TAIL is single-chip only" in capsys.readouterr().err
+    tot, _, _ = tr.run_epoch()  # the sharded step compiles and trains
+    assert np.isfinite(tot)
+
+
+def test_predict_matches_eval_features_with_fused_tail():
+    """predict() (deployment) and eval share the same forward graph, so the
+    FUSED_TAIL kernel cannot make them disagree by tail-implementation
+    ulps."""
+    net = NeuralNet(net_spec(), prms(FUSED_TAIL=True))
+    tr = Trainer(net, synth.training_x[:200], synth.training_y[:200],
+                 synth.testing_x[:64], synth.testing_y[:64])
+    tr.run_epoch()
+    bsz = net.batch_sz
+    feats, preds = tr.predict(synth.testing_x[:bsz])
+    err, _, feats_e, preds_e = tr.evaluate(
+        "test", [0], preds_feats=True)
+    np.testing.assert_array_equal(preds, preds_e)
+    np.testing.assert_array_equal(feats, feats_e)

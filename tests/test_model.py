@@ -195,3 +195,22 @@ def test_ingests_reference_prms_files_bit_compatibly(fname):
     assert hs["probs"].shape == (tp["BATCH_SZ"], n_out)
     sym, oth = net.eval_step(params, x, y)
     assert np.isfinite(float(sym))
+
+
+def test_centered_out_checkpoint_without_centers_is_named_error():
+    """A CenteredOut allwts entry of only [w, b] has no centers to restore;
+    re-drawing them from the RandomState (at a different stream position
+    than the original draw) would silently corrupt the model, so this must
+    be a named error. The reference cannot round-trip the format either
+    (neuralnet.py:186 indexes wts[3])."""
+    spec = [
+        ["InputLayer", {"img_sz": 8}],
+        ["HiddenLayer", {"n_out": 12}],
+        ["CenteredOutLayer", {"n_features": 6, "n_classes": 4,
+                              "kind": "LOGIT"}],
+    ]
+    net = NeuralNet(spec, tr_prms())
+    d = net.get_init_params()
+    d["allwts"][-1] = d["allwts"][-1][:2]  # strip the centers
+    with pytest.raises(ValueError, match="centers"):
+        NeuralNet(d["layers"], d["training_params"], d["allwts"])

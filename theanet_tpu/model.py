@@ -179,7 +179,9 @@ class NeuralNet:
         # PRNG (statistically equivalent to the unfused path).
         self.fused_tail = False
         self._fused_slope = 0.0
-        if training_params.get("FUSED_TAIL") and self.compute_dtype is None:
+        f32_compute = (self.compute_dtype is None
+                       or self.compute_dtype == jnp.float32)
+        if training_params.get("FUSED_TAIL") and f32_compute:
             hid = self.net_layers[-2] if len(self.net_layers) >= 2 else None
             slope = None
             if type(hid) is HiddenLayer and type(self.head) is SoftmaxLayer:
@@ -201,8 +203,12 @@ class NeuralNet:
         # turns in-graph augmentation into a near-free op; augmentation
         # randomness is statistical (not bit-matched to the reference's
         # Theano RandomStreams), so the generator choice is free.
+        # SEED is required on BOTH paths: fresh init reads it above for the
+        # weight RandomState, and a restored net must not silently fall
+        # back to a fixed augmentation/dropout stream (every checkpoint the
+        # framework writes carries its training_params incl. SEED)
         self.base_key = jax.random.key(
-            int(training_params.get("SEED", 0)), impl="rbg"
+            int(training_params["SEED"]), impl="rbg"
         )
 
     # -- builder (mirrors neuralnet.py:113-201) -----------------------------
@@ -223,6 +229,11 @@ class NeuralNet:
         if cls in (ElasticLayer, ColorLayer):
             layer_args.pop("num_maps", None)
             layer_args.pop("img_sz", None)
+            # the reference del-mutates the spec it stores (neuralnet.py:
+            # 133-136), so mid-stack entries lose these keys in banners and
+            # checkpoints — match that compatibility surface
+            self.layers[i][1].pop("num_maps", None)
+            self.layers[i][1].pop("img_sz", None)
             curr = cls(
                 num_maps=num_prev_maps,
                 img_sz=prev_out_sz,
@@ -254,6 +265,17 @@ class NeuralNet:
                     centers = wts[3]
                 elif len(wts) == 3:
                     centers = wts[2]
+                else:
+                    # a [w, b] entry has no centers to restore; re-drawing
+                    # them from the RandomState (at a different stream
+                    # position than the original draw) would silently
+                    # corrupt the model. The reference cannot round-trip
+                    # this format either (wts[3] raises IndexError).
+                    raise ValueError(
+                        "CenteredOutLayer checkpoint entry has no centers "
+                        "(got {} tensors, need [w, b, centers])".format(
+                            len(wts))
+                    )
                 wts = wts[:2]
             curr = CenteredOutLayer(
                 wts, centers, self.rand_gen, prev.n_out, **layer_args
@@ -357,6 +379,13 @@ class NeuralNet:
         """Deployment entry point: features + predictions on raw arrays, with
         optional intermediate activations (reference get_data_test_model,
         neuralnet.py:282-296)."""
+        if not get_output_of_layers:
+            # same graph as eval_step (incl. the FUSED_TAIL kernel when
+            # enabled) so deployment predictions cannot diverge from the
+            # eval statistics by tail-implementation ulps
+            hs = self.forward(params, x, key=self.base_key, train=False,
+                              aux=aux)
+            return (hs["features"], hs["y_preds"])
         params, x = self._cast_compute(params, x)
         outs = []
         out = x

@@ -27,13 +27,7 @@ import jax
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..layers import (
-    AuxConcatLayer,
-    CenteredOutLayer,
-    HiddenLayer,
-    OutputMixin,
-    SoftAuxLayer,
-)
+from ..layers import HiddenLayer, OutputMixin, SoftAuxLayer
 
 __all__ = ["make_mesh", "param_pspecs", "batch_pspec", "shard_params"]
 
@@ -78,7 +72,8 @@ def param_pspecs(net, mesh: Mesh) -> List[List[P]]:
     """
     specs = []
     tp = mesh.shape["model"] > 1
-    for lyr, wts in zip(net.net_layers, [l.get_wts() for l in net.net_layers]):
+    for lyr in net.net_layers:
+        wts = lyr.get_wts()
         lyr_specs = []
         is_head = isinstance(lyr, OutputMixin)
         is_plain_hidden = isinstance(lyr, HiddenLayer) and not is_head
@@ -91,7 +86,10 @@ def param_pspecs(net, mesh: Mesh) -> List[List[P]]:
             elif (
                 tp
                 and is_head
-                and not isinstance(lyr, (SoftAuxLayer, AuxConcatLayer))
+                # SoftAux's 8-tensor packing (cross weights + frozen aux
+                # MLP) replicates whole; AuxConcat is not an OutputMixin so
+                # it never reaches this branch
+                and not isinstance(lyr, SoftAuxLayer)
                 and i == 0
                 and w.ndim == 2
                 and _divisible(w.shape[0], mesh)

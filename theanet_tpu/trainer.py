@@ -74,6 +74,21 @@ class Trainer:
 
         self.params, self.moms = net.init_params()
 
+        if mesh is not None and getattr(net, "fused_tail", False):
+            # the FUSED_TAIL Pallas kernel carries no GSPMD partitioning
+            # rule: under a mesh it would fail to compile (or silently
+            # replicate) inside the sharded train step. The net cannot see
+            # the mesh at build time, so the gate lives here — before any
+            # trace happens.
+            import sys as _sys
+
+            net.fused_tail = False
+            print(
+                "theanet_tpu: FUSED_TAIL is single-chip only; disabled "
+                "under the device mesh (the scanned/GSPMD path runs the "
+                "same network).",
+                file=_sys.stderr,
+            )
         if mesh is not None:
             # Fail fast on mesh/shape mismatches — a non-dividing batch would
             # otherwise surface as a raw XLA sharding error deep inside a jit.
