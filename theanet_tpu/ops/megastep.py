@@ -305,19 +305,31 @@ def flagship_vmem_ok(spec):
     const_bytes = 4 * sum(int(np.prod(c.shape))
                           for c in build_constants(spec).values())
     param_bytes = 4 * sum(int(np.prod(s)) for s in kernel_shapes(spec))
-    state_bytes = param_bytes * (3 + (1 if spec.n_tiles > 1 else 0))
+    # param/mom IN and OUT windows all have constant index maps, so all
+    # four persist for the whole grid; tiling adds the gradient-
+    # accumulator scratch (one more parameter set)
+    state_bytes = param_bytes * (4 + (1 if spec.n_tiles > 1 else 0))
     # live set through backward: F^2 rolls of the (in_ch*B, hw) augmented
     # input, ~5 conv1-sized activation/gradient arrays, the tap-stacked
-    # conv2 patch matrix, ~5 conv2-sized arrays, dense tail
+    # conv2 patch matrix, ~5 conv2-sized arrays, dense tail, PLUS the two
+    # runtime instances of the striped block-diagonal tap matrix (w2_big
+    # forward, dbig_all backward — each st2x-shaped, i.e. the O(B^2)
+    # term the constant table already counts once)
+    st2x_elems = (spec.maps2 * B) * (spec.filt2 ** 2 * spec.maps1 * B)
     work_bytes = 4 * (
         hw * B * (spec.filt1 ** 2 * spec.in_ch + 5 * spec.maps1)
         + spec.filt2 ** 2 * spec.maps1 * B * spec.p1 ** 2
         + 5 * spec.maps2 * B * spec.p1 ** 2
         + 8 * B * spec.n_hid
+        + 2 * st2x_elems
     )
-    # budget calibrated empirically on v5e: the flagship at batch 20
-    # (~15 MB by this formula) runs; an untiled batch 128 does not fit
-    return const_bytes + state_bytes + work_bytes <= 22 * 1024 * 1024
+    # budget calibrated empirically on v5e against THIS formula: the
+    # flagship at batch 20 totals ~18 MB and the measured tile-32 sweet
+    # spot ~26 MB — both run; tile 64 quadruples the O(B^2) striped term
+    # (~95 MB) and an untiled batch 128 is far beyond — both fail to
+    # compile. 40 MB keeps every measured-good size and rejects every
+    # measured-bad one with margin on both sides.
+    return const_bytes + state_bytes + work_bytes <= 40 * 1024 * 1024
 
 
 def spec_from_net(net):
@@ -493,19 +505,41 @@ def _pool_max(z, pool, stride):
     return out
 
 
-def build_constants(spec: MegaSpec):
-    """All constant operand tensors, as numpy. Passed as kernel inputs."""
-    B, H = spec.batch, spec.img
-    M1, M2 = spec.maps1, spec.maps2
-    R1, R2 = M1 * B, M2 * B
-
-    # Gaussian smoothing as one flattened matrix: kron of the separable band
-    # matrices (see ops/elastic.py gaussian_band_matrices — same arithmetic
-    # as the reference's full-conv-then-crop, inlayers.py:87-96).
+@functools.lru_cache(maxsize=16)
+def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2):
+    """The batch-INDEPENDENT constant tensors, cached: spec_from_net's
+    tile-size search evaluates flagship_vmem_ok per candidate, and
+    rebuilding the hw^2 smoothing kron (plus grids/masks/shift stacks)
+    for every candidate costs seconds of redundant numpy at large images
+    when only the batch-dependent stripes actually change."""
     from .elastic import gaussian_band_matrices
 
-    gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
-    s_smooth = np.kron(gh, gw).astype(np.float32)
+    # Gaussian smoothing as one flattened matrix: kron of the separable
+    # band matrices (see ops/elastic.py gaussian_band_matrices — same
+    # arithmetic as the reference's full-conv-then-crop, inlayers.py:87-96)
+    gh, gw = gaussian_band_matrices(img, img, max(int(sigma), 1))
+    a1 = _anchor_mask(p1, img, pool1)                          # (1, hw)
+    a2 = _anchor_mask(p2, p1, pool2)                           # (1, p1^2)
+    return {
+        "s_smooth": np.kron(gh, gw).astype(np.float32),        # (hw, hw)
+        "c1": _anchor_grid(p1, img, pool1),                    # (hw, p1^2)
+        "c2": _anchor_grid(p2, p1, pool2),                     # (p1^2, p2^2)
+        "valid1": _valid_mask(c1, img),                        # (1, hw)
+        "valid2": _valid_mask(c2, p1),                         # (1, p1^2)
+        # pre-rolled anchor masks, one row per pool-window offset, so the
+        # pool backward reads constant rows instead of rolling at runtime
+        "a1r": _rolled_anchor_stack(a1, pool1, img),
+        "a2r": _rolled_anchor_stack(a2, pool2, p1),
+        "sh2": _shift_stack(filt2, p1),
+    }
+
+
+def build_constants(spec: MegaSpec):
+    """All constant operand tensors, as numpy. Passed as kernel inputs.
+    Read-only by contract: the geometry subset is shared across specs via
+    an lru_cache."""
+    B = spec.batch
+    M1, M2 = spec.maps1, spec.maps2
 
     # row->map one-hots / batch-stripe masks for the striped matmuls
     ecol1 = np.repeat(np.eye(spec.in_ch, dtype=np.float32), B, axis=1)
@@ -513,20 +547,13 @@ def build_constants(spec: MegaSpec):
     stripe1 = np.tile(np.eye(B, dtype=np.float32), (M1, spec.in_ch))
     stripe2 = np.tile(np.eye(B, dtype=np.float32), (M2, M1))     # (R2, R1)
     em2 = np.repeat(np.eye(M2, dtype=np.float32), B, axis=0)     # (R2, M2)
-    a1 = _anchor_mask(spec.p1, H, spec.pool1)                    # (1, hw)
-    a2 = _anchor_mask(spec.p2, spec.p1, spec.pool2)              # (1, p1^2)
     p2sq = spec.p2 * spec.p2
 
-    consts = {
-        "s_smooth": s_smooth,                                  # (hw, hw)
-        "c1": _anchor_grid(spec.p1, H, spec.pool1),            # (hw, p1^2)
-        "c2": _anchor_grid(spec.p2, spec.p1, spec.pool2),      # (p1^2, p2^2)
-        "valid1": _valid_mask(spec.c1, H),                     # (1, hw)
-        "valid2": _valid_mask(spec.c2, spec.p1),               # (1, p1^2)
-        # pre-rolled anchor masks, one row per pool-window offset, so the
-        # pool backward reads constant rows instead of rolling at runtime
-        "a1r": _rolled_anchor_stack(a1, spec.pool1, H),
-        "a2r": _rolled_anchor_stack(a2, spec.pool2, spec.p1),
+    consts = dict(_geometry_constants(
+        spec.img, spec.sigma, spec.p1, spec.p2, spec.pool1, spec.pool2,
+        spec.c1, spec.c2, spec.filt2,
+    ))
+    consts.update({
         "em1": np.repeat(np.eye(M1, dtype=np.float32), B, axis=0),   # (R1, M1)
         "em2": em2,
         # tap-tiled stripe masks + tap-block-diagonal ecol expansions: the
@@ -543,12 +570,11 @@ def build_constants(spec: MegaSpec):
         "selsum": np.tile(np.eye(p2sq, dtype=np.float32), (M2, 1)),  # (NF, p2^2)
         # flatten: f[b, :] = sum over m of embedded rows (m, b)
         "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, M2)),     # (B, R2)
-        # conv2 tap shifts as stacked one-hot matrices: sh2[k*P+r, q] = 1
-        # iff r == q + off_k. Shift-by-matmul results (unlike pltpu.roll
-        # outputs) have plain layouts, so all 9 taps CONCATENATE into one
-        # (9*R1, P1SQ) patch matrix and conv2 fwd/bwd become single matmuls.
-        "sh2": _shift_stack(spec.filt2, spec.p1),
-    }
+        # sh2 (conv2 tap shifts as stacked one-hots — shift-by-matmul
+        # results have plain layouts, so all taps CONCATENATE into one
+        # patch matrix and conv2 fwd/bwd become single matmuls) comes from
+        # the cached geometry subset above.
+    })
     return consts
 
 
@@ -1364,13 +1390,17 @@ def _kernel(spec: MegaSpec,
     )
 
 
-def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles: int = 1):
+def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles=None):
     """One epoch of injected randomness, generated by the (hardware-fast)
     rbg bit generator in 4 launches: affine scalars, field normals source,
     pflip uniforms, dropout uniforms. Under batch tiling the per-sample
     tensors (pflip, dropout) are drawn at tile granularity (n_batches *
     n_tiles rows of spec.batch samples) while the warp tensors stay one
-    per reference batch."""
+    per reference batch. ``n_tiles`` defaults to the SPEC's own tiling
+    factor — a raw-bits caller that omits it gets tensors sized for the
+    kernel the spec actually builds, not silently-untiled ones."""
+    if n_tiles is None:
+        n_tiles = getattr(spec, "n_tiles", 1)
     ks = jax.random.split(key, 4)
     u32 = jnp.uint32
     fb_lanes = 8 if getattr(spec, "color", False) else 4
@@ -1442,15 +1472,18 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
 
     Returns f(kparams, kmoms, x_steps, y_steps, bits, lr,
     channel_major=False) -> (kparams, kmoms, cost_minf) where x_steps is
-    the epoch's training data in any layout totaling n_batches*B*in_ch*hw
-    f32 elements (natural (n,C,H,W) with channel_major=False, or
-    pre-arranged channel-major rows with channel_major=True), y_steps is
-    (n_batches, B, 1)-reshapeable int32, bits is the epoch_noise_bits
-    tuple,
-    and cost_minf is (n_batches, 2) f32: per-step cost and min true-class
-    feature. The returned function also exposes ``.from_key(kparams, kmoms,
-    x, y, base_key, epoch_no, lr)``, which derives the epoch's noise inside
-    the same jit — one device dispatch per epoch.
+    the epoch's training data in any layout totaling
+    n_batches*spec.n_tiles*spec.batch*in_ch*hw f32 elements (natural
+    (n,C,H,W) with channel_major=False, or pre-arranged channel-major rows
+    with channel_major=True; for tiled specs each reference batch streams
+    as n_tiles grid steps of spec.batch samples), y_steps reshapeable to
+    (n_batches*n_tiles, spec.batch, 1) int32, bits the epoch_noise_bits
+    tuple (sized for the SAME spec — its n_tiles default reads the spec),
+    and cost_minf is (n_batches, 2) f32: per-REFERENCE-batch cost and min
+    true-class feature. The returned function also exposes
+    ``.from_key(kparams, kmoms, x, y, base_key, epoch_no, lr)``, which
+    derives the epoch's noise inside the same jit — one device dispatch
+    per epoch.
     """
     consts = build_constants(spec)
     const_arrs = [consts[k] for k in MEGA_CONST_NAMES]
