@@ -51,6 +51,9 @@ def main():
     if cmd == "show":
         show(load(sys.argv[2]))
     elif cmd == "set-param":
+        if len(sys.argv) < 5:
+            print(__doc__)
+            sys.exit(1)
         path, key, value = sys.argv[2:5]
         out = sys.argv[5] if len(sys.argv) > 5 else path
         d = load(path)
@@ -63,9 +66,17 @@ def main():
         print("{}: {} -> {}".format(key, old, value))
         save(d, out)
     elif cmd == "splice":
+        if len(sys.argv) < 5:
+            print(__doc__)
+            sys.exit(1)
         dst_path, src_path, idx = sys.argv[2], sys.argv[3], int(sys.argv[4])
         out = sys.argv[5] if len(sys.argv) > 5 else dst_path
         dst, src = load(dst_path), load(src_path)
+        if len(dst["allwts"][idx]) != len(src["allwts"][idx]):
+            # zip would truncate and the shape guard below would never run
+            raise SystemExit(
+                "layer {} tensor counts differ: {} vs {}".format(
+                    idx, len(dst["allwts"][idx]), len(src["allwts"][idx])))
         for a, b in zip(dst["allwts"][idx], src["allwts"][idx]):
             assert a.shape == b.shape, (
                 "shape mismatch at layer {}: {} vs {}".format(idx, a.shape, b.shape)

@@ -28,9 +28,17 @@ def main():
     ckpt_path, dataset_name = sys.argv[1], sys.argv[2]
     n_samples = None
     layer_idxs = ()
-    for a in sys.argv[3:]:
+    rest = list(sys.argv[3:])
+    while rest:
+        a = rest.pop(0)
         if a.startswith("--layers"):
-            layer_idxs = tuple(int(i) for i in a.split("=")[1].split(","))
+            # --layers=i,j and the usage string's "--layers i,j" both work
+            val = a.split("=", 1)[1] if "=" in a else (
+                rest.pop(0) if rest else "")
+            if not val:
+                print(__doc__)
+                sys.exit(1)
+            layer_idxs = tuple(int(i) for i in val.split(","))
         else:
             n_samples = int(a)
 
@@ -47,6 +55,11 @@ def main():
     x = fixdim(data.testing_x)
     y = np.asarray(data.testing_y)
     aux = getattr(data, "testing_aux", None)
+    if net.takes_aux() and aux is None:
+        raise SystemExit(
+            "this checkpoint's net requires auxiliary input, but dataset "
+            "'{}' provides no testing_aux".format(dataset_name)
+        )
     if n_samples:
         x, y = x[:n_samples], y[:n_samples]
         aux = aux[:n_samples] if aux is not None else None

@@ -91,7 +91,9 @@ def main():
 
     # --- theanet_tpu run (hard-fails if real MNIST is absent)
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # PREPEND: the default env's PYTHONPATH may carry a TPU sitecustomize
+    # (e.g. /root/.axon_site) that the child needs to reach the chip
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("THEANET_ALLOW_SYNTH_FALLBACK", None)
     ours = run_cli([sys.executable, os.path.join(REPO, "train.py"),
                     "mnist", prms], workdir, env, "theanet_tpu")
@@ -110,7 +112,8 @@ def main():
                   "silence this).")
         else:
             env_ref = dict(os.environ)
-            env_ref["PYTHONPATH"] = REFERENCE
+            env_ref["PYTHONPATH"] = (
+                REFERENCE + os.pathsep + env_ref.get("PYTHONPATH", ""))
             theirs = run_cli([sys.executable,
                               os.path.join(REFERENCE, "train.py"),
                               "mnist", prms], REFERENCE, env_ref, "reference")

@@ -57,7 +57,6 @@ def main():
     name, args = params["layers"][0]
     assert name == "ElasticLayer", "first layer must be ElasticLayer"
     args = dict(args)
-    args.setdefault("img_sz", 28)
 
     x = synth.testing_x[:8]
     img_sz = x.shape[-1]
@@ -76,8 +75,9 @@ def main():
 
     print("Original:")
     pprint(rows[0][0])
-    print("Distorted (variant 0):")
-    pprint(rows[1][0])
+    if len(rows) > 1:
+        print("Distorted (variant 0):")
+        pprint(rows[1][0])
 
     os.makedirs(out_dir, exist_ok=True)
     grid = np.concatenate(
