@@ -144,6 +144,18 @@ def test_centered_checkpoint_roundtrip_includes_centers():
     np.testing.assert_array_equal(lyr2.centers_init, lyr.centers_init)
 
 
+def test_aux_concat_keeps_compute_dtype():
+    """Under COMPUTE_DTYPE='bfloat16' the raw aux tensor stays f32; the
+    concat must not promote the downstream dense tail back to f32."""
+    rng = np.random.RandomState(8)
+    lyr = AuxConcatLayer(None, rng, n_in=10, n_aux=(5, 9), aux_type="LocationInfo")
+    w = [jnp.asarray(p, jnp.bfloat16) for p in lyr.params_init]
+    x = jnp.asarray(rng.rand(4, 10), jnp.bfloat16)
+    aux = jnp.asarray(rng.rand(4, 2, 2).astype(np.float32))
+    out = lyr.apply(w, x, key=KEY, train=True, aux=aux)
+    assert out.dtype == jnp.bfloat16
+
+
 def test_aux_concat_shapes_and_frozen():
     rng = np.random.RandomState(7)
     lyr = AuxConcatLayer(None, rng, n_in=10, n_aux=(5, 9), aux_type="LocationInfo")

@@ -113,6 +113,35 @@ def test_pool_ignore_border_floor():
     np.testing.assert_allclose(out[0, 0], [[6, 8], [16, 18]])
 
 
+def test_pool_follows_actual_tensor_not_bookkeeping():
+    """Theano's pool_2d pools whatever tensor arrives; the builder's size
+    bookkeeping can disagree after a 'full'-mode conv (out_sz = in+f+1 quirk,
+    reference convpool.py:64, tensor is in+f-1). Padding to the bookkept size
+    would make whole windows -inf (silent NaN training); truncating would
+    drop real rows. The pool must size itself from x."""
+    # bookkept in_sz=34 (full conv from 28 with f=5), actual tensor 32
+    lyr = PoolLayer(num_maps=3, in_sz=34, pool_sz=2, ignore_border=False)
+    assert lyr.out_sz == 17  # bookkeeping preserved for downstream parity
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    out = apply(lyr, x)
+    assert out.shape == (2, 3, 16, 16)
+    assert np.isfinite(out).all()
+    # the reverse mismatch (actual larger than bookkept: strided-conv ceil)
+    # must keep the partial tail window rather than truncate it
+    lyr2 = PoolLayer(num_maps=1, in_sz=12, pool_sz=2, ignore_border=False)
+    x2 = np.arange(13 * 13, dtype=np.float32).reshape(1, 1, 13, 13)
+    out2 = apply(lyr2, x2)
+    assert out2.shape == (1, 1, 7, 7)
+    assert out2[0, 0, -1, -1] == x2[0, 0, -1, -1]  # tail window survives
+    # gradients flow at the actual geometry
+    w = []
+    g = jax.grad(
+        lambda t: jnp.sum(lyr.apply(w, t, key=KEY, train=True) ** 2)
+    )(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_mean_layer_global_average():
     lyr = MeanLayer(num_maps=3, in_sz=4)
     x = np.random.RandomState(0).rand(2, 3, 4, 4).astype(np.float32)

@@ -54,6 +54,37 @@ def test_fallback_optin_loads_synth():
     assert "28, 28" in proc.stdout
 
 
+def test_partial_download_leaves_no_cache_file(tmp_path):
+    """A download that dies mid-stream must not leave a truncated
+    mnist.pkl.gz behind: os.path.isfile() would pick it up on every later
+    run, crash in gzip, and permanently bypass the synth-fallback opt-in."""
+    if _mnist_available():
+        return  # real MNIST present: the download path is unreachable
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("THEANET_ALLOW_SYNTH_FALLBACK", "THEANET_DATA_DIR")}
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["HOME"] = str(tmp_path)
+    env["THEANET_ALLOW_SYNTH_FALLBACK"] = "1"
+    script = (
+        "import urllib.request\n"
+        "class R:\n"
+        "    def __enter__(self): return self\n"
+        "    def __exit__(self, *a): return False\n"
+        "    def read(self, n=-1): raise OSError('reset mid-stream')\n"
+        "urllib.request.urlopen = lambda *a, **k: R()\n"
+        "import theanet_tpu.data.mnist as m\n"
+        "print(m.training_x.shape)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", script],
+                          env=env, text=True, capture_output=True)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "28, 28" in proc.stdout  # synth fallback engaged
+    cache = tmp_path / ".cache" / "theanet_tpu"
+    leftovers = list(cache.glob("mnist.pkl.gz*")) if cache.exists() else []
+    assert leftovers == [], leftovers
+
+
 def test_parity_tool_parses_epoch_table():
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import parity_vs_reference as pv

@@ -41,10 +41,21 @@ def _find_or_fetch():
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, "mnist.pkl.gz")
     try:
+        import shutil
         import urllib.request as url
 
         print("Downloading MNIST from:", _ORIGIN)
-        url.urlretrieve(_ORIGIN, dest)
+        # Stream to a temp name and rename only on success: a partial file at
+        # the final path would satisfy os.path.isfile() on every later run,
+        # permanently bypassing both the download and the synth fallback.
+        tmp = dest + ".part"
+        try:
+            with url.urlopen(_ORIGIN, timeout=60) as r, open(tmp, "wb") as f:
+                shutil.copyfileobj(r, f)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return dest
     except Exception as e:  # no egress / offline
         if os.environ.get("THEANET_ALLOW_SYNTH_FALLBACK") == "1":

@@ -87,7 +87,10 @@ class AuxConcatLayer(Layer):
     def apply(self, wts, x, *, key, train, aux=None):
         x = x.reshape(x.shape[0], -1)
         aux_out = self.aux_info.apply(wts, aux, key=key, train=train)
-        return jnp.concatenate([x, aux_out], axis=1)
+        # The raw aux tensor stays f32, so under COMPUTE_DTYPE='bfloat16' the
+        # encoder output would promote the concat (and the whole downstream
+        # dense tail) back to f32; pin the concat to the features' dtype.
+        return jnp.concatenate([x, aux_out.astype(x.dtype)], axis=1)
 
 
 class SoftAuxLayer(HiddenLayer, OutputMixin):

@@ -231,7 +231,19 @@ class PoolLayer(Layer):
         )
 
     def apply(self, wts, x, *, key, train, aux=None):
-        return _maxpool(x, self.pool_sz, self.out_sz, self.ignore_border)
+        # Pool the ACTUAL tensor, like Theano's pool_2d, which never sees the
+        # builder's size bookkeeping. When an upstream 'full'-mode conv's
+        # in+f+1 quirk (ConvLayer, convpool.py:64) makes self.in_sz disagree
+        # with x, the reference pools what arrives and fails loudly only if a
+        # later layer consumes the bookkept size (e.g. a dense dot). Padding
+        # to the bookkept size here instead would inject all--inf windows
+        # (silent NaN training) or truncate real rows.
+        in_sz = x.shape[2]
+        if self.ignore_border:
+            out_sz = in_sz // self.pool_sz
+        else:
+            out_sz = -(-in_sz // self.pool_sz)
+        return _maxpool(x, self.pool_sz, out_sz, self.ignore_border)
 
 
 class MeanLayer(Layer):
