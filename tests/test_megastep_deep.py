@@ -379,6 +379,74 @@ def test_flagship_shape_with_missing_pool_uses_deep_family():
     assert deep_spec_from_net(net) is not None
 
 
+def test_identity_color_two_conv_net_fuses():
+    """An identity ColorLayer prefix on the flagship 2-conv pattern makes
+    the layer list 8 long — the flagship matcher cannot own it, so the
+    deep family must NOT defer (deferring loses fusion entirely)."""
+    layers = [
+        ["ColorLayer", {"img_sz": 16, "num_maps": 1, "balance": 1,
+                        "gamma": 1}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu07"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu15"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 8, "pdrop": 0, "actvn": "relu02"}],
+        ["SoftmaxLayer", {"n_out": 3}],
+    ]
+    tr_prms = {"SEED": 5, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.n_levels == 2
+    plan = fused_plan(net)
+    assert plan is not None and hasattr(plan.spec, "n_levels")
+
+
+def test_explicit_zero_dropout_two_conv_net_fuses():
+    """Hidden -> DropOutLayer(pdrop=0) on the flagship 2-conv pattern is
+    semantically the flagship net, but its 8-layer list cannot match the
+    flagship matcher; the deep family must own it."""
+    layers = [
+        ["InputLayer", {"img_sz": 16}],
+        ["ConvLayer", {"num_maps": 2, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu07"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu15"}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": 8, "pdrop": 0, "actvn": "relu02"}],
+        ["DropOutLayer", {"pdrop": 0.0}],
+        ["SoftmaxLayer", {"n_out": 3}],
+    ]
+    tr_prms = {"SEED": 7, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    net = NeuralNet(layers, tr_prms)
+    assert any(type(l).__name__ == "DropOutLayer" for l in net.net_layers)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.n_levels == 2
+    assert fused_plan(net) is not None
+
+
+def test_no_warp_spec_ships_smoothing_placeholder():
+    """InputLayer-fronted (or otherwise warp-free) specs never read the
+    Gaussian-smoothing matrix; shipping the real (hw, hw) kron would cost
+    hw^2 VMEM bytes for an unread operand."""
+    from theanet_tpu.ops.megastep_deep import build_constants_deep
+
+    net = conv_stack_net(14, [(3, 3, 2, False, "relu07")], 12, 4, 4)
+    spec = deep_spec_from_net(net)
+    assert spec is not None
+    assert build_constants_deep(spec)["s_smooth"].shape == (8, 128)
+    net2 = conv_stack_net(14, [(3, 3, 2, False, "relu07")], 12, 4, 4,
+                          elastic=True)
+    spec2 = deep_spec_from_net(net2)
+    assert build_constants_deep(spec2)["s_smooth"].shape == (196, 196)
+
+
 def test_deep_matcher_leaves_two_conv_to_flagship():
     net = conv_stack_net(16, [(2, 3, 2, False, "relu07"),
                               (3, 3, 2, False, "relu15")], 8, 3, 4)

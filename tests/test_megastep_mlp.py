@@ -134,3 +134,32 @@ def test_mlp_megafused_rejects_unsupported():
     net2 = _net("auto")
     net2.net_layers[1].actvn = "softmax"
     assert Trainer(net2, x, y, x, y)._mega is None
+
+
+def test_large_image_no_warp_flat_net_fuses():
+    """A warp-free flat net at img 64 fits VMEM only because the unread
+    (hw, hw) smoothing constant (67 MB) ships as a placeholder and the
+    resample workspace is not charged; the same net with an active warp
+    must still be rejected."""
+    from theanet_tpu.ops.megastep_mlp import (build_constants_mlp,
+                                              mlp_spec_from_net)
+
+    def big_net(first):
+        layers = [
+            first,
+            ["HiddenLayer", {"n_out": 32, "pdrop": 0, "actvn": "relu10"}],
+            ["SoftmaxLayer", {"n_out": 5}],
+        ]
+        tr_prms = {"SEED": 3, "BATCH_SZ": 8, "NUM_EPOCHS": 1,
+                   "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 8,
+                   "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+        return NeuralNet(layers, tr_prms)
+
+    spec = mlp_spec_from_net(big_net(["InputLayer", {"img_sz": 64}]))
+    assert spec is not None
+    assert build_constants_mlp(spec)["s_smooth"].shape == (8, 128)
+    warped = big_net(["ElasticLayer", {"img_sz": 64, "translation": 2,
+                                       "zoom": 1.05, "magnitude": 6,
+                                       "sigma": 3, "pflip": 0.02,
+                                       "angle": 3}])
+    assert mlp_spec_from_net(warped) is None  # hw^2 workspace: over budget

@@ -189,10 +189,6 @@ def _resample_matrix(ty, tx, h, w, nearest: bool):
     hw = h * w
     cols = jax.lax.broadcasted_iota(jnp.int32, (hw, hw), 1)
 
-    def onehot_w(q, wgt):
-        q = q.reshape(hw, 1)
-        return (cols == q).astype(jnp.float32) * wgt.reshape(hw, 1)
-
     if nearest:
         vert = jnp.floor(ty + 0.5).astype(jnp.int32)
         horz = jnp.floor(tx + 0.5).astype(jnp.int32)
@@ -201,14 +197,19 @@ def _resample_matrix(ty, tx, h, w, nearest: bool):
 
     topp = ty.astype(jnp.int32)
     left = tx.astype(jnp.int32)
-    fy = (ty - topp).reshape(hw)
-    fx = (tx - left).reshape(hw)
-    q00 = (topp * w + left).reshape(hw)
-    s = onehot_w(q00, (1 - fy) * (1 - fx))
-    s += onehot_w(q00 + 1, (1 - fy) * fx)
-    s += onehot_w(q00 + w, fy * (1 - fx))
-    s += onehot_w(q00 + w + 1, fy * fx)
-    return s
+    fy = (ty - topp).reshape(hw, 1)
+    fx = (tx - left).reshape(hw, 1)
+    q00 = (topp * w + left).reshape(hw, 1)
+    # One compare + three column rolls instead of four hw^2 compares: the
+    # +1/+w/+w+1 taps are column shifts of the q00 one-hot, and the warp
+    # clip to size-1-.001 keeps q00+w+1 <= hw-1 so no roll wraps — the
+    # same construction the fused kernels use (megastep._augment_block,
+    # elastic_pallas).
+    e = (cols == q00).astype(jnp.float32)
+    return (e * ((1 - fy) * (1 - fx))
+            + jnp.roll(e, 1, axis=1) * ((1 - fy) * fx)
+            + jnp.roll(e, w, axis=1) * (fy * (1 - fx))
+            + jnp.roll(e, w + 1, axis=1) * (fy * fx))
 
 
 def resample(x, target, *, nearest: bool = False, method: str = "auto"):
@@ -228,6 +229,10 @@ def resample(x, target, *, nearest: bool = False, method: str = "auto"):
         # 28x28 — VMEM-friendly; 67 MB at 64x64 — hopeless) and 2*B*C*hw^2
         # matmul FLOPs, so the MXU trick only wins for small images.
         method = "matmul" if h * w <= 1600 else "gather"
+    if method == "pallas" and h * w > 1600:
+        # same VMEM bound the auto path (and elastic_augment) applies: the
+        # fused kernel's (hw, hw) tap matrix would not fit on-chip
+        method = "gather"
     if method == "gather":
         return _resample_gather(x, ty, tx, nearest)
     if method == "pallas":

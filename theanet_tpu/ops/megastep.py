@@ -257,6 +257,49 @@ def aug_of(layer0):
                 angle=0, invert=False, nearest=False)
 
 
+def warp_active(spec):
+    """True when the spec's elastic config actually warps coordinates
+    (translation / elastic field / zoom / rotation): the (hw, hw) resample
+    matrix — and its VMEM workspace — exists only then. pflip/invert/color
+    are per-pixel and never build the matrix."""
+    return bool(spec.translation or spec.magnitude or spec.angle
+                or spec.zoom != 1)
+
+
+def smoothing_const(img, sigma, magnitude):
+    """The in-kernel Gaussian-smoothing matrix (kron of the separable band
+    matrices — same arithmetic as the reference's full-conv-then-crop,
+    inlayers.py:87-96), or a tiny placeholder when ``magnitude`` is 0: the
+    kernels read ss_ref only under ``if spec.magnitude``, and an unread
+    (hw, hw) operand still costs hw^2 VMEM bytes (67 MB at img 64), which
+    would reject large-image no-elastic nets the kernel can run."""
+    if not magnitude:
+        return np.zeros((8, 128), np.float32)
+    from .elastic import gaussian_band_matrices
+
+    gh, gw = gaussian_band_matrices(img, img, max(int(sigma), 1))
+    return np.kron(gh, gw).astype(np.float32)
+
+
+def flat_sumsel(batch, in_ch):
+    """Flatten selector for flat dense nets: sums the channel-major rows'
+    disjoint lane embeddings into the reference flatten(2) order (one copy
+    shared by megastep_mlp and megastep_deep's zero-conv-level branch)."""
+    return np.tile(np.eye(batch, dtype=np.float32), (1, in_ch))
+
+
+def flat_embed_bytes(spec):
+    """Traced-workspace bytes of a flat net's input stage: the resample
+    matrix when a warp is active plus the channel lane-embedding. ONE
+    formula for both flat VMEM gates (megastep_mlp.mlp_spec_from_net and
+    megastep_deep._fits_vmem) so a recalibration cannot drift between the
+    twin kernels."""
+    b = 4 * spec.in_ch * spec.batch * spec.hw * (1 + spec.in_ch)
+    if warp_active(spec):
+        b += 4 * spec.hw * spec.hw
+    return b
+
+
 def reg_of(lyr):
     """Layer reg dict -> LayerReg."""
     r = lyr.reg
@@ -506,22 +549,19 @@ def _pool_max(z, pool, stride):
 
 
 @functools.lru_cache(maxsize=16)
-def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2):
+def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2,
+                        need_smooth=True):
     """The batch-INDEPENDENT constant tensors, cached: spec_from_net's
     tile-size search evaluates flagship_vmem_ok per candidate, and
     rebuilding the hw^2 smoothing kron (plus grids/masks/shift stacks)
     for every candidate costs seconds of redundant numpy at large images
-    when only the batch-dependent stripes actually change."""
-    from .elastic import gaussian_band_matrices
-
-    # Gaussian smoothing as one flattened matrix: kron of the separable
-    # band matrices (see ops/elastic.py gaussian_band_matrices — same
-    # arithmetic as the reference's full-conv-then-crop, inlayers.py:87-96)
-    gh, gw = gaussian_band_matrices(img, img, max(int(sigma), 1))
+    when only the batch-dependent stripes actually change.
+    ``need_smooth=False`` (magnitude == 0) ships the placeholder instead —
+    see smoothing_const."""
     a1 = _anchor_mask(p1, img, pool1)                          # (1, hw)
     a2 = _anchor_mask(p2, p1, pool2)                           # (1, p1^2)
     return {
-        "s_smooth": np.kron(gh, gw).astype(np.float32),        # (hw, hw)
+        "s_smooth": smoothing_const(img, sigma, need_smooth),  # (hw, hw)
         "c1": _anchor_grid(p1, img, pool1),                    # (hw, p1^2)
         "c2": _anchor_grid(p2, p1, pool2),                     # (p1^2, p2^2)
         "valid1": _valid_mask(c1, img),                        # (1, hw)
@@ -551,7 +591,7 @@ def build_constants(spec: MegaSpec):
 
     consts = dict(_geometry_constants(
         spec.img, spec.sigma, spec.p1, spec.p2, spec.pool1, spec.pool2,
-        spec.c1, spec.c2, spec.filt2,
+        spec.c1, spec.c2, spec.filt2, bool(spec.magnitude),
     ))
     consts.update({
         "em1": np.repeat(np.eye(M1, dtype=np.float32), B, axis=0),   # (R1, M1)
@@ -811,9 +851,7 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
     if spec.invert:
         x = 1.0 - x
 
-    aug_active = bool(spec.translation or spec.magnitude or spec.angle
-                      or spec.zoom != 1)
-    if aug_active:
+    if warp_active(spec):
         rows = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
         ty = (rows // H).astype(jnp.float32)
         tx = (rows % H).astype(jnp.float32)
@@ -894,6 +932,25 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
         aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
 
     return aug
+
+
+def flatten_channel_rows(spec, aug, sumsel_ref):
+    """(C0*B, HW) channel-major augmented rows -> (B, C0*HW) in the
+    reference's flatten(2) order (channel-major lanes): each channel's rows
+    embed into disjoint lane blocks and the flat_sumsel selector sums them
+    down to one row per sample. C0 == 1 is the identity. ONE implementation
+    shared by megastep_mlp._kernel_mlp and megastep_deep._deep_fwd_bwd's
+    zero-conv-level branch — their cross-family trajectory identity is
+    test-pinned, so the construction must not drift."""
+    if spec.in_ch == 1:
+        return aug                                         # (B, HW)
+    B, C0 = spec.batch, spec.in_ch
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C0 * B, 1), 0)
+    embed = jnp.concatenate(
+        [aug * (rows // B == c).astype(jnp.float32) for c in range(C0)],
+        axis=1,
+    )                                                      # (C0*B, C0*HW)
+    return _mm(sumsel_ref[:], embed, hi=spec.exact_movement)  # (B, NF)
 
 
 def _hidden_fwd(spec, f, wh, bh, db_ref):

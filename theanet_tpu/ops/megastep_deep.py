@@ -61,8 +61,12 @@ from .megastep import (
     aug_of,
     build_epoch_fn,
     common_disqualifiers,
+    flat_embed_bytes,
+    flat_sumsel,
+    flatten_channel_rows,
     head_loss_tag,
     reg_of,
+    smoothing_const,
     sublane_concat_ok,
 )
 
@@ -347,11 +351,18 @@ def deep_spec_from_net(net):
             return None  # hinge_max / exotic losses keep the scanned path
         if n == 2 and plain_prefix and head.loss == "nll" \
                 and not implicit_pool:
-            # the flagship family's pattern — LITERAL 'nll' only: an
-            # unparseable 'nll<xx>' suffix normalizes to the same plain-NLL
-            # tag, but the flagship matcher takes head.loss == 'nll' only,
-            # so deferring it there would lose fusion entirely
-            return None
+            # looks like the flagship family's pattern — but defer to it
+            # ONLY when its matcher actually owns the net. The layer-list
+            # heuristic alone strands semantically-plain nets the flagship
+            # cannot match (an identity ColorLayer prefix or an explicit
+            # DropOutLayer(0) make len(L) != 7; pool_sz > filter_sz, a
+            # frozen layer, or a failed VMEM tile search also decline
+            # there), silently losing fusion — or raising under
+            # MEGAFUSED=True — for nets this family runs fine.
+            from .megastep import spec_from_net
+
+            if spec_from_net(net) is not None:
+                return None
         head_cfg = dict(head="softmax", n_classes=head.n_out,
                         loss=loss_tag[0], log_thresh=loss_tag[1])
     elif type(head) is HingeLayer:
@@ -423,11 +434,11 @@ def _fits_vmem(spec):
         int(np.prod(s)) for s in deep_kernel_shapes(spec)
     )
     if spec.n_levels == 0:
-        # flat dense net: resample workspace + the channel lane-embedding
+        # flat dense net: resample workspace (when a warp is active) + the
+        # channel lane-embedding — ONE formula shared with the MLP gate
         # (budget verified on v5e by the megastep_mlp twin at the 3flat
         # shape — hidden 1000, 457 classes, 28x28)
-        work_bytes = 4 * (spec.hw * spec.hw
-                          + spec.in_ch * B * spec.hw * (1 + spec.in_ch))
+        work_bytes = flat_embed_bytes(spec)
     else:
         work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
                                          + 5 * spec.maps[0]))
@@ -456,11 +467,8 @@ def _fits_vmem(spec):
 
 def build_constants_deep(spec: DeepSpec):
     """All constant operand tensors (numpy), in a deterministic order."""
-    from .elastic import gaussian_band_matrices
-
     B, H = spec.batch, spec.img
-    gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
-    consts = {"s_smooth": np.kron(gh, gw).astype(np.float32)}
+    consts = {"s_smooth": smoothing_const(H, spec.sigma, spec.magnitude)}
     prev_maps = spec.in_ch
     for k, (stride, c, po) in enumerate(spec.sides):
         mk = spec.maps[k]
@@ -484,8 +492,7 @@ def build_constants_deep(spec: DeepSpec):
         # rows' lane embeddings into (B, C0*HW) reference flatten(2) order
         # (cf. megastep_mlp.build_constants_mlp); no pool compaction, so
         # no selmask/selsum
-        consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
-                                   (1, spec.in_ch))
+        consts["sumsel"] = flat_sumsel(B, spec.in_ch)
     else:
         consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
                                    (1, spec.maps[-1]))
@@ -619,17 +626,8 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     if n == 0:
         # ---------------- flat dense net: the augmented rows feed the
         # dense tail directly, in the reference's flatten(2) order
-        # (channel-major lanes). For C0 > 1 the channel-major rows embed
-        # into disjoint lane blocks and sum through the flatten selector
-        # (cf. megastep_mlp._kernel_mlp — same construction).
-        if C0 == 1:
-            f = aug                                      # (B, HW)
-        else:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (C0 * B, 1), 0)
-            embed = jnp.concatenate(
-                [aug * (rows // B == c).astype(jnp.float32)
-                 for c in range(C0)], axis=1)            # (C0*B, C0*HW)
-            f = _mm(sumsel_ref[:], embed, hi=spec.exact_movement)
+        # (shared construction — see megastep.flatten_channel_rows)
+        f = flatten_channel_rows(spec, aug, sumsel_ref)  # (B, C0*HW)
     else:
         # ---------------- forward through the conv levels
         F0 = spec.filts[0]

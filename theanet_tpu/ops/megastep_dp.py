@@ -209,12 +209,17 @@ def make_dp_step_fn(spec, interpret=None):
         ),
     )
 
-    def step(x, y, ub, fb, pb, db, kparams, aux=None):
+    def step(x, y, ub, fb, pb, db, kparams, aux=None, consts=None):
+        # ``consts`` lets the epoch driver thread the constant tensors in
+        # as real jit arguments (megastep.build_epoch_fn measured embedded
+        # closure constants re-materializing per grid iteration, +55us/
+        # step); direct callers may omit it and use the captured arrays.
         args = [x, y, ub, fb, pb, db] + ([aux] if has_aux else [])
-        outs = call(*args, *kparams, *carrs)
+        outs = call(*args, *kparams, *(carrs if consts is None else consts))
         return (list(outs[:n_state]), outs[n_state][0, 0],
                 outs[n_state + 1][0, 0])
 
+    step.carrs = carrs
     return step
 
 
@@ -261,11 +266,12 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         # shapes per shard: x (nb, C0*b_loc, HW), y (nb, b_loc, 1),
         # ub (nb, 1, 8), fb (nb, HW, lanes) [replicated: ONE warp per
         # global batch], pb (nb, C0*b_loc, HW), db (nb, b_loc, NH),
-        # aux (nb, b_loc, 4) for softaux heads
+        # aux (nb, b_loc, 4) for softaux heads; consts is the replicated
+        # constant-tensor tuple (threaded as jit arguments, not closures)
         if has_aux:
-            kparams, kmoms, x, y, ub, fb, pb, db, aux, lr = args
+            kparams, kmoms, x, y, ub, fb, pb, db, aux, lr, consts = args
         else:
-            kparams, kmoms, x, y, ub, fb, pb, db, lr = args
+            kparams, kmoms, x, y, ub, fb, pb, db, lr, consts = args
 
         def body(carry, inp):
             kp, km = carry
@@ -277,7 +283,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
                 aux1 = None
             grads, cost, minf = step_fn(
                 x1[None], y1[None], ub1[None], fb1[None], pb1[None],
-                db1[None], kp, aux=aux1,
+                db1[None], kp, aux=aux1, consts=consts,
             )
             grads = [jax.lax.pmean(g, "data") for g in grads]
             new_p, new_m = [], []
@@ -309,7 +315,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
     in_specs = ((P(), P(), P(None, "data"), P(None, "data"), P(), fb_spec,
                  P(None, "data"), P(None, "data"))
                 + ((P(None, "data"),) if has_aux else ())
-                + (P(),))
+                + (P(), P()))
     sharded_epoch = jax.shard_map(
         epoch_shard,
         mesh=mesh,
@@ -318,7 +324,8 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         check_vma=False,
     )
 
-    def raw_from_key(kparams, kmoms, x, y, aux, key, epoch_no, lr, shuffle):
+    def raw_from_key(kparams, kmoms, x, y, aux, key, epoch_no, lr, shuffle,
+                     consts):
         x2d = x.reshape(nb * B, C0 * HW)
         y1d = y.reshape(nb * B)
         a2d = aux.reshape(nb * B, 4) if has_aux else None
@@ -369,7 +376,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         args = (kparams, kmoms, x_dp, y_dp, ub, fb, pb_dp, db_dp)
         if has_aux:
             args += (a2d.reshape(nb, n_data * b_loc, 4),)
-        return sharded_epoch(*args, lr)
+        return sharded_epoch(*args, lr, consts)
 
     jitted = jax.jit(raw_from_key, static_argnums=(8,),
                      donate_argnums=(0, 1) if donate else ())
@@ -384,7 +391,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         del channel_major  # the DP arrangement derives from natural layout
         return jitted(kparams, kmoms, x, y, aux_steps, key,
                       jnp.int32(epoch_no), jnp.asarray(lr, jnp.float32),
-                      bool(shuffle))
+                      bool(shuffle), step_fn.carrs)
 
     # the Trainer drives fused paths exclusively through .from_key
     epoch = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731

@@ -48,7 +48,11 @@ from .megastep import (
     _wt_cost,
     aug_of,
     common_disqualifiers,
+    flat_embed_bytes,
+    flat_sumsel,
+    flatten_channel_rows,
     reg_of,
+    smoothing_const,
 )
 
 __all__ = ["MlpSpec", "mlp_spec_from_net", "make_mlp_epoch_fn",
@@ -139,9 +143,9 @@ def mlp_spec_from_net(net):
                            + hid.n_out * head.n_out + head.n_out)
     const_bytes = 4 * sum(int(np.prod(c.shape))
                           for c in build_constants_mlp(spec).values())
-    work_bytes = 4 * (hw * hw                       # resample workspace
-                      + in_ch * B * hw * (1 + in_ch)
-                      + 8 * B * hid.n_out)
+    # resample workspace (when a warp is active) + channel lane-embedding:
+    # ONE formula shared with megastep_deep's flat gate (flat_embed_bytes)
+    work_bytes = flat_embed_bytes(spec) + 4 * 8 * B * hid.n_out
     # budget verified on v5e: the reference's full 3flat shape (hidden 1000,
     # 457 classes, ~21 MB by this accounting) compiles and runs (892k img/s)
     if state_bytes + const_bytes + work_bytes > 24 * 1024 * 1024:
@@ -152,14 +156,11 @@ def mlp_spec_from_net(net):
 
 def build_constants_mlp(spec: MlpSpec):
     """Constant operand tensors (numpy), passed as kernel call arguments."""
-    from .elastic import gaussian_band_matrices
-
     H, B, C0 = spec.img, spec.batch, spec.in_ch
-    gh, gw = gaussian_band_matrices(H, H, max(int(spec.sigma), 1))
     return {
-        "s_smooth": np.kron(gh, gw).astype(np.float32),        # (hw, hw)
+        "s_smooth": smoothing_const(H, spec.sigma, spec.magnitude),
         # flatten: f[b, :] = sum over c of lane-embedded rows (c, b)
-        "sumsel": np.tile(np.eye(B, dtype=np.float32), (1, C0)),  # (B, C0*B)
+        "sumsel": flat_sumsel(B, C0),                          # (B, C0*B)
     }
 
 
@@ -195,15 +196,8 @@ def _kernel_mlp(spec: MlpSpec,
     aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
 
     # flatten to the reference's (B, C0*HW) row order (c*HW + p)
-    if C0 == 1:
-        f = aug
-    else:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (C0 * B, 1), 0)
-        embed = jnp.concatenate(
-            [aug * (rows // B == c).astype(jnp.float32) for c in range(C0)],
-            axis=1,
-        )                                                  # (C0*B, C0*HW)
-        f = _mm(sumsel_ref[:], embed, hi=spec.exact_movement)  # (B, NF)
+    # (shared construction — see megastep.flatten_channel_rows)
+    f = flatten_channel_rows(spec, aug, sumsel_ref)        # (B, NF)
 
     cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
                                                  db_ref)
