@@ -104,7 +104,7 @@ def _data(n_steps=STEPS_PER_EPOCH, n_out=4, seed=99):
     return xs, ys
 
 
-def _run_and_compare(net, head_oracle, n_out, aux=None, head_takes_flat=True):
+def _run_and_compare(net, head_oracle, n_out, aux=None):
     """Drive net.train_step for 12 steps against the oracle. head_oracle is
     an object with .init(rng) -> params, .step(h, y, params) ->
     (cost_data, dh, dparams), .regs (per-param reg dicts)."""
@@ -154,10 +154,17 @@ def _run_and_compare(net, head_oracle, n_out, aux=None, head_takes_flat=True):
     got = [np.asarray(w, np.float64) for lyr in params for w in lyr]
     # frozen extras (e.g. constant centers) ride at the tail of the layer's
     # param list without momentum; compare only the trainable prefix that
-    # the oracle tracks
+    # the oracle tracks — but never let a MISSING trainable param truncate
+    # the comparison (zip would silently skip it)
+    assert len(got) >= len(o_params), (len(got), len(o_params))
+    assert len(got) - len(o_params) <= 1, (
+        "more than the one known frozen extra (constant centers) beyond "
+        "the oracle's params — extend the oracle instead of skipping"
+    )
     for g, w in zip(got, o_params):
         np.testing.assert_allclose(g, w, atol=7e-5, rtol=0)
     got_m = [np.asarray(a, np.float64) for lyr in moms for a in lyr]
+    assert len(got_m) >= len(o_moms)
     for g, w in zip(got_m, o_moms):
         np.testing.assert_allclose(g, w, atol=7e-5, rtol=0)
 

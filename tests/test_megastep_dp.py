@@ -68,7 +68,11 @@ def test_dp_fused_path_selected():
     _, tr1, _, tr2 = make_pair(n_data=4)
     assert tr1._mega is not None, "single-chip fused path not selected"
     assert tr2._mega is not None, "DP fused path not selected"
-    assert tr2._mega_epoch.from_key is not tr1._mega_epoch.from_key
+    # the mesh Trainer must hold megastep_dp's epoch object, not the
+    # single-chip one (an `is not` identity check would be vacuously true:
+    # every make_epoch_fn call returns a fresh closure)
+    assert tr2._mega_epoch.from_key.__module__ == "theanet_tpu.ops.megastep_dp"
+    assert tr1._mega_epoch.from_key.__module__ != "theanet_tpu.ops.megastep_dp"
     assert getattr(tr2._mega_epoch, "n_data", None) == 4
 
 
@@ -157,6 +161,15 @@ def test_dp_eval_and_checkpoint_sync():
     np.testing.assert_allclose(e1, e2, atol=0.2)
     d = tr2.checkpoint_dict()
     assert len(d["allwts"]) == len(net2.net_layers)
+    # the checkpointed VALUES must be the trained DP state pulled back
+    # through the converters, not stale init-time weights — compare
+    # against the single-chip fused trainer's checkpoint (trajectories
+    # match at 1e-4 per test_dp_matches_single_device_fused_trajectory)
+    d1 = tr1.checkpoint_dict()
+    for l2, l1 in zip(d["allwts"], d1["allwts"]):
+        for a, b in zip(l2, l1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
 
 
 def test_tp_mesh_falls_back_to_scanned():
@@ -362,6 +375,8 @@ def test_dp_flat_net_matches_single_device():
     tr1 = Trainer(net(), x, y, x, y)
     assert tr1._mega is not None
     assert isinstance(tr1._mega_spec, DeepSpec)
+    # multi-hidden tail: the tuned single-hidden MLP kernel must decline
+    assert not isinstance(tr1._mega_spec, MlpSpec)
     assert tr1._mega_spec.n_levels == 0
     tr2 = Trainer(net(), x, y, x, y, mesh=make_mesh(n_data=4, n_model=1))
     assert tr2._mega is not None and isinstance(tr2._mega_spec, DeepSpec)

@@ -45,8 +45,17 @@ def test_dp_tp_mesh_trains():
     assert pspecs[hidden_idx][0] == jax.sharding.PartitionSpec(None, "model")
     total, costs, _ = tr.run_epoch()
     assert np.isfinite(total)
-    err, _ = tr.evaluate_full("test")
-    assert 0 <= err <= 100
+    err, p_mle = tr.evaluate_full("test")
+    # the mesh eval must agree with an UNSHARDED evaluation of the same
+    # trained weights — a wrong eval collective would desync them (the
+    # old `0 <= err <= 100` was true by construction)
+    ck = tr.checkpoint_dict()
+    net_u = NeuralNet(ck["layers"], dict(ck["training_params"]),
+                      ck["allwts"])
+    tr_u = Trainer(net_u, x, y, x, y)
+    err_u, p_u = tr_u.evaluate_full("test")
+    assert abs(err - err_u) < 1e-6, (err, err_u)
+    assert abs(p_mle - p_u) < 1e-3, (p_mle, p_u)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -92,56 +101,88 @@ def test_dp_only_mesh():
     assert np.isfinite(total)
 
 
+def _per_step_mesh_pin(mk_net, x, y, n_steps=6, aux=None, param_idx=()):
+    """Per-step sharded-vs-unsharded trajectory pin (tolerance justified in
+    test_sharded_matches_unsharded_trajectory_per_step): a missing or
+    duplicated collective produces O(1)/O(n_shards) errors and fails at
+    rel 1e-4; finite-only assertions could not catch it."""
+    kw = dict(train_aux=aux, test_aux=aux) if aux is not None else {}
+    tr1 = Trainer(mk_net(), x, y, x, y, **kw)
+    tr2 = Trainer(mk_net(), x, y, x, y, mesh=make_mesh(n_data=4, n_model=2),
+                  **kw)
+    for step in range(n_steps):
+        c1, _, _ = tr1.run_batch(step % 4, step)
+        c2, _, _ = tr2.run_batch(step % 4, step)
+        rel = abs(c1 - c2) / max(abs(c1), 1.0)
+        assert rel < 1e-4, f"step {step}: cost {c1} vs {c2} (rel {rel:.2e})"
+    for idx in param_idx:
+        for w1, w2 in zip(tr1.params[idx], tr2.params[idx]):
+            np.testing.assert_allclose(
+                np.asarray(w1), np.asarray(w2), atol=1e-4,
+            )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_centered_rbf_head_under_mesh():
-    mesh = make_mesh(n_data=4, n_model=2)
-    net = NeuralNet(
-        [
-            ["InputLayer", {"img_sz": 12}],
-            ["HiddenLayer", {"n_out": 32}],
-            ["CenteredOutLayer", {"n_features": 8, "n_classes": 10,
-                                  "kind": "RBF", "learn_centers": True,
-                                  "junk_dist": 20.0}],
-        ],
-        prms(16),
-    )
+    """RBF learn_centers under DP+TP: the learned-centers gradient rides
+    the TP collectives, so pin the trajectory (incl. the centers tensor),
+    not just finiteness."""
+    def mk():
+        return NeuralNet(
+            [
+                ["InputLayer", {"img_sz": 12}],
+                ["HiddenLayer", {"n_out": 32}],
+                ["CenteredOutLayer", {"n_features": 8, "n_classes": 10,
+                                      "kind": "RBF", "learn_centers": True,
+                                      "junk_dist": 20.0}],
+            ],
+            prms(16),
+        )
+
     x, y = make_data(64)
-    tr = Trainer(net, x, y, x, y, mesh=mesh)
-    total, _, _ = tr.run_epoch()
-    assert np.isfinite(total)
+    _per_step_mesh_pin(mk, x, y, param_idx=(1, 2))
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_soft_aux_head_under_mesh():
-    mesh = make_mesh(n_data=4, n_model=2)
-    net = NeuralNet(
-        [
-            ["InputLayer", {"img_sz": 12}],
-            ["HiddenLayer", {"n_out": 32}],
-            ["SoftAuxLayer", {"n_out": 10, "n_aux": (5, 9),
-                              "aux_type": "LocationInfo"}],
-        ],
-        prms(16),
-    )
+    """SoftAux under DP+TP: the aux-MLP and cross tensors' gradients ride
+    the sharded step; pin the trajectory, not just finiteness."""
+    def mk():
+        return NeuralNet(
+            [
+                ["InputLayer", {"img_sz": 12}],
+                ["HiddenLayer", {"n_out": 32}],
+                ["SoftAuxLayer", {"n_out": 10, "n_aux": (5, 9),
+                                  "aux_type": "LocationInfo"}],
+            ],
+            prms(16),
+        )
+
     x, y = make_data(64)
     aux = np.random.RandomState(3).rand(64, 2, 2).astype(np.float32)
-    tr = Trainer(net, x, y, x, y, train_aux=aux, test_aux=aux, mesh=mesh)
-    total, _, _ = tr.run_epoch()
-    assert np.isfinite(total)
+    _per_step_mesh_pin(mk, x, y, aux=aux, param_idx=(1, 2))
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_remat_under_mesh_matches_no_remat():
+    """REMAT on the SAME mesh, per-step: rematerialization must re-derive
+    bit-identical dropout/pflip masks (explicit-key RNG) and gradients, so
+    the only admissible difference is reduction-order noise at rel 1e-4.
+    The previous whole-epoch rtol=2e-3 across a mesh/no-mesh pair could
+    hide a remat RNG hazard (a re-salted mask is a ~1e-3 effect)."""
     x, y = make_data(64)
-    net1 = NeuralNet(spec(), prms(16))
-    tr1 = Trainer(net1, x, y, x, y)
+    mesh = make_mesh(n_data=4, n_model=2)
+    tr1 = Trainer(NeuralNet(spec(), prms(16)), x, y, x, y, mesh=mesh)
     p1 = dict(prms(16))
     p1["REMAT"] = True
-    net2 = NeuralNet(spec(), p1)
-    tr2 = Trainer(net2, x, y, x, y, mesh=make_mesh(n_data=4, n_model=2))
-    t1, c1, _ = tr1.run_epoch()
-    t2, c2, _ = tr2.run_epoch()
-    np.testing.assert_allclose(c1, c2, rtol=2e-3)
+    tr2 = Trainer(NeuralNet(spec(), p1), x, y, x, y, mesh=mesh)
+    for step in range(8):
+        c1, _, _ = tr1.run_batch(step % 4, step)
+        c2, _, _ = tr2.run_batch(step % 4, step)
+        rel = abs(c1 - c2) / max(abs(c1), 1.0)
+        assert rel < 1e-4, f"step {step}: cost {c1} vs {c2} (rel {rel:.2e})"
+    for w1, w2 in zip(tr1.params[3], tr2.params[3]):
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-4)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
