@@ -605,6 +605,55 @@ def _mesh_child(shape):
         print("fused", measure(True))
 
 
+def ring_row():
+    """On-chip DP-execution comparison at mesh 1x1 (the only real-chip
+    topology in this environment): the per-step fused-DP path (one Pallas
+    grad-kernel relaunch + gradient pmean + XLA update per step,
+    ops/megastep_dp.py) vs the whole-epoch ring kernel (params/constants
+    VMEM-resident across the epoch, in-kernel update + in-kernel gradient
+    exchange, ops/megastep_ring.py), with the single-chip whole-epoch
+    kernel as the ceiling. At n_data=1 the ring kernel traces no remote
+    ops, so this row isolates exactly the per-step relaunch overhead the
+    ring design removes; the multi-chip exchange itself is validated on
+    the virtual mesh (tests/test_megastep_ring.py, dryrun phase 5)."""
+    from theanet_tpu.parallel.mesh import make_mesh
+    from theanet_tpu.trainer import Trainer
+
+    batch_sz, nb = 20, 3000
+    rng = np.random.RandomState(0)
+    n = nb * batch_sz
+    x = rng.rand(n, 1, 28, 28).astype(np.float32)
+    y = rng.randint(0, 10, n).astype(np.int32)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    def one(tag, ring_env, use_mesh=True):
+        os.environ["THEANET_DP_RING"] = ring_env
+        try:
+            net = flagship_net(batch_sz)
+            net.tr_prms["MEGAFUSED"] = True
+            tr = Trainer(net, x, y, x[:100], y[:100],
+                         mesh=mesh if use_mesh else None)
+            assert tr._mega is not None
+            mod = tr._mega_epoch.from_key.__module__.rsplit(".", 1)[-1]
+            t0 = time.time()
+            tr.run_epoch()
+            log(f"[ring] {tag} ({mod}): compile+first epoch "
+                f"{time.time() - t0:.1f}s")
+            best = 0.0
+            for _ in range(3):
+                t0 = time.time()
+                tr.run_epoch()
+                best = max(best, n / (time.time() - t0))
+            log(f"[ring] {tag}: {best:,.0f} img/s")
+            return best
+        finally:
+            del os.environ["THEANET_DP_RING"]
+
+    one("single-chip whole-epoch kernel (ceiling)", "0", use_mesh=False)
+    one("per-step fused-DP (relaunch + pmean)", "0")
+    one("whole-epoch ring kernel", "1")
+
+
 def mesh_scaling(shapes):
     """Virtual-mesh scaling table (CPU host devices — measures that the
     sharded program compiles, runs, and scales sanely, NOT real-chip perf;
@@ -659,5 +708,7 @@ if __name__ == "__main__":
             "1x1", "2x1", "4x1", "4x2"
         ]
         mesh_scaling(shapes)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ring":
+        ring_row()
     else:
         main()

@@ -234,6 +234,70 @@ def _dp_arrange(x2d, nb, n_data, b_loc, c0, hw):
     )
 
 
+def dp_epoch_arrange(spec, nb, n_data, x, y, aux, key, epoch_no, shuffle):
+    """One epoch's data + noise tensors arranged for an n_data-way DP
+    execution (shared by the per-step path here and the whole-epoch ring
+    kernel in megastep_ring). ``spec`` is the GLOBAL untiled spec; traced
+    code (runs inside the caller's jit). Returns (x_dp, y_dp, ub, fb,
+    pb_dp, db_dp [, aux_dp]) — device d's shard of each is its
+    [d*b_loc, (d+1)*b_loc) slice of the step axis-1 blocks."""
+    B, C0, HW, NH = spec.batch, spec.in_ch, spec.hw, db_lanes(spec)
+    b_loc = B // n_data
+    has_aux = bool(getattr(spec, "has_aux", False))
+    has_color = bool(getattr(spec, "color", False))
+    x2d = x.reshape(nb * B, C0 * HW)
+    y1d = y.reshape(nb * B)
+    a2d = aux.reshape(nb * B, 4) if has_aux else None
+    if shuffle:
+        # same per-epoch permutation derivation as the other paths
+        perm = jax.random.permutation(
+            jax.random.fold_in(key, epoch_no + (1 << 29)), nb * B
+        )
+        x2d = x2d[perm]
+        y1d = y1d[perm]
+        if has_aux:
+            a2d = a2d[perm]
+    x_dp = _dp_arrange(x2d, nb, n_data, b_loc, C0, HW)
+    y_dp = y1d.reshape(nb, n_data * b_loc, 1)
+    # bit tensors drawn EXACTLY like the single-chip epoch
+    # (megastep.epoch_noise_bits at the GLOBAL batch), then arranged so
+    # every kernel row reads the SAME draw block as the single-chip
+    # kernel — the DP trajectory matches single-chip fused execution
+    # up to reduction order.
+    ub, fb, pb, db = epoch_noise_bits(
+        jax.random.fold_in(key, epoch_no + (1 << 28)), spec, nb
+    )
+    # pflip: the single-chip kernel consumes the (nb, B, C0*HW) draw as
+    # a FLAT re-view (nb, C0*B, HW) — kernel row c*B+b reads flat block
+    # c*B+b (megastep from_key's `pb.reshape`). Reproduce that exact
+    # association here: device d's kernel row (c, b_rel) is global
+    # kernel row c*B + (d*b_loc + b_rel).
+    pb_dp = (
+        pb.reshape(nb, C0, n_data, b_loc, HW)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nb, n_data * C0 * b_loc, HW)
+    )
+    db_dp = db.reshape(nb, n_data * b_loc, NH)
+    if has_color:
+        # single-chip kernel row r = c*B+b reads color draws from fb
+        # row r, lanes 4:7; device d's local row c*b_loc+b_rel is
+        # global row c*B + d*b_loc + b_rel. Field lanes stay identical
+        # on every device (one warp per global batch).
+        lanes = fb.shape[-1]
+        cb_loc = C0 * b_loc
+        col = (fb[:, :C0 * B, 4:7]
+               .reshape(nb, C0, n_data, b_loc, 3)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(nb, n_data, cb_loc, 3))
+        fbb = jnp.broadcast_to(fb[:, None], (nb, n_data, HW, lanes))
+        fbb = fbb.at[:, :, :cb_loc, 4:7].set(col)
+        fb = fbb.reshape(nb, n_data * HW, lanes)
+    out = (x_dp, y_dp, ub, fb, pb_dp, db_dp)
+    if has_aux:
+        out += (a2d.reshape(nb, n_data * b_loc, 4),)
+    return out
+
+
 def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
                      donate=True):
     """Build the data-parallel fused epoch function.
@@ -326,56 +390,9 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
 
     def raw_from_key(kparams, kmoms, x, y, aux, key, epoch_no, lr, shuffle,
                      consts):
-        x2d = x.reshape(nb * B, C0 * HW)
-        y1d = y.reshape(nb * B)
-        a2d = aux.reshape(nb * B, 4) if has_aux else None
-        if shuffle:
-            # same per-epoch permutation derivation as the other paths
-            perm = jax.random.permutation(
-                jax.random.fold_in(key, epoch_no + (1 << 29)), nb * B
-            )
-            x2d = x2d[perm]
-            y1d = y1d[perm]
-            if has_aux:
-                a2d = a2d[perm]
-        x_dp = _dp_arrange(x2d, nb, n_data, b_loc, C0, HW)
-        y_dp = y1d.reshape(nb, n_data * b_loc, 1)
-        # bit tensors drawn EXACTLY like the single-chip epoch
-        # (megastep.epoch_noise_bits at the GLOBAL batch), then arranged so
-        # every kernel row reads the SAME draw block as the single-chip
-        # kernel — the DP trajectory matches single-chip fused execution
-        # up to reduction order.
-        ub, fb, pb, db = epoch_noise_bits(
-            jax.random.fold_in(key, epoch_no + (1 << 28)), spec, nb
+        args = (kparams, kmoms) + dp_epoch_arrange(
+            spec, nb, n_data, x, y, aux, key, epoch_no, shuffle
         )
-        # pflip: the single-chip kernel consumes the (nb, B, C0*HW) draw as
-        # a FLAT re-view (nb, C0*B, HW) — kernel row c*B+b reads flat block
-        # c*B+b (megastep from_key's `pb.reshape`). Reproduce that exact
-        # association here: device d's kernel row (c, b_rel) is global
-        # kernel row c*B + (d*b_loc + b_rel).
-        pb_dp = (
-            pb.reshape(nb, C0, n_data, b_loc, HW)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(nb, n_data * C0 * b_loc, HW)
-        )
-        db_dp = db.reshape(nb, n_data * b_loc, NH)
-        if has_color:
-            # single-chip kernel row r = c*B+b reads color draws from fb
-            # row r, lanes 4:7; device d's local row c*b_loc+b_rel is
-            # global row c*B + d*b_loc + b_rel. Field lanes stay identical
-            # on every device (one warp per global batch).
-            lanes = fb.shape[-1]
-            cb_loc = C0 * b_loc
-            col = (fb[:, :C0 * B, 4:7]
-                   .reshape(nb, C0, n_data, b_loc, 3)
-                   .transpose(0, 2, 1, 3, 4)
-                   .reshape(nb, n_data, cb_loc, 3))
-            fbb = jnp.broadcast_to(fb[:, None], (nb, n_data, HW, lanes))
-            fbb = fbb.at[:, :, :cb_loc, 4:7].set(col)
-            fb = fbb.reshape(nb, n_data * HW, lanes)
-        args = (kparams, kmoms, x_dp, y_dp, ub, fb, pb_dp, db_dp)
-        if has_aux:
-            args += (a2d.reshape(nb, n_data * b_loc, 4),)
         return sharded_epoch(*args, lr, consts)
 
     jitted = jax.jit(raw_from_key, static_argnums=(8,),

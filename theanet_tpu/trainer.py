@@ -16,6 +16,7 @@ Batch order is the reference's: fixed sequential batches, no shuffling
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -367,7 +368,7 @@ class Trainer:
                     # DP path: keep the training set in natural image-major
                     # layout; the shard arrangement (and SHUFFLE's epoch
                     # permutation) happen inside the DP jit.
-                    from .ops import megastep_dp
+                    from .ops import megastep_dp, megastep_ring
 
                     self._mega_x = self.d_train_x[:n_use]
                     self._mega_y = self.d_train_y[:n_use]
@@ -375,7 +376,24 @@ class Trainer:
                         self.d_train_aux[:n_use].reshape(nb_m, bsz, 4)
                         if getattr(spec, "has_aux", False) else None
                     )
-                    self._mega_epoch = megastep_dp.make_dp_epoch_fn(
+                    # THEANET_DP_RING: 'auto' (default) runs the whole-
+                    # epoch ring kernel (in-kernel ICI gradient exchange,
+                    # ops/megastep_ring.py) on TPU and the per-step
+                    # kernel+pmean path off-chip (the ring's TPU-interpret
+                    # emulation is much slower than generic interpret, and
+                    # the CPU suite pins each path explicitly); '1' forces
+                    # the ring wherever supported, '0' disables it.
+                    ring_mode = os.environ.get("THEANET_DP_RING", "auto")
+                    use_ring = (
+                        ring_mode != "0"
+                        and (ring_mode == "1" or data_platform == "tpu")
+                        and megastep_ring.ring_supported(
+                            spec, mesh.shape["data"], data_platform == "tpu"
+                        )
+                    )
+                    maker = (megastep_ring.make_ring_epoch_fn if use_ring
+                             else megastep_dp.make_dp_epoch_fn)
+                    self._mega_epoch = maker(
                         spec, nb_m, mesh,
                         interpret=(data_platform != "tpu"), donate=True,
                     )
