@@ -830,14 +830,17 @@ def _color_rows(spec, x, cbits):
     return xm * spec.maxval
 
 
-def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
+def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0):
     """In-kernel elastic augmentation (reference inlayers.py:63-142), shared
     by the conv (_kernel) and MLP (megastep_mlp._kernel_mlp) fused-epoch
     programs. ``x`` is the step's input as channel-major rows (c*B+b, HW);
     returns the augmented batch in the same layout. Reads this step's affine
     scalars from SMEM (ub_ref), field normals source bits (fb_ref), pflip
     uniforms (pb_ref), and the constant Gaussian-smoothing matrix (ss_ref).
-    Works with any spec type exposing the elastic config fields."""
+    Works with any spec type exposing the elastic config fields. ``row``
+    (a static int) selects the step's row of each noise block — the
+    unrolled flagship kernel streams several steps per grid iteration, so
+    its sub-steps read rows 0..unroll-1 of the same blocks."""
     H = spec.img
     HW = spec.hw
 
@@ -846,7 +849,7 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
         # of the ElasticLayer, e.g. params/galaxy_rbf.prms); its three
         # per-(sample, channel) draws ride in lanes 4:7 of the widened
         # field-bits block
-        x = _color_rows(spec, x, fb_ref[0][:x.shape[0], 4:7])
+        x = _color_rows(spec, x, fb_ref[row][:x.shape[0], 4:7])
 
     if spec.invert:
         x = 1.0 - x
@@ -859,7 +862,7 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
         def u_pm1(j):
             # scalar path: u32->i32->f32 integer casts (tpu.bitcast is
             # vector-only; the mask keeps the value in int32 range)
-            v = (ub_ref[0, 0, j] & MASK24).astype(jnp.int32)
+            v = (ub_ref[row, 0, j] & MASK24).astype(jnp.int32)
             return 2.0 * (v.astype(jnp.float32) * INV24) - 1.0
 
         if spec.translation:
@@ -867,7 +870,7 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
             tx = tx + spec.translation * u_pm1(1)
 
         if spec.magnitude:
-            fb = fb_ref[0]                        # (HW, 4) uint32
+            fb = fb_ref[row]                      # (HW, 4) uint32
 
             def u_open(bits):
                 # +0.5 keeps u strictly inside (0, 1) for the log
@@ -928,7 +931,7 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref):
         aug = x
 
     if spec.pflip:
-        u = _u01(pb_ref[0])        # (C0*B, HW)
+        u = _u01(pb_ref[row])      # (C0*B, HW)
         aug = jnp.where(u < spec.pflip, 1.0 - aug, aug)
 
     return aug
@@ -953,9 +956,10 @@ def flatten_channel_rows(spec, aug, sumsel_ref):
     return _mm(sumsel_ref[:], embed, hi=spec.exact_movement)  # (B, NF)
 
 
-def _hidden_fwd(spec, f, wh, bh, db_ref):
+def _hidden_fwd(spec, f, wh, bh, db_ref, row=0):
     """Shared hidden block of the fused dense tails: activation + optional
-    in-kernel dropout mask. Returns (z3, mask, h3d)."""
+    in-kernel dropout mask. Returns (z3, mask, h3d). ``row`` picks the
+    step's dropout-bit row (see _augment_block)."""
     z3 = _mm(f, wh) + bh                                  # (B, NH)
     h3 = _act(z3, spec.act_h, spec.slope_h)
     if spec.pdrop:
@@ -963,7 +967,7 @@ def _hidden_fwd(spec, f, wh, bh, db_ref):
         # block (pre-hidden stacks own the leading lanes); with no
         # pre-hiddens the block is exactly n_hid wide and this slice is
         # the identity — bit-identical to the single-hidden layout
-        db = db_ref[0]
+        db = db_ref[row]
         mask = (_u01(db[:, db.shape[1] - spec.n_hid:])
                 >= spec.pdrop).astype(jnp.float32)
         h3d = h3 * mask
@@ -987,7 +991,7 @@ def _tail_bwd(spec, z3, mask, h3d, dz4, f, wh, wo, *, need_df):
     return dwh, dbh, dwo, dbo, df
 
 
-def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
+def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref, row=0):
     """Hidden(act_h, dropout) -> linear scores z4 -> the configured loss,
     shared by both fused-epoch kernels. ``spec.loss`` (default 'nll')
     selects the reference's loss family (outlayers.py:12-64 via
@@ -1000,7 +1004,7 @@ def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
     the per-step watchdog stream (true-class log-prob / score)."""
     B, NC = spec.batch, spec.n_out
     loss = getattr(spec, "loss", "nll")
-    z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref)
+    z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref, row)
     z4 = _mm(h3d, wo) + bo                                # (B, NC)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
               == y).astype(jnp.float32)
@@ -1042,7 +1046,7 @@ def _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y, db_ref):
     return cost, jnp.min(true_logp), cache
 
 
-def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
+def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers, row=0):
     """Hidden(act_h, dropout) -> CenteredOut head forward + NLL
     (reference outlayers.py:153-224 via layers/out.py). ``centers`` is a
     (n_classes, n_feats) array (constant operand when frozen, state when
@@ -1054,7 +1058,7 @@ def _dense_centered_fwd(spec, f, wh, bh, wo, bo, y, db_ref, centers):
     collapses to the true-class bit-probs — no (B, nC, NF) tensor."""
     B, NF, NC = spec.batch, spec.n_out, spec.n_classes
     EPS = 0.001
-    z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref)
+    z3, mask, h3d = _hidden_fwd(spec, f, wh, bh, db_ref, row)
     z4 = _mm(h3d, wo) + bo                                # (B, NF)
     onehot_y = (jax.lax.broadcasted_iota(jnp.int32, (B, NC), 1)
                 == y).astype(jnp.float32)                 # (B, NC)
@@ -1183,7 +1187,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
                   em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
                   selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-                  wt_scale=1.0):
+                  wt_scale=1.0, noise_row=0):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -1204,7 +1208,8 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     C0 = spec.in_ch
     w1, b1, w2, b2, wh, bh, wo, bo = params
 
-    aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
+    aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref,
+                         row=noise_row)
 
     if debug_stage == "aug":
         return jnp.sum(aug), 0.0, None  # consume so nothing is DCE'd
@@ -1266,7 +1271,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     f = _mm(sumsel, p_embed, hi=spec.exact_movement)      # (B, NF)
 
     cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
-                                                 db_ref)
+                                                 db_ref, row=noise_row)
     # wt_scale gates the (per-reference-batch) weight cost so a tiled batch
     # counts it once — on tile 0 — instead of n_tiles times
     cost = cost_nll + wt_scale * (
@@ -1344,6 +1349,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
 def _kernel(spec: MegaSpec,
             debug_stage,  # None | 'fwd' | 'bwd_dense' | 'bwd_conv2' — dev
             # timing ablation: truncate the step after the named segment
+            unroll,       # steps per grid iteration (see build_epoch_fn)
             # inputs, in order
             x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
@@ -1359,11 +1365,20 @@ def _kernel(spec: MegaSpec,
             cm_ref,
             # VMEM gradient accumulators (scratch) — present iff n_tiles > 1
             *gacc):
-    step = pl.program_id(0)
+    # unroll > 1 processes ``unroll`` consecutive reference batches per
+    # grid iteration (step blocks carry an extra leading dim), amortizing
+    # the per-iteration grid/DMA bookkeeping floor. The sub-steps run the
+    # IDENTICAL per-step code sequentially against the persistent state
+    # refs, so the trajectory is bit-identical to unroll == 1. Excluded
+    # when n_tiles > 1 (tile phase would cross iteration boundaries).
+    assert unroll == 1 or spec.n_tiles == 1
+    it = pl.program_id(0)
 
     if debug_stage == "noop0":     # floor before ANY kernel structure
-        cm_ref[step % CM_BLOCK, 0] = jnp.sum(x_ref[0])
-        cm_ref[step % CM_BLOCK, 1] = 0.0
+        for sub in range(unroll):
+            step = it * unroll + sub
+            cm_ref[step % CM_BLOCK, 0] = jnp.sum(x_ref[sub])
+            cm_ref[step % CM_BLOCK, 1] = 0.0
         return
 
     state = [
@@ -1373,78 +1388,82 @@ def _kernel(spec: MegaSpec,
         (oahw, ahw_ref), (oahb, ahb_ref), (oaow, aow_ref), (oaob, aob_ref),
     ]
 
-    @pl.when(step == 0)
+    @pl.when(it == 0)
     def _init():
         for out, inp in state:
             out[:] = inp[:]
 
-    w1, b1 = ow1[:], ob1[:]        # (M1, F^2*C0), (M1, 1)
-    w2, b2 = ow2[:], ob2[:]        # (M2, F^2*M1), (M2, 1)
-    wh, bh = owh[:], obh[:]        # (NF, NH), (1, NH)
-    wo, bo = owo[:], obo[:]        # (NH, NC), (1, NC)
-
-    x = x_ref[0]                   # (C0*B, HW), channel-major rows (c*B+b)
-    y = y_ref[0]                   # (B, 1) int32
-    lr = lr_ref[0, 0]
-
-    if debug_stage == "noop":      # pure grid/DMA floor measurement
-        cm_ref[step % CM_BLOCK, 0] = jnp.sum(x)
-        cm_ref[step % CM_BLOCK, 1] = 0.0
-        return
-
-    n_tiles = spec.n_tiles
-    tile = step % n_tiles if n_tiles > 1 else 0
-    cost, minf, grads = _conv_fwd_bwd(
-        spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
-        ub_ref, fb_ref, pb_ref, db_ref,
-        ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
-        em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
-        selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-        wt_scale=(1.0 if n_tiles == 1
-                  else jnp.where(tile == 0, 1.0, 0.0)),
-    )
-    cm_ref[step % CM_BLOCK, 0] = cost
-    cm_ref[step % CM_BLOCK, 1] = minf
-    if grads is None:              # debug_stage truncated the step
-        return
-
-    if n_tiles > 1:
-        # accumulate the tile's gradient pieces; the update fires once per
-        # reference batch, on its last tile, from the accumulated sums
-        # (each piece is already scaled by 1/BATCH_SZ via loss_div)
-        @pl.when(tile == 0)
-        def _acc_init():
-            for a, g in zip(gacc, grads):
-                a[:] = g
-
-        @pl.when(tile > 0)
-        def _acc_add():
-            for a, g in zip(gacc, grads):
-                a[:] = a[:] + g
-
     p_outs = [s[0] for s in state[:8]]   # persistent param refs
     a_outs = [s[0] for s in state[8:]]   # persistent accumulator refs
 
-    if n_tiles > 1:
+    for sub in range(unroll):
+        step = it * unroll + sub
 
-        @pl.when(tile == n_tiles - 1)
-        def _tiled_update():
-            _apply_updates(
-                [(p, a, acc[:], reg, kind)
-                 for p, a, acc, (reg, kind) in zip(
-                     p_outs, a_outs, gacc, kernel_reg_kinds(spec))],
-                lr,
-            )
+        # re-read per sub-step: the previous sub-step's update mutated them
+        w1, b1 = ow1[:], ob1[:]    # (M1, F^2*C0), (M1, 1)
+        w2, b2 = ow2[:], ob2[:]    # (M2, F^2*M1), (M2, 1)
+        wh, bh = owh[:], obh[:]    # (NF, NH), (1, NH)
+        wo, bo = owo[:], obo[:]    # (NH, NC), (1, NC)
 
-        return
+        x = x_ref[sub]             # (C0*B, HW), channel-major rows (c*B+b)
+        y = y_ref[sub]             # (B, 1) int32
+        lr = lr_ref[0, 0]
 
-    # ---------------- optimizer (old-accumulator momentum, layer.py:82-103)
-    _apply_updates(
-        [(p, a, g, reg, kind)
-         for p, a, g, (reg, kind) in zip(
-             p_outs, a_outs, grads, kernel_reg_kinds(spec))],
-        lr,
-    )
+        if debug_stage == "noop":  # pure grid/DMA floor measurement
+            cm_ref[step % CM_BLOCK, 0] = jnp.sum(x)
+            cm_ref[step % CM_BLOCK, 1] = 0.0
+            continue
+
+        n_tiles = spec.n_tiles
+        tile = step % n_tiles if n_tiles > 1 else 0
+        cost, minf, grads = _conv_fwd_bwd(
+            spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
+            ub_ref, fb_ref, pb_ref, db_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+            em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+            selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
+            wt_scale=(1.0 if n_tiles == 1
+                      else jnp.where(tile == 0, 1.0, 0.0)),
+            noise_row=sub,   # sub-step's row of the unroll-wide blocks
+        )
+        cm_ref[step % CM_BLOCK, 0] = cost
+        cm_ref[step % CM_BLOCK, 1] = minf
+        if grads is None:          # debug_stage truncated the step
+            continue
+
+        if n_tiles > 1:
+            # accumulate the tile's gradient pieces; the update fires once
+            # per reference batch, on its last tile, from the accumulated
+            # sums (each piece is already scaled by 1/BATCH_SZ via
+            # loss_div)
+            @pl.when(tile == 0)
+            def _acc_init():
+                for a, g in zip(gacc, grads):
+                    a[:] = g
+
+            @pl.when(tile > 0)
+            def _acc_add():
+                for a, g in zip(gacc, grads):
+                    a[:] = a[:] + g
+
+            @pl.when(tile == n_tiles - 1)
+            def _tiled_update():
+                _apply_updates(
+                    [(p, a, acc[:], reg, kind)
+                     for p, a, acc, (reg, kind) in zip(
+                         p_outs, a_outs, gacc, kernel_reg_kinds(spec))],
+                    lr,
+                )
+
+            continue
+
+        # ------------- optimizer (old-accumulator momentum, layer.py:82-103)
+        _apply_updates(
+            [(p, a, g, reg, kind)
+             for p, a, g, (reg, kind) in zip(
+                 p_outs, a_outs, grads, kernel_reg_kinds(spec))],
+            lr,
+        )
 
 
 def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles=None):
@@ -1544,13 +1563,40 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     """
     consts = build_constants(spec)
     const_arrs = [consts[k] for k in MEGA_CONST_NAMES]
+    unroll = _pick_unroll(spec, n_batches)
     return build_epoch_fn(spec, n_batches, kernel_shapes(spec), const_arrs,
-                          functools.partial(_kernel, spec, debug_stage),
-                          interpret=interpret, donate=donate)
+                          functools.partial(_kernel, spec, debug_stage,
+                                            unroll),
+                          interpret=interpret, donate=donate, unroll=unroll)
+
+
+def _pick_unroll(spec, n_batches):
+    """Grid-unroll factor for the flagship epoch kernel (measurement
+    opt-in, THEANET_UNROLL=2|4; default 1).
+
+    Hypothesis tested on chip: streaming ``unroll`` reference batches per
+    grid iteration should amortize the 3.8 us/step grid/DMA floor (~17%
+    of the 22.45 us step at batch 20). Measured same-tunnel-phase A/B at
+    the flagship (3000-step epochs, 4 reps + 4-epoch chain): unroll=1
+    618.8k img/s best / 813.3k chained vs unroll=2 607.5k / 823.4k — a
+    wash (chained +1.2%, per-epoch -1.8%, both inside phase noise). The
+    floor is evidently already overlapped by Mosaic's input pipelining,
+    so the default stays 1; the mechanism remains for measurement (the
+    sub-steps run identical code sequentially, trajectory gated
+    bit-identical-to-ulp in tests/test_megastep_unroll.py). Restricted to
+    untiled specs whose step count the factor divides."""
+    mode = os.environ.get("THEANET_UNROLL", "1")
+    u = 1 if mode in ("auto", "") else max(1, int(mode))
+    n_steps = n_batches * spec.n_tiles
+    if spec.n_tiles > 1 or n_steps % u or u == 1:
+        return 1
+    if min(n_steps, CM_BLOCK) % u:     # cost rows must not straddle blocks
+        return 1
+    return u
 
 
 def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
-                   interpret=None, donate=False):
+                   interpret=None, donate=False, unroll=1):
     """Shared epoch-builder harness for the fused-kernel families (conv
     here, flat-MLP in megastep_mlp): assembles the pallas_call grid program
     from the family's state-tensor shapes, constant operands, and kernel
@@ -1576,19 +1622,27 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
+    # grid unroll (flagship family, _pick_unroll): ``unroll`` consecutive
+    # steps stream per grid iteration — the per-step blocks grow a leading
+    # dim of ``unroll`` and the grid shrinks by the same factor; the kernel
+    # body indexes sub-steps statically. Incompatible with batch tiling by
+    # construction (the callers enforce it; assert so a future family
+    # cannot silently combine them).
+    assert unroll == 1 or (n_tiles == 1 and n_steps % unroll == 0)
+    U = unroll
     fb_lanes = 8 if getattr(spec, "color", False) else 4
     per_batch = (lambda i: (i // n_tiles, 0, 0)) if n_tiles > 1 \
         else (lambda i: (i, 0, 0))
     step_spec = [
-        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
+        pl.BlockSpec((U, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8), per_batch, memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, HW, fb_lanes), per_batch,
+        pl.BlockSpec((U, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((U, 1, 8), per_batch, memory_space=pltpu.SMEM),
+        pl.BlockSpec((U, HW, fb_lanes), per_batch,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C0 * B, HW), lambda i: (i, 0, 0),
+        pl.BlockSpec((U, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((U, B, NH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     has_aux = bool(getattr(spec, "has_aux", False))
@@ -1599,7 +1653,7 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         # block, but measured harmless: softaux epochs run 646-916k img/s
         # on chip, faster than the flagship (Mosaic double-buffers it
         # behind the compute like the other step blocks).
-        step_spec.append(pl.BlockSpec((1, B, 4), lambda i: (i, 0, 0),
+        step_spec.append(pl.BlockSpec((U, B, 4), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
 
     param_specs = [
@@ -1623,7 +1677,7 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
     out_specs = (
         [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
          for s in kshapes * 2]
-        + [pl.BlockSpec((cm_block, 2), lambda i: (i // cm_block, 0),
+        + [pl.BlockSpec((cm_block, 2), lambda i: (i // (cm_block // U), 0),
                         memory_space=pltpu.SMEM)]
     )
 
@@ -1632,7 +1686,7 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
 
     call = pl.pallas_call(
         kernel_body,
-        grid=(n_steps,),
+        grid=(n_steps // U,),
         in_specs=step_spec + param_specs + const_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
