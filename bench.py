@@ -26,6 +26,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Pinned vs_baseline denominator (XLA-CPU proxy, images/sec): the median of
+# the recorded idle-box measurements across rounds (r1 ~3,300; r2 3,648;
+# r3 3,757 — BASELINE.md). Round 3's driver run measured 1,999 on a
+# contended host, which inflated the headline ratio ~2x; pinning makes
+# vs_baseline move only when the TPU number moves (VERDICT r3 item 4).
+# The live proxy is still measured and reported beside it every run so a
+# reader can recompute, and a sustained drift (new jax version, new host)
+# should update this constant WITH a BASELINE.md note.
+CPU_PROXY_PINNED = 3648.0
+
+
 def flagship_net(batch_sz):
     from theanet_tpu.model import NeuralNet
 
@@ -86,7 +97,12 @@ def census(compiled_text):
 
 def measure(device, batch_sz, n_batches, reps):
     import jax
+    from theanet_tpu.compile_cache import enable as _enable_compile_cache
     from theanet_tpu.trainer import Trainer
+
+    cache_dir = _enable_compile_cache()
+    if cache_dir:
+        log(f"[{device.platform}] persistent compile cache: {cache_dir}")
 
     rng = np.random.RandomState(0)
     n = n_batches * batch_sz
@@ -159,7 +175,7 @@ def measure(device, batch_sz, n_batches, reps):
             f"MFLOP/image -> {mfu * 100:.2f}% MFU of 197 TF/s bf16 peak at "
             f"{best:,.0f} img/s (370k-param model: launch/VPU-bound by "
             "construction, not MXU-bound)")
-    return best, chained
+    return best, chained, ips
 
 
 def _measure_subprocess(args, timeout_s):
@@ -218,7 +234,7 @@ def main():
             log("child measurements failed without timing out; falling "
                 "back to in-process measurement (exclusive-device runtime)")
             try:
-                ips_accel, ips_chained = measure(
+                ips_accel, ips_chained, _ = measure(
                     accel, batch_sz, accel_batches, reps=5
                 )
             except Exception as e:
@@ -238,26 +254,35 @@ def main():
             }))
             return
     else:
-        ips_accel, ips_chained = measure(accel, batch_sz, accel_batches,
-                                         reps=5)
+        ips_accel, ips_chained, _ = measure(accel, batch_sz, accel_batches,
+                                            reps=5)
     log(f"accelerator ({accel.device_kind}): {ips_accel:,.0f} images/sec")
 
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
+    ips_cpu_measured = None
     if cpu is not None and accel.platform != "cpu":
-        # best-of-3 so the CPU proxy (the denominator of vs_baseline) is not
-        # understated by a transiently loaded host. Guarded: the headline
-        # value is already in hand, a proxy failure must not cost the run
-        # its one JSON line.
+        # vs_baseline's denominator is PINNED (CPU_PROXY_PINNED, the median
+        # of the recorded idle-box proxies) so the headline ratio moves only
+        # when the TPU number moves — round 3's contended-host proxy (1,999
+        # vs the usual ~3,650) overstated the ratio ~2x. The live proxy is
+        # still measured (median-of-reps, robust to one loaded rep) and
+        # logged/emitted beside the pinned value so a reader can recompute.
+        # Guarded: the headline value is already in hand, a proxy failure
+        # must not cost the run its one JSON line.
+        vs = ips_accel / CPU_PROXY_PINNED
         try:
-            ips_cpu, _ = measure(cpu, batch_sz, 200, reps=3)
-            log(f"cpu baseline proxy: {ips_cpu:,.0f} images/sec")
-            vs = ips_accel / ips_cpu
+            _, _, cpu_reps = measure(cpu, batch_sz, 200, reps=3)
+            ips_cpu_measured = float(np.median(cpu_reps))
+            log(f"cpu baseline proxy measured (median of {len(cpu_reps)}): "
+                f"{ips_cpu_measured:,.0f} images/sec; pinned denominator "
+                f"{CPU_PROXY_PINNED:,.0f} -> vs_baseline {vs:.1f}x "
+                f"(raw ratio would be {ips_accel / ips_cpu_measured:.1f}x)")
         except Exception as e:
-            log(f"cpu baseline proxy failed ({e!r:.200}); vs_baseline=0")
-            vs = 0.0
+            log(f"cpu baseline proxy failed ({e!r:.200}); "
+                f"using pinned denominator {CPU_PROXY_PINNED:,.0f} alone")
     else:
         vs = 1.0
 
@@ -266,7 +291,10 @@ def main():
         "value": round(ips_accel, 1),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2),
+        "cpu_proxy_pinned": CPU_PROXY_PINNED,
     }
+    if ips_cpu_measured is not None:
+        result["cpu_proxy_measured"] = round(ips_cpu_measured, 1)
     if ips_chained:
         # same program, 5 epochs dispatched back-to-back with one final
         # sync — the chip's rate without the per-epoch host round trip
@@ -292,7 +320,8 @@ def _measure_cli():
     import jax
 
     _, batch, nb, reps = sys.argv[2:6]
-    best, chained = measure(jax.devices()[0], int(batch), int(nb), int(reps))
+    best, chained, _ = measure(jax.devices()[0], int(batch), int(nb),
+                               int(reps))
     print(best, chained)
 
 

@@ -504,6 +504,66 @@ def fused_plan(net, for_mesh=False):
     return None
 
 
+def fused_decline_reason(net):
+    """Best-effort one-line explanation of why ``fused_plan(net)`` returned
+    None, so MEGAFUSED=auto's scanned-fallback notice can NAME the
+    disqualifier instead of waving at "pattern/dtype/mesh/VMEM" (VERDICT r3
+    item 8 — e.g. `mode='full'`/`stride>1` convs silently rode the scanned
+    path with no hint why). Probes the known disqualifier categories in
+    specificity order and returns the first hit; falls back to a generic
+    grammar/VMEM line. Diagnostic only — the matchers stay the single
+    source of truth for eligibility."""
+    from ..layers import (CenteredOutLayer, ConvLayer, ExpLossLayer,
+                          HiddenLayer, HingeLayer, PoolLayer, SoftAuxLayer,
+                          SoftmaxLayer)
+
+    if net.compute_dtype is not None \
+            and net.compute_dtype != jnp.dtype(jnp.bfloat16):
+        return (f"COMPUTE_DTYPE={net.compute_dtype} (only f32 and "
+                "bfloat16 nets fuse)")
+    if net.remat:
+        return "REMAT is set (rematerialized nets keep the scanned path)"
+    if net.fused_tail:
+        return ("FUSED_TAIL is set (the XLA-fused tail variant keeps the "
+                "scanned path)")
+
+    L = net.net_layers
+    for k, lyr in enumerate(L):
+        if type(lyr) is ConvLayer:
+            if lyr.stride != 1:
+                return (f"layer {k} ConvLayer stride={lyr.stride} (the "
+                        "fused families support stride 1 only)")
+            if lyr.mode != "valid":
+                return (f"layer {k} ConvLayer mode='{lyr.mode}' (the fused "
+                        "families support mode='valid' only)")
+            if k + 1 < len(L) and type(L[k + 1]) is PoolLayer \
+                    and L[k + 1].pool_sz > lyr.filter_sz:
+                return (f"layer {k + 1} pool_sz={L[k + 1].pool_sz} > "
+                        f"filter_sz={lyr.filter_sz} (lane-roll pooling "
+                        "needs pool_sz <= the adjacent filter_sz)")
+        actvn = getattr(lyr, "actvn", None)
+        if actvn is not None and act_of(actvn) is None \
+                and not isinstance(lyr, (SoftmaxLayer, SoftAuxLayer)):
+            return (f"layer {k} activation '{actvn}' is outside the fused "
+                    "registry (softmax-as-hidden and custom activations "
+                    "stay scanned)")
+        if type(lyr) is SoftmaxLayer and head_loss_tag(lyr.loss) is None:
+            return (f"head loss '{lyr.loss}' is outside the fused set "
+                    "(nll / nllsq / nll<NN> / hinge / exp)")
+        if type(lyr) is CenteredOutLayer and lyr.loss != "nll":
+            return (f"CenteredOutLayer loss '{lyr.loss}' (the fused "
+                    "centered-head backward is derived for nll only)")
+        if isinstance(lyr, (ConvLayer, HiddenLayer, SoftmaxLayer,
+                            HingeLayer, ExpLossLayer, CenteredOutLayer)) \
+                and isinstance(getattr(lyr, "reg", None), dict) \
+                and not lyr.reg.get("rate", 1):
+            return (f"layer {k} {type(lyr).__name__} is frozen (rate 0); "
+                    "fused layouts carry momentum for every owned layer")
+    return ("the layer pattern is outside the fused grammars ([Color ->] "
+            "[Elastic ->] (Conv -> Pool)*n -> (Hidden -> [DropOut])*m -> "
+            "head) or the working set exceeds the VMEM gate")
+
+
 def _anchor_grid(side_out, stride_in, pool):
     """One-hot compaction matrix (stride_in^2, side_out^2): column r=(i,j)
     selects the window anchor, input position (pool*i)*stride_in + pool*j."""
@@ -1369,8 +1429,10 @@ def _kernel(spec: MegaSpec,
     # grid iteration (step blocks carry an extra leading dim), amortizing
     # the per-iteration grid/DMA bookkeeping floor. The sub-steps run the
     # IDENTICAL per-step code sequentially against the persistent state
-    # refs, so the trajectory is bit-identical to unroll == 1. Excluded
-    # when n_tiles > 1 (tile phase would cross iteration boundaries).
+    # refs, so the trajectory is identical up to ulp-level FMA
+    # reassociation (pinned at 1e-6 in tests/test_megastep_unroll.py).
+    # Excluded when n_tiles > 1 (tile phase would cross iteration
+    # boundaries).
     assert unroll == 1 or spec.n_tiles == 1
     it = pl.program_id(0)
 
@@ -1586,7 +1648,19 @@ def _pick_unroll(spec, n_batches):
     bit-identical-to-ulp in tests/test_megastep_unroll.py). Restricted to
     untiled specs whose step count the factor divides."""
     mode = os.environ.get("THEANET_UNROLL", "1")
-    u = 1 if mode in ("auto", "") else max(1, int(mode))
+    try:
+        u = 1 if mode in ("auto", "") else int(mode)
+    except ValueError:
+        warnings.warn(f"THEANET_UNROLL={mode!r} is not an integer; "
+                      "using unroll=1")
+        u = 1
+    if u not in (1, 2, 4):
+        # the measured/VMEM-gated envelope is {1, 2, 4}: larger factors
+        # grow the double-buffered step blocks U-fold with no matching
+        # adjustment to the fusion gates
+        warnings.warn(f"THEANET_UNROLL={u} outside the supported {{1,2,4}} "
+                      "envelope; using unroll=1")
+        u = 1
     n_steps = n_batches * spec.n_tiles
     if spec.n_tiles > 1 or n_steps % u or u == 1:
         return 1
@@ -1628,7 +1702,10 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
     # body indexes sub-steps statically. Incompatible with batch tiling by
     # construction (the callers enforce it; assert so a future family
     # cannot silently combine them).
-    assert unroll == 1 or (n_tiles == 1 and n_steps % unroll == 0)
+    assert unroll == 1 or (n_tiles == 1 and n_steps % unroll == 0
+                           and min(n_steps, CM_BLOCK) % unroll == 0), (
+        "unroll must divide both the step count and the cost-row block "
+        "(the cm index map floor-divides by cm_block // U)")
     U = unroll
     fb_lanes = 8 if getattr(spec, "color", False) else 4
     per_batch = (lambda i: (i // n_tiles, 0, 0)) if n_tiles > 1 \

@@ -315,6 +315,28 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         # the generic pallas interpreter has no semaphore/remote-DMA
         # emulation; the TPU interpret mode is the only off-chip runner
         interpret = pltpu.InterpretParams()
+    if interpret is not False:
+        # Interpret-mode runners need MORE JAX devices than the mesh uses
+        # (2x; see interpret_shim's module docstring): the emulator's
+        # blocking kernel callbacks can occupy every device thread while
+        # other devices' input-buffer operands are still unmaterialized —
+        # with threads == mesh size, the producer thunks starve and the
+        # program deadlocks at startup (the round-3 driver-gate failure,
+        # reproduced at flagship-spec x n_data=8). Fail fast with the fix
+        # spelled out instead of wedging the caller's run.
+        if n_data > 1 and len(jax.devices()) < 2 * mesh.size:
+            raise RuntimeError(
+                f"ring-DP interpret mode on a {mesh.size}-device mesh "
+                f"needs >= {2 * mesh.size} JAX devices for deadlock-free "
+                f"emulation (have {len(jax.devices())}). Set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={2 * mesh.size}."
+            )
+        # and de-livelock the emulator's DMA-semaphore busy-spin (pure
+        # scheduling fix — on a 1-core box the spin starves the very
+        # thread it waits on for whole GIL slices)
+        from . import interpret_shim
+
+        interpret_shim.apply()
 
     call = pl.pallas_call(
         functools.partial(_kernel_ring, spec_loc, fwd_bwd, regs, n_state,

@@ -80,6 +80,10 @@ def main(argv=None):
     dataset_name = argv[1]
     prms_file_name = argv[2]
 
+    from .compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()  # warm-start repeat configs (VERDICT r3 item 6)
+
     from .model import NeuralNet, get_layers_info, get_training_params_info
     from .prms import fixdim, load_params, save_checkpoint
     from .trainer import Trainer, get_test_indices

@@ -288,8 +288,19 @@ class Trainer:
             eligible = ((mesh is None or dp_mesh)
                         and self.n_train_batches >= 1
                         and train_x.shape[2] == train_x.shape[3])
+            decline_reason = None
+            if not eligible:
+                decline_reason = (
+                    "the mesh has a model (tensor-parallel) axis — fused "
+                    "kernels compose with data-parallel meshes only"
+                    if mesh is not None and not dp_mesh else
+                    "non-square input images" if train_x.shape[2]
+                    != train_x.shape[3] else "empty training set"
+                )
             plan = (mega_mod.fused_plan(net, for_mesh=mesh is not None)
                     if eligible else None)
+            if eligible and plan is None:
+                decline_reason = mega_mod.fused_decline_reason(net)
             if plan is not None and mesh is not None:
                 from .ops import megastep_dp
 
@@ -298,14 +309,29 @@ class Trainer:
                     plan.spec, n_data, data_platform == "tpu"
                 ):
                     plan = None
+                    decline_reason = (
+                        f"the per-device batch shard (BATCH_SZ {bsz} over "
+                        f"{n_data} data devices) fails the fused-DP "
+                        "divisibility/VMEM gate"
+                    )
                 elif mega_mode == "auto" and bsz // n_data > 32:
                     # per-device shards beyond the measured ~32 striped-conv
                     # sweet spot: the scanned GSPMD path wins there, same
                     # crossover as the single-chip tiling gate below
                     plan = None
+                    decline_reason = (
+                        f"per-device shard {bsz // n_data} > the measured "
+                        "~32 striped-conv sweet spot (scanned GSPMD wins "
+                        "there; MEGAFUSED=True forces fusion)"
+                    )
             if (plan is not None and mega_mode == "auto" and mesh is None
                     and getattr(plan.spec, "n_tiles", 1) > 1
                     and bsz > 64):
+                decline_reason = (
+                    f"BATCH_SZ {bsz} > 64 rides the measured tiled-vs-"
+                    "scanned crossover (XLA's batched convs win from 128 "
+                    "up; MEGAFUSED=True forces the tiled kernel)"
+                )
                 # Batch-tiled fusion has a measured crossover vs the
                 # scanned path: after the r3 block-diagonal kernel
                 # batching, tiled-fused wins at batch 64 (788k vs 710k
@@ -317,24 +343,32 @@ class Trainer:
                 # tiled kernel at any batch.
                 plan = None
             if plan is not None and train_x.shape[1] != plan.spec.in_ch:
+                decline_reason = (
+                    f"training data has {train_x.shape[1]} channels but "
+                    f"the net expects {plan.spec.in_ch}"
+                )
                 plan = None  # data channels disagree with the net spec
             if plan is not None:
                 # aux-input families need the aux tensor present
                 if (getattr(plan.spec, "has_aux", False)
                         and self.d_train_aux is None):
                     plan = None
+                    decline_reason = (
+                        "the SoftAux head needs aux data (pass aux arrays "
+                        "to the Trainer)"
+                    )
             if plan is None and mega_mode == "auto" and data_platform == "tpu":
                 # not an error (the scanned path is the designed fallback),
                 # but never a SILENT one: 'auto' users should know they're
-                # off the fused path and why that might be (bf16/REMAT nets,
-                # non-family patterns, TP meshes, VMEM-exceeding shapes)
+                # off the fused path and WHY (VERDICT r3 item 8: e.g.
+                # mode='full'/stride>1 convs used to get a generic wave)
                 import sys as _sys
 
                 print(
-                    "theanet_tpu: MEGAFUSED=auto — this configuration is "
-                    "outside the fused-epoch kernel families "
-                    "(pattern/dtype/mesh/VMEM); training on the scanned "
-                    "per-layer path.",
+                    "theanet_tpu: MEGAFUSED=auto — training on the scanned "
+                    "per-layer path: "
+                    + (decline_reason or "outside the fused-epoch kernel "
+                       "families (pattern/dtype/mesh/VMEM)"),
                     file=_sys.stderr,
                 )
             if plan is None and mega_mode is True:
@@ -342,7 +376,9 @@ class Trainer:
                 # training ~5x slower on the per-layer path
                 raise ValueError(
                     "MEGAFUSED=True, but this configuration cannot use a "
-                    "fused epoch kernel (supported: [Color ->] [Elastic "
+                    "fused epoch kernel"
+                    + (f" — {decline_reason}" if decline_reason else "")
+                    + " (supported: [Color ->] [Elastic "
                     "->] (Conv -> Pool)*n -> (Hidden -> [DropOut])*m -> "
                     "Softmax(nll/nllsq/nll<NN>)/Hinge/ExpLoss/CenteredOut, "
                     "any depth n >= 0 (n == 0 is a flat dense net) and "
