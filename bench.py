@@ -307,7 +307,8 @@ def main():
     if accel.platform != "cpu":
         for big in (256, 1024):
             try:
-                ips_big, ch_big = measure(accel, big, 60000 // big, reps=3)
+                ips_big, ch_big, _ = measure(accel, big, 60000 // big,
+                                             reps=3)
                 log(f"batch {big}: {ips_big:,.0f} images/sec "
                     f"({ch_big:,.0f} chained; tuned, same config)")
             except Exception as e:

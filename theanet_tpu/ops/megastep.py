@@ -890,7 +890,8 @@ def _color_rows(spec, x, cbits):
     return xm * spec.maxval
 
 
-def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0):
+def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0,
+                   debug_stage=None):
     """In-kernel elastic augmentation (reference inlayers.py:63-142), shared
     by the conv (_kernel) and MLP (megastep_mlp._kernel_mlp) fused-epoch
     programs. ``x`` is the step's input as channel-major rows (c*B+b, HW);
@@ -915,9 +916,18 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0):
         x = 1.0 - x
 
     if warp_active(spec):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
-        ty = (rows // H).astype(jnp.float32)
-        tx = (rows % H).astype(jnp.float32)
+        # The whole warp field is built ROW-major ((1, HW) vectors, full
+        # 128-lane VPU occupancy) rather than column-major ((HW, 1), one
+        # lane in 128): the column form measured 3.7 us/step of the
+        # flagship's 22 — every iota/exp/log/trig/mul burned ceil(HW/8)
+        # cycles at 1/128 utilization, and the (hw, hw) @ (hw, 2)
+        # smoothing matmul was lane-starved the same way. Same formulas,
+        # same bit -> variable mapping, so trajectories are preserved to
+        # MXU-reassociation level (the replica pin in tests/test_megastep
+        # holds unchanged).
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
+        ty = (cols // H).astype(jnp.float32)              # (1, HW)
+        tx = (cols % H).astype(jnp.float32)
 
         def u_pm1(j):
             # scalar path: u32->i32->f32 integer casts (tpu.bitcast is
@@ -930,24 +940,27 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0):
             tx = tx + spec.translation * u_pm1(1)
 
         if spec.magnitude:
-            fb = fb_ref[row]                      # (HW, 4) uint32
+            # transpose the four warp-bit lanes to rows (the Mosaic
+            # transpose unit handles (HW, 4) -> (4, HW); 12 KB, one op)
+            fbw = jnp.transpose(fb_ref[row][:, 0:4], (1, 0))  # (4, HW) u32
 
             def u_open(bits):
                 # +0.5 keeps u strictly inside (0, 1) for the log
                 return (_low24(bits).astype(jnp.float32) + 0.5) * INV24
 
-            u1a = u_open(fb[:, 0:1])
-            u2a = _u01(fb[:, 1:2])
-            u1b = u_open(fb[:, 2:3])
-            u2b = _u01(fb[:, 3:4])
+            u1a = u_open(fbw[0:1, :])
+            u2a = _u01(fbw[1:2, :])
+            u1b = u_open(fbw[2:3, :])
+            u2b = _u01(fbw[3:4, :])
             r_a = jnp.sqrt(-2.0 * jnp.log(u1a))
             r_b = jnp.sqrt(-2.0 * jnp.log(u1b))
-            n0 = r_a * jnp.cos(2.0 * math.pi * u2a)
-            n1 = r_b * jnp.sin(2.0 * math.pi * u2b)
-            noise = spec.magnitude * jnp.concatenate([n0, n1], axis=1)
-            sm = _mm(ss_ref[:], noise)            # (HW, 2)
-            ty = ty + sm[:, 0:1]
-            tx = tx + sm[:, 1:2]
+            n0 = spec.magnitude * (r_a * jnp.cos(2.0 * math.pi * u2a))
+            n1 = spec.magnitude * (r_b * jnp.sin(2.0 * math.pi * u2b))
+            # sm = ss @ noise transposed: ss is symmetric (Toeplitz
+            # Gaussian band kron), so row @ ss computes the identical dot
+            # products; two M=1 matmuls replace one N=2 lane-starved one
+            ty = ty + _mm(n0, ss_ref[:])                  # (1, HW)
+            tx = tx + _mm(n1, ss_ref[:])
 
         if spec.zoom != 1 or spec.angle:
             # origin ~ U(.25,.75)*size (inlayers.py:101-102)
@@ -970,23 +983,45 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0):
         ty = jnp.clip(ty, 0.0, H - 1 - 0.001)
         tx = jnp.clip(tx, 0.0, H - 1 - 0.001)
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (HW, HW), 1)
+        if debug_stage == "warp":   # ablation truncation: field built
+            return ty + tx
+
+        # the resample matrix is built TRANSPOSED (s_matT[c, p] = weight
+        # of source pixel c for target p) so the row-major field feeds it
+        # by sublane broadcast and the resample needs no tb=True
         if spec.nearest:
+            rows_cp = jax.lax.broadcasted_iota(jnp.int32, (HW, HW), 0)
             q = (jnp.floor(ty + 0.5).astype(jnp.int32) * H
-                 + jnp.floor(tx + 0.5).astype(jnp.int32))
-            s_mat = (cols == q).astype(jnp.float32)
+                 + jnp.floor(tx + 0.5).astype(jnp.int32))  # (1, HW)
+            s_matT = (rows_cp == q).astype(jnp.float32)
         else:
-            topp = ty.astype(jnp.int32)
+            # Separable bilinear build: the 2-D tap weights factor exactly
+            # as s_matT[c, p] = syT[c//H, p] * sxT[c%H, p] with syT
+            # carrying the row pair {topp: 1-fy, topp+1: fy} and sxT the
+            # column pair {left: 1-fx, left+1: fx} (the .001 clip keeps
+            # topp+1/left+1 in range, so no wraparound case exists).
+            # Expanding each (H, HW) factor to (HW, HW) with a one-hot
+            # matmul and taking ONE product replaces the direct build's
+            # four (HW, HW) roll/multiply passes — the same
+            # multiplications on the same f32 values.
+            topp = ty.astype(jnp.int32)                   # (1, HW)
             left = tx.astype(jnp.int32)
             fy = ty - topp.astype(jnp.float32)
             fx = tx - left.astype(jnp.float32)
-            q00 = topp * H + left
-            e = (cols == q00).astype(jnp.float32)
-            s_mat = (e * ((1 - fy) * (1 - fx))
-                     + _roll(e, 1) * ((1 - fy) * fx)
-                     + _roll(e, H) * (fy * (1 - fx))
-                     + _roll(e, H + 1) * (fy * fx))
-        aug = _mm(x, s_mat, tb=True, hi=spec.exact_movement)  # (C0*B, HW)
+            rowh = jax.lax.broadcasted_iota(jnp.int32, (H, HW), 0)
+            syT = (jnp.where(rowh == topp, 1.0 - fy, 0.0)
+                   + jnp.where(rowh == topp + 1, fy, 0.0))   # (H, HW)
+            sxT = (jnp.where(rowh == left, 1.0 - fx, 0.0)
+                   + jnp.where(rowh == left + 1, fx, 0.0))
+            rhw = jax.lax.broadcasted_iota(jnp.int32, (HW, H), 0)
+            chw = jax.lax.broadcasted_iota(jnp.int32, (HW, H), 1)
+            kyT = (rhw // H == chw).astype(jnp.float32)   # row expander
+            kxT = (rhw % H == chw).astype(jnp.float32)    # col expander
+            s_matT = (_mm(kyT, syT, hi=spec.exact_movement)
+                      * _mm(kxT, sxT, hi=spec.exact_movement))
+        if debug_stage == "smat":   # ablation truncation: matrix built
+            return s_matT
+        aug = _mm(x, s_matT, hi=spec.exact_movement)      # (C0*B, HW)
     else:
         aug = x
 
@@ -1268,6 +1303,11 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     C0 = spec.in_ch
     w1, b1, w2, b2, wh, bh, wo, bo = params
 
+    if debug_stage in ("warp", "smat"):
+        part = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref,
+                              row=noise_row, debug_stage=debug_stage)
+        return jnp.sum(part), 0.0, None
+
     aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref,
                          row=noise_row)
 
@@ -1374,7 +1414,11 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     dp_stack = _mm(w2_big, dz2, ta=True)                  # (F2^2*R1, P1SQ)
     dp1 = jnp.zeros_like(p1)
     for k in range(F2 * F2):
-        # un-shift with the transposed one-hot
+        # un-shift with the transposed one-hot. (A roll+static-mask variant
+        # — identical data movement without the nine MXU launches — was
+        # measured a wash on chip: 19.18 vs 19.34 us at the bwd_conv2
+        # truncation, full step 22.25 vs 22.22; the launches pipeline
+        # behind VPU work. Kept as the simpler exact form.)
         dp1 = dp1 + _mm(dp_stack[k * R1:(k + 1) * R1, :],
                         sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True,
                         hi=spec.exact_movement)

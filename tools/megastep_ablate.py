@@ -31,7 +31,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-STAGES = ["noop0", "noop", "aug", "conv1", "conv2", "fwd",
+STAGES = ["noop0", "noop", "warp", "smat", "aug", "conv1", "conv2", "fwd",
           "bwd_dense", "bwd_conv2", "full"]
 
 
