@@ -1405,12 +1405,18 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
     dz2 = dz2a * _dact(z2, spec.act2, spec.slope2)        # (R2, P1SQ)
 
+    if debug_stage == "bwd_pool2":
+        return jnp.sum(dz2), min_tl, None
+
     # conv2 backward: one matmul per contraction against the patch matrix;
     # every tap's weight gradient falls out of ONE pair of matmuls through
     # the block-diagonal e9b2 (zero terms only — exact)
     dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, F2^2*R1)
     dw2 = _mm(_mm(em2, dbig_all * st2x, ta=True), e9b2, tb=True)
     # (M2, F2^2*M1)
+
+    if debug_stage == "bwd_dw2":
+        return jnp.sum(dw2), min_tl, None
     dp_stack = _mm(w2_big, dz2, ta=True)                  # (F2^2*R1, P1SQ)
     dp1 = jnp.zeros_like(p1)
     for k in range(F2 * F2):
@@ -1436,6 +1442,9 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
     dz1 = dz1a * _dact(z1, spec.act1, spec.slope1)        # (R1, HW)
 
+    if debug_stage == "bwd_pool1":
+        return jnp.sum(dz1), min_tl, None
+
     # conv1 backward (weights only; nothing learnable below): the per-tap
     # contractions are real matmuls (plain layouts — their outputs concat),
     # and the striped-to-kernel reduction batches through e9b1 like dw2
@@ -1446,6 +1455,13 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     dw1 = _mm(_mm(em1, dbig_all1 * st1x, ta=True), e9b1, tb=True)
     # (M1, F1^2*C0)
     db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
+
+    if debug_stage == "grads":
+        # all gradients computed, momentum update skipped (grads=None);
+        # the (full - grads) ablation delta is the update + state writes
+        return (jnp.sum(dw1) + jnp.sum(db1) + jnp.sum(dw2) + jnp.sum(db2)
+                + jnp.sum(dwh) + jnp.sum(dbh) + jnp.sum(dwo) + jnp.sum(dbo)
+                ), min_tl, None
 
     return cost, min_tl, (dw1, db1, dw2, db2, dwh, dbh, dwo, dbo)
 
