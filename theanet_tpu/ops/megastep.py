@@ -361,6 +361,7 @@ def flagship_vmem_ok(spec):
     st2x_elems = (spec.maps2 * B) * (spec.filt2 ** 2 * spec.maps1 * B)
     work_bytes = 4 * (
         hw * B * (spec.filt1 ** 2 * spec.in_ch + 5 * spec.maps1)
+        + int(np.prod(stack_shape(spec)))   # level-1 patch-stack scratch
         + spec.filt2 ** 2 * spec.maps1 * B * spec.p1 ** 2
         + 5 * spec.maps2 * B * spec.p1 ** 2
         + 8 * B * spec.n_hid
@@ -646,6 +647,16 @@ def build_constants(spec: MegaSpec):
     ecol2 = np.repeat(np.eye(M1, dtype=np.float32), B, axis=1)   # (M1, R1)
     stripe1 = np.tile(np.eye(B, dtype=np.float32), (M1, spec.in_ch))
     stripe2 = np.tile(np.eye(B, dtype=np.float32), (M2, M1))     # (R2, R1)
+    # level-1 tap blocks live in 8-row-aligned patch-stack slots
+    # (stack_shape); st1x/e9b1 grow zero columns/rows at each slot's pad
+    # positions so the stack's pad rows contribute exactly 0 to every
+    # contraction
+    CB, CBP = spec.in_ch * B, _pad8(spec.in_ch * B)
+    if CBP != CB:
+        zc = np.zeros((ecol1.shape[0], CBP - CB), np.float32)
+        ecol1 = np.concatenate([ecol1, zc], axis=1)
+        zs = np.zeros((stripe1.shape[0], CBP - CB), np.float32)
+        stripe1 = np.concatenate([stripe1, zs], axis=1)
     em2 = np.repeat(np.eye(M2, dtype=np.float32), B, axis=0)     # (R2, M2)
     p2sq = spec.p2 * spec.p2
 
@@ -676,6 +687,22 @@ def build_constants(spec: MegaSpec):
         # the cached geometry subset above.
     })
     return consts
+
+
+def _pad8(n):
+    """Sublane-pad: smallest multiple of 8 >= n."""
+    return -(-n // 8) * 8
+
+
+def stack_shape(spec):
+    """Shape of the level-1 patch-stack VMEM scratch: each of the F1^2
+    taps' lane-rolled augmented blocks (in_ch*B rows) is stored into an
+    8-row-aligned sublane slot, so conv1's forward contraction and its
+    weight-gradient contraction are each ONE wide matmul against the
+    stack instead of F1^2 skinny (in_ch*B-lane) launches. Shared by the
+    epoch kernel (make_epoch_fn), the DP per-step kernel, and the ring
+    kernel (megastep_dp.family_scratch)."""
+    return (spec.filt1 ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw)
 
 
 def _rolled_anchor_stack(a, pool, stride):
@@ -1282,7 +1309,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
                   em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
                   selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-                  wt_scale=1.0, noise_row=0):
+                  stk_ref=None, wt_scale=1.0, noise_row=0):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -1314,22 +1341,33 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     if debug_stage == "aug":
         return jnp.sum(aug), 0.0, None  # consume so nothing is DCE'd
 
-    # ---------------- conv1 (striped matmul per tap) + pool1
-    # Conv1 keeps a per-tap CONTRACTION loop: its rolled pieces are B-row
-    # (20) blocks, which Mosaic cannot concatenate on the sublane axis
-    # (needs multiples of 8). Conv2's pieces are M1*B-row blocks and stack
-    # into one matmul. The striped-weight construction is batched across
-    # taps though: one (em1 @ w1) @ e9b1 * st1x pair builds every tap's
-    # striped weight block at once (block-diagonal e9b1 adds only zero
-    # terms per contraction — bitwise-identical to the per-tap loop).
+    # ---------------- conv1 (patch-stack matmul) + pool1
+    # Conv1's rolled tap pieces are C0*B-row (20) blocks, which Mosaic
+    # cannot CONCATENATE on the sublane axis (needs multiples of 8) — but
+    # it CAN STORE them: each tap's lane-rolled block is written into an
+    # 8-aligned slot of the stk_ref VMEM scratch (pad rows zeroed; st1x/
+    # e9b1 carry matching zero columns so pads contribute exactly 0), and
+    # the forward contraction collapses from F1^2 skinny (C0*B-lane)
+    # matmuls to ONE (R1, F1^2*CBP) @ (F1^2*CBP, HW) launch. The striped-
+    # weight construction is batched across taps the same way: one
+    # (em1 @ w1) @ e9b1 * st1x pair builds every tap's striped block at
+    # once (the block diagonal adds only zero terms per contraction).
     offs1 = _tap_offsets(F1, H)
     em1, st1x, e9b1 = em1_ref[:], st1x_ref[:], e9b1_ref[:]
-    rolls1 = [_roll(aug, -off) for off in offs1]
     CB = C0 * B
-    w1_all = _mm(_mm(em1, w1), e9b1) * st1x               # (R1, F1^2*C0*B)
-    z1 = _mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
-    for k in range(F1 * F1):
-        z1 = z1 + _mm(w1_all[:, k * CB:(k + 1) * CB], rolls1[k])
+    CBP = _pad8(CB)
+    if CBP != CB:
+        zpad = jnp.zeros((CBP - CB, HW), jnp.float32)
+    for k, off in enumerate(offs1):
+        stk_ref[k * CBP:k * CBP + CB, :] = _roll(aug, -off)
+        if CBP != CB:
+            # scratch is uninitialized per launch; NaN garbage times a
+            # zero weight column would still poison the contraction
+            stk_ref[k * CBP + CB:(k + 1) * CBP, :] = zpad
+    stk = stk_ref[:]
+    w1_all = _mm(_mm(em1, w1), e9b1) * st1x               # (R1, F1^2*CBP)
+    z1 = (_mm(em1, b1) * jnp.ones((1, HW), jnp.float32)   # bias, (R1, HW)
+          + _mm(w1_all, stk))
     h1 = _act(z1, spec.act1, spec.slope1)
     v1 = v1_ref[:]
     z1m = jnp.where(v1 > 0, h1, BIG_NEG)
@@ -1445,13 +1483,11 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     if debug_stage == "bwd_pool1":
         return jnp.sum(dz1), min_tl, None
 
-    # conv1 backward (weights only; nothing learnable below): the per-tap
-    # contractions are real matmuls (plain layouts — their outputs concat),
-    # and the striped-to-kernel reduction batches through e9b1 like dw2
-    dbig_all1 = jnp.concatenate(
-        [_mm(dz1, rolls1[k], tb=True) for k in range(F1 * F1)],
-        axis=1,
-    )                                                     # (R1, F1^2*C0*B)
+    # conv1 backward (weights only; nothing learnable below): ONE wide
+    # contraction against the forward's patch stack (was F1^2 skinny
+    # N = C0*B-lane matmuls + a lane concat), then the striped-to-kernel
+    # reduction batches through e9b1 like dw2
+    dbig_all1 = _mm(dz1, stk, tb=True)                    # (R1, F1^2*CBP)
     dw1 = _mm(_mm(em1, dbig_all1 * st1x, ta=True), e9b1, tb=True)
     # (M1, F1^2*C0)
     db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)   # (M1, 1)
@@ -1483,8 +1519,9 @@ def _kernel(spec: MegaSpec,
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
             cm_ref,
-            # VMEM gradient accumulators (scratch) — present iff n_tiles > 1
-            *gacc):
+            # scratch: the level-1 patch stack (stack_shape), then the
+            # VMEM gradient accumulators — present iff n_tiles > 1
+            stk_ref, *gacc):
     # unroll > 1 processes ``unroll`` consecutive reference batches per
     # grid iteration (step blocks carry an extra leading dim), amortizing
     # the per-iteration grid/DMA bookkeeping floor. The sub-steps run the
@@ -1543,7 +1580,7 @@ def _kernel(spec: MegaSpec,
             ub_ref, fb_ref, pb_ref, db_ref,
             ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
             em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
-            selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
+            selmask_ref, selsum_ref, sumsel_ref, sh2_ref, stk_ref,
             wt_scale=(1.0 if n_tiles == 1
                       else jnp.where(tile == 0, 1.0, 0.0)),
             noise_row=sub,   # sub-step's row of the unroll-wide blocks
@@ -1689,7 +1726,9 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
     return build_epoch_fn(spec, n_batches, kernel_shapes(spec), const_arrs,
                           functools.partial(_kernel, spec, debug_stage,
                                             unroll),
-                          interpret=interpret, donate=donate, unroll=unroll)
+                          interpret=interpret, donate=donate, unroll=unroll,
+                          extra_scratch=[pltpu.VMEM(stack_shape(spec),
+                                                    jnp.float32)])
 
 
 def _pick_unroll(spec, n_batches):
@@ -1730,7 +1769,8 @@ def _pick_unroll(spec, n_batches):
 
 
 def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
-                   interpret=None, donate=False, unroll=1):
+                   interpret=None, donate=False, unroll=1,
+                   extra_scratch=()):
     """Shared epoch-builder harness for the fused-kernel families (conv
     here, flat-MLP in megastep_mlp): assembles the pallas_call grid program
     from the family's state-tensor shapes, constant operands, and kernel
@@ -1828,8 +1868,9 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=(
-            [pltpu.VMEM(s, jnp.float32) for s in kshapes]
-            if n_tiles > 1 else []
+            list(extra_scratch)
+            + ([pltpu.VMEM(s, jnp.float32) for s in kshapes]
+               if n_tiles > 1 else [])
         ),
         interpret=interpret,
         **(

@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .megastep import (
     BIG_NEG,
@@ -47,6 +48,7 @@ from .megastep import (
     _leaky_slope,
     _lrelu,
     _mm,
+    _pad8,
     act_of,
     _pool_max,
     _pool_offsets,
@@ -441,7 +443,8 @@ def _fits_vmem(spec):
         work_bytes = flat_embed_bytes(spec)
     else:
         work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
-                                         + 5 * spec.maps[0]))
+                                         + 5 * spec.maps[0])
+                          + int(np.prod(deep_stack_shape(spec))))
     for k in range(1, spec.n_levels):
         lanes = spec.sides[k][0] ** 2
         fk2 = spec.filts[k] ** 2
@@ -475,6 +478,18 @@ def build_constants_deep(spec: DeepSpec):
         taps = spec.filts[k] ** 2
         ecol = np.repeat(np.eye(prev_maps, dtype=np.float32), B, axis=1)
         stripe = np.tile(np.eye(B, dtype=np.float32), (mk, prev_maps))
+        if k == 0:
+            # level-0 tap blocks live in 8-row-aligned patch-stack slots
+            # (deep_stack_shape; cf. megastep.build_constants): zero
+            # columns at each slot's pad positions
+            CB, CBP = prev_maps * B, _pad8(prev_maps * B)
+            if CBP != CB:
+                ecol = np.concatenate(
+                    [ecol, np.zeros((prev_maps, CBP - CB), np.float32)],
+                    axis=1)
+                stripe = np.concatenate(
+                    [stripe, np.zeros((mk * B, CBP - CB), np.float32)],
+                    axis=1)
         consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k])
         consts[f"valid{k}"] = _valid_mask(c, stride)
         # pre-rolled anchor-mask stack + tap-batched striping constants
@@ -533,6 +548,17 @@ def deep_kernel_shapes(spec: DeepSpec):
         if spec.head in ("logit", "rbf") and spec.learn_centers:
             kshapes.append((spec.n_classes, spec.n_out))
     return kshapes
+
+
+def deep_stack_shape(spec: DeepSpec):
+    """Level-0 patch-stack VMEM scratch shape, or None for flat nets —
+    the flagship's megastep.stack_shape generalized: each of the F0^2
+    taps' lane-rolled augmented blocks is stored into an 8-row-aligned
+    slot so level 0's forward and weight-gradient contractions are one
+    wide matmul each."""
+    if spec.n_levels == 0:
+        return None
+    return (spec.filts[0] ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw)
 
 
 def deep_reg_kinds(spec: DeepSpec):
@@ -594,7 +620,9 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
 
 
 def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
-                  db_ref, c_refs, aux=None):
+                  db_ref, c_refs, aux=None, scratch=()):
+    # ``scratch`` matches the flagship adapter's signature
+    # (megastep_dp.family_scratch); the deep family allocates none yet
     """Fused augment + forward + hand-derived backward for ONE batch of a
     deep-family net. ``params`` are the kernel-layout state VALUES in
     deep_kernel_shapes order; ``c_refs`` the constant operand refs in
@@ -634,18 +662,30 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         offs0 = _tap_offsets(F0, spec.img)
         em0, e9b0, st0x = (lvl[0]["em"][:], lvl[0]["e9b"][:],
                            lvl[0]["stx"][:])
-        rolls0 = [_roll(aug, -off) for off in offs0]
         lanes0 = spec.hw
-        # striped tap matmuls (the flagship's conv1): each tap's weight
-        # block is embedded into an (R0, C0*B) block matrix and applied to
-        # the lane-rolled augmented input; all taps' blocks build in ONE
-        # (em @ w) @ e9b * stx pair (block-diagonal e9b adds only zero
-        # terms per contraction — bitwise-exact vs the per-tap loop)
+        # level-0 patch stack (the flagship's conv1 — see
+        # megastep._conv_fwd_bwd): each tap's lane-rolled block is STORED
+        # into an 8-aligned slot of the scratch (Mosaic cannot sublane-
+        # concat the C0*B-row rolled pieces, but it can store them); the
+        # striped-weight construction batches all taps in one
+        # (em @ w) @ e9b * stx pair whose pad columns are zero, so the
+        # forward contraction is ONE wide matmul instead of F0^2 skinny
+        # ones
         CB0 = C0 * B
-        w_all0 = _mm(_mm(em0, ws[0]), e9b0) * st0x       # (R0, F0^2*C0*B)
-        z = _mm(em0, bs[0]) * jnp.ones((1, lanes0), jnp.float32)
-        for k in range(F0 * F0):
-            z = z + _mm(w_all0[:, k * CB0:(k + 1) * CB0], rolls0[k])
+        CBP0 = _pad8(CB0)
+        stk_ref = scratch[0]
+        if CBP0 != CB0:
+            zpad0 = jnp.zeros((CBP0 - CB0, lanes0), jnp.float32)
+        for k, off in enumerate(offs0):
+            stk_ref[k * CBP0:k * CBP0 + CB0, :] = _roll(aug, -off)
+            if CBP0 != CB0:
+                # scratch is uninitialized per launch; NaN garbage times
+                # a zero weight column would still poison the contraction
+                stk_ref[k * CBP0 + CB0:(k + 1) * CBP0, :] = zpad0
+        stk0 = stk_ref[:]
+        w_all0 = _mm(_mm(em0, ws[0]), e9b0) * st0x       # (R0, F0^2*CBP0)
+        z = (_mm(em0, bs[0]) * jnp.ones((1, lanes0), jnp.float32)
+             + _mm(w_all0, stk0))
 
         saved = []                  # per level: (z, zm, mx, p, extras)
         patches = [None]            # level k>=1 patch matrices
@@ -827,9 +867,9 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                               hi=spec.exact_movement)
             dbs[k] = _mm(emk, jnp.sum(dz, axis=1, keepdims=True), ta=True)
         else:
-            dbig_all0 = jnp.concatenate(
-                [_mm(dz, rolls0[t], tb=True) for t in range(F0 * F0)],
-                axis=1)                                  # (R0, F0^2*C0*B)
+            # ONE wide contraction against the forward's patch stack
+            # (was F0^2 skinny matmuls + a lane concat)
+            dbig_all0 = _mm(dz, stk0, tb=True)           # (R0, F0^2*CBP0)
             dws[0] = _mm(_mm(em0, dbig_all0 * st0x, ta=True), e9b0,
                          tb=True)                        # (M0, F0^2*C0)
             dbs[0] = _mm(em0, jnp.sum(dz, axis=1, keepdims=True), ta=True)
@@ -867,6 +907,7 @@ def _kernel_deep(spec: DeepSpec, *refs):
     out_par = refs[o0:o0 + n_state]
     out_mom = refs[o0 + n_state:o0 + 2 * n_state]
     cm_ref = refs[o0 + 2 * n_state]
+    fam_scratch = refs[o0 + 2 * n_state + 1:]   # level-0 patch stack
 
     step = pl.program_id(0)
 
@@ -880,7 +921,7 @@ def _kernel_deep(spec: DeepSpec, *refs):
     cost, min_tl, grads = _deep_fwd_bwd(
         spec, x_ref[0], y_ref[0], [r[:] for r in out_par],
         ub_ref, fb_ref, pb_ref, db_ref, c_refs,
-        aux=aux_ref[0] if softaux else None,
+        aux=aux_ref[0] if softaux else None, scratch=fam_scratch,
     )
     cm_ref[step % CM_BLOCK, 0] = cost
     cm_ref[step % CM_BLOCK, 1] = min_tl
@@ -965,7 +1006,10 @@ def make_deep_epoch_fn(spec: DeepSpec, n_batches: int, interpret=None,
     Same contract as megastep.make_epoch_fn (shared build_epoch_fn
     harness); callers must not wrap the result in jax.jit."""
     const_arrs = list(build_constants_deep(spec).values())
+    stk = deep_stack_shape(spec)
     return build_epoch_fn(spec, n_batches, deep_kernel_shapes(spec),
                           const_arrs,
                           functools.partial(_kernel_deep, spec),
-                          interpret=interpret, donate=donate)
+                          interpret=interpret, donate=donate,
+                          extra_scratch=(
+                              [pltpu.VMEM(stk, jnp.float32)] if stk else []))

@@ -57,6 +57,7 @@ from .megastep import (
     flagship_vmem_ok,
     kernel_reg_kinds,
     kernel_shapes,
+    stack_shape,
 )
 from .megastep_deep import (
     DeepSpec,
@@ -65,6 +66,7 @@ from .megastep_deep import (
     build_constants_deep,
     deep_kernel_shapes,
     deep_reg_kinds,
+    deep_stack_shape,
 )
 
 __all__ = ["make_dp_epoch_fn", "dp_supported"]
@@ -84,11 +86,26 @@ def _untiled_global(spec):
 
 
 def _flag_fwd_bwd(spec, x, y, params, ub_ref, fb_ref, pb_ref, db_ref,
-                  c_refs, aux=None):
+                  c_refs, aux=None, scratch=()):
     """Flagship-family adapter: _conv_fwd_bwd with its constant refs
-    passed positionally (MEGA_CONST_NAMES order matches its signature)."""
+    passed positionally (MEGA_CONST_NAMES order matches its signature).
+    ``scratch`` carries the family's kernel scratch (family_scratch):
+    the level-1 patch stack."""
     return _conv_fwd_bwd(spec, None, x, y, tuple(params),
-                         ub_ref, fb_ref, pb_ref, db_ref, *c_refs)
+                         ub_ref, fb_ref, pb_ref, db_ref, *c_refs,
+                         stk_ref=scratch[0])
+
+
+def family_scratch(spec):
+    """Per-family Pallas scratch shapes, appended after each kernel's own
+    scratch list and threaded to the fwd_bwd adapter's ``scratch`` kwarg
+    (the per-step kernel here, the ring kernel, and — via make_epoch_fn's
+    extra_scratch — the single-chip epoch kernel allocate the same
+    thing)."""
+    if isinstance(spec, MegaSpec):
+        return [pltpu.VMEM(stack_shape(spec), jnp.float32)]
+    ds = deep_stack_shape(spec)
+    return [pltpu.VMEM(ds, jnp.float32)] if ds else []
 
 
 def _family(spec):
@@ -150,10 +167,12 @@ def _kernel_grad(spec, fwd_bwd, n_state, n_consts, has_aux, *refs):
         i = 7
     params = [r[:] for r in refs[i:i + n_state]]
     c_refs = list(refs[i + n_state:i + n_state + n_consts])
-    outs = refs[i + n_state + n_consts:]
+    rest = refs[i + n_state + n_consts:]
+    outs = rest[:n_state + 2]
+    scratch = rest[n_state + 2:]        # family_scratch refs
     cost, minf, grads = fwd_bwd(spec, x_ref[0], y_ref[0], params,
                                 ub_ref, fb_ref, pb_ref, db_ref, c_refs,
-                                aux=aux)
+                                aux=aux, scratch=scratch)
     for ref, g in zip(outs[:n_state], grads):
         ref[:] = g
     outs[n_state][0, 0] = cost
@@ -201,6 +220,7 @@ def make_dp_step_fn(spec, interpret=None):
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=tuple(family_scratch(spec)),
         interpret=interpret,
         **(
             {"compiler_params": pltpu.CompilerParams(

@@ -79,6 +79,7 @@ from .megastep_dp import (
     _untiled_global,
     dp_epoch_arrange,
     dp_supported,
+    family_scratch,
 )
 
 __all__ = ["make_ring_epoch_fn", "ring_supported"]
@@ -138,6 +139,7 @@ def _kernel_ring(spec, fwd_bwd, regs, n_state, n_consts, has_aux, n_data,
     send_sems = refs[i + n_state + 1]
     recv_sems = refs[i + n_state + 2]
     credit_sem = refs[i + n_state + 3]
+    fam_scratch = refs[i + n_state + 4:]   # megastep_dp.family_scratch
 
     step = pl.program_id(0)
 
@@ -151,6 +153,7 @@ def _kernel_ring(spec, fwd_bwd, regs, n_state, n_consts, has_aux, n_data,
     cost, minf, grads = fwd_bwd(
         spec, x_ref[0], y_ref[0], [r[:] for r in out_par],
         ub_ref, fb_ref, pb_ref, db_ref, c_refs, aux=aux,
+        scratch=fam_scratch,
     )
 
     if n_data > 1:
@@ -306,6 +309,7 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         + [pltpu.SemaphoreType.DMA((n_state + 1,)),
            pltpu.SemaphoreType.DMA((n_state + 1, max(n_data - 1, 1))),
            pltpu.SemaphoreType.REGULAR]
+        + family_scratch(spec_loc)
     )
 
     if interpret is None:
