@@ -361,7 +361,10 @@ def flagship_vmem_ok(spec):
     st2x_elems = (spec.maps2 * B) * (spec.filt2 ** 2 * spec.maps1 * B)
     work_bytes = 4 * (
         hw * B * (spec.filt1 ** 2 * spec.in_ch + 5 * spec.maps1)
-        + int(np.prod(stack_shape(spec)))   # level-1 patch-stack scratch
+        + int(np.prod(stack_shapes(spec)[0]))  # level-1 patch-stack
+        # scratch (the conv2 patch-matrix scratch, stack_shapes[1], is
+        # the filt2^2 * maps1 * B * p1^2 term below — same tensor, now
+        # store-built instead of concat-materialized)
         + spec.filt2 ** 2 * spec.maps1 * B * spec.p1 ** 2
         + 5 * spec.maps2 * B * spec.p1 ** 2
         + 8 * B * spec.n_hid
@@ -648,7 +651,7 @@ def build_constants(spec: MegaSpec):
     stripe1 = np.tile(np.eye(B, dtype=np.float32), (M1, spec.in_ch))
     stripe2 = np.tile(np.eye(B, dtype=np.float32), (M2, M1))     # (R2, R1)
     # level-1 tap blocks live in 8-row-aligned patch-stack slots
-    # (stack_shape); st1x/e9b1 grow zero columns/rows at each slot's pad
+    # (stack_shapes[0]); st1x/e9b1 grow zero columns/rows at each slot's pad
     # positions so the stack's pad rows contribute exactly 0 to every
     # contraction
     CB, CBP = spec.in_ch * B, _pad8(spec.in_ch * B)
@@ -694,15 +697,23 @@ def _pad8(n):
     return -(-n // 8) * 8
 
 
-def stack_shape(spec):
-    """Shape of the level-1 patch-stack VMEM scratch: each of the F1^2
-    taps' lane-rolled augmented blocks (in_ch*B rows) is stored into an
-    8-row-aligned sublane slot, so conv1's forward contraction and its
-    weight-gradient contraction are each ONE wide matmul against the
-    stack instead of F1^2 skinny (in_ch*B-lane) launches. Shared by the
+def stack_shapes(spec):
+    """The flagship family's VMEM kernel-scratch shapes, shared by the
     epoch kernel (make_epoch_fn), the DP per-step kernel, and the ring
-    kernel (megastep_dp.family_scratch)."""
-    return (spec.filt1 ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw)
+    kernel (megastep_dp.family_scratch):
+
+    [0] level-1 patch stack — each of the F1^2 taps' lane-rolled
+        augmented blocks (in_ch*B rows) is stored into an 8-row-aligned
+        sublane slot, so conv1's forward contraction and its
+        weight-gradient contraction are each ONE wide matmul against the
+        stack instead of F1^2 skinny (in_ch*B-lane) launches.
+    [1] conv2 patch matrix (p1s) — the F2^2 tap pieces (M1*B rows,
+        already 8-aligned) are built by roll+mask STORES instead of
+        one-hot shift matmuls."""
+    return [
+        (spec.filt1 ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw),
+        (spec.filt2 ** 2 * spec.maps1 * spec.batch, spec.p1 * spec.p1),
+    ]
 
 
 def _rolled_anchor_stack(a, pool, stride):
@@ -1309,7 +1320,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
                   em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
                   selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-                  stk_ref=None, wt_scale=1.0, noise_row=0):
+                  stk_ref=None, stk2_ref=None, wt_scale=1.0, noise_row=0):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -1378,19 +1389,23 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         return jnp.sum(p1), 0.0, None
 
     # ---------------- conv2 (single tap-stacked matmul) + pool2
-    # The 9 tap shifts are applied by one-hot shift MATMULS (pltpu.roll
-    # outputs have lazy lane-offset layouts that refuse to concatenate;
-    # matmul outputs are plain), so all taps stack into one (9*R1, P1SQ)
-    # patch matrix and the conv contraction is ONE K=9*R1 matmul — and the
-    # same patch matrix serves both backward contractions.
+    # The F2^2 tap pieces of the patch matrix are built by roll+mask
+    # STORES into 8-aligned scratch slots (pieces are R1 = M1*B rows):
+    # piece k holds p1[r, q+off] for q < P1SQ-off and 0 in the wrap
+    # region — exactly the sh2 one-hot shift matmul's output (sh2's
+    # columns q >= P1SQ-off are all-zero), minus the bf16 rounding the
+    # shift MATMUL applied to the moved values. All taps stack into one
+    # (F2^2*R1, P1SQ) patch matrix and the conv contraction is ONE
+    # K = F2^2*R1 matmul — the same patch matrix serves both backward
+    # contractions.
     R1 = M1 * B
     em2, st2x, e9b2 = em2_ref[:], st2x_ref[:], e9b2_ref[:]
     sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
-    p1s = jnp.concatenate(
-        [_mm(p1, sh2[k * P1SQ:(k + 1) * P1SQ, :], hi=spec.exact_movement)
-         for k in range(F2 * F2)],
-        axis=0,
-    )                                                     # (F2^2*R1, P1SQ)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, P1SQ), 1)
+    for k, off in enumerate(_tap_offsets(F2, spec.p1)):
+        stk2_ref[k * R1:(k + 1) * R1, :] = jnp.where(
+            lane_q < (P1SQ - off), _roll(p1, -off), 0.0)
+    p1s = stk2_ref[:]                                     # (F2^2*R1, P1SQ)
     w2_big = _mm(_mm(em2, w2), e9b2) * st2x               # (R2, F2^2*R1)
     z2 = _mm(w2_big, p1s) + _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)
     h2 = _act(z2, spec.act2, spec.slope2)
@@ -1519,9 +1534,9 @@ def _kernel(spec: MegaSpec,
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
             cm_ref,
-            # scratch: the level-1 patch stack (stack_shape), then the
-            # VMEM gradient accumulators — present iff n_tiles > 1
-            stk_ref, *gacc):
+            # scratch: the family stacks (stack_shapes), then the VMEM
+            # gradient accumulators — present iff n_tiles > 1
+            stk_ref, stk2_ref, *gacc):
     # unroll > 1 processes ``unroll`` consecutive reference batches per
     # grid iteration (step blocks carry an extra leading dim), amortizing
     # the per-iteration grid/DMA bookkeeping floor. The sub-steps run the
@@ -1580,7 +1595,7 @@ def _kernel(spec: MegaSpec,
             ub_ref, fb_ref, pb_ref, db_ref,
             ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
             em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
-            selmask_ref, selsum_ref, sumsel_ref, sh2_ref, stk_ref,
+            selmask_ref, selsum_ref, sumsel_ref, sh2_ref, stk_ref, stk2_ref,
             wt_scale=(1.0 if n_tiles == 1
                       else jnp.where(tile == 0, 1.0, 0.0)),
             noise_row=sub,   # sub-step's row of the unroll-wide blocks
@@ -1727,8 +1742,8 @@ def make_epoch_fn(spec: MegaSpec, n_batches: int, interpret=None,
                           functools.partial(_kernel, spec, debug_stage,
                                             unroll),
                           interpret=interpret, donate=donate, unroll=unroll,
-                          extra_scratch=[pltpu.VMEM(stack_shape(spec),
-                                                    jnp.float32)])
+                          extra_scratch=[pltpu.VMEM(s, jnp.float32)
+                                         for s in stack_shapes(spec)])
 
 
 def _pick_unroll(spec, n_batches):

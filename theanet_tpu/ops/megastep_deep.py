@@ -442,9 +442,12 @@ def _fits_vmem(spec):
         # shape — hidden 1000, 457 classes, 28x28)
         work_bytes = flat_embed_bytes(spec)
     else:
+        # the level-0 patch stack is extra scratch; the k>0 patch-matrix
+        # buffers are the same fk2*rp*lanes tensors the loop below
+        # already counts (store-built now instead of concat-materialized)
         work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
                                          + 5 * spec.maps[0])
-                          + int(np.prod(deep_stack_shape(spec))))
+                          + int(np.prod(deep_stack_shapes(spec)[0])))
     for k in range(1, spec.n_levels):
         lanes = spec.sides[k][0] ** 2
         fk2 = spec.filts[k] ** 2
@@ -550,15 +553,23 @@ def deep_kernel_shapes(spec: DeepSpec):
     return kshapes
 
 
-def deep_stack_shape(spec: DeepSpec):
-    """Level-0 patch-stack VMEM scratch shape, or None for flat nets —
-    the flagship's megastep.stack_shape generalized: each of the F0^2
-    taps' lane-rolled augmented blocks is stored into an 8-row-aligned
-    slot so level 0's forward and weight-gradient contractions are one
-    wide matmul each."""
+def deep_stack_shapes(spec: DeepSpec):
+    """VMEM kernel-scratch shapes (empty for flat nets) — the flagship's
+    megastep.stack_shapes generalized: [0] the level-0 patch stack (each
+    of the F0^2 taps' lane-rolled augmented blocks stored into an
+    8-row-aligned slot, so level 0's forward and weight-gradient
+    contractions are one wide matmul each), then one patch-matrix store
+    buffer per deeper level (pieces built by roll+mask stores instead of
+    one-hot shift matmuls)."""
     if spec.n_levels == 0:
-        return None
-    return (spec.filts[0] ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw)
+        return []
+    shapes = [(spec.filts[0] ** 2 * _pad8(spec.in_ch * spec.batch),
+               spec.hw)]
+    for k in range(1, spec.n_levels):
+        stride = spec.sides[k][0]
+        shapes.append((spec.filts[k] ** 2 * spec.maps[k - 1] * spec.batch,
+                       stride * stride))
+    return shapes
 
 
 def deep_reg_kinds(spec: DeepSpec):
@@ -699,12 +710,19 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                 emk = lvl[k]["em"][:]
                 e9bk = lvl[k]["e9b"][:]
                 stkx = lvl[k]["stx"][:]
-                sh = lvl[k]["sh"][:]
                 p_prev = saved[k - 1][3]
-                ps = jnp.concatenate(
-                    [_mm(p_prev, sh[t * lanes:(t + 1) * lanes, :],
-                         hi=spec.exact_movement)
-                     for t in range(Fk * Fk)], axis=0)   # (Fk^2*Rp, lanes)
+                # patch matrix by roll+mask STORES into the level's
+                # scratch (pieces are Rp rows, 8-aligned by the matcher
+                # gate): piece t = roll(p_prev, -off) with the wrap
+                # region zeroed — exactly the sh one-hot shift matmul's
+                # output, minus its bf16 rounding of the moved values
+                # (cf. megastep._conv_fwd_bwd's conv2 build)
+                stkk = scratch[k]
+                lq = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+                for t, off in enumerate(_tap_offsets(Fk, stride)):
+                    stkk[t * Rp:(t + 1) * Rp, :] = jnp.where(
+                        lq < (lanes - off), _roll(p_prev, -off), 0.0)
+                ps = stkk[:]                             # (Fk^2*Rp, lanes)
                 w_big = _mm(_mm(emk, ws[k]), e9bk) * stkx  # (Rk, Fk^2*Rp)
                 z = (_mm(w_big, ps)
                      + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
@@ -1006,10 +1024,9 @@ def make_deep_epoch_fn(spec: DeepSpec, n_batches: int, interpret=None,
     Same contract as megastep.make_epoch_fn (shared build_epoch_fn
     harness); callers must not wrap the result in jax.jit."""
     const_arrs = list(build_constants_deep(spec).values())
-    stk = deep_stack_shape(spec)
     return build_epoch_fn(spec, n_batches, deep_kernel_shapes(spec),
                           const_arrs,
                           functools.partial(_kernel_deep, spec),
                           interpret=interpret, donate=donate,
-                          extra_scratch=(
-                              [pltpu.VMEM(stk, jnp.float32)] if stk else []))
+                          extra_scratch=[pltpu.VMEM(s, jnp.float32)
+                                         for s in deep_stack_shapes(spec)])

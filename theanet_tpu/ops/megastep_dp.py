@@ -57,7 +57,7 @@ from .megastep import (
     flagship_vmem_ok,
     kernel_reg_kinds,
     kernel_shapes,
-    stack_shape,
+    stack_shapes,
 )
 from .megastep_deep import (
     DeepSpec,
@@ -66,7 +66,7 @@ from .megastep_deep import (
     build_constants_deep,
     deep_kernel_shapes,
     deep_reg_kinds,
-    deep_stack_shape,
+    deep_stack_shapes,
 )
 
 __all__ = ["make_dp_epoch_fn", "dp_supported"]
@@ -93,7 +93,7 @@ def _flag_fwd_bwd(spec, x, y, params, ub_ref, fb_ref, pb_ref, db_ref,
     the level-1 patch stack."""
     return _conv_fwd_bwd(spec, None, x, y, tuple(params),
                          ub_ref, fb_ref, pb_ref, db_ref, *c_refs,
-                         stk_ref=scratch[0])
+                         stk_ref=scratch[0], stk2_ref=scratch[1])
 
 
 def family_scratch(spec):
@@ -102,10 +102,9 @@ def family_scratch(spec):
     (the per-step kernel here, the ring kernel, and — via make_epoch_fn's
     extra_scratch — the single-chip epoch kernel allocate the same
     thing)."""
-    if isinstance(spec, MegaSpec):
-        return [pltpu.VMEM(stack_shape(spec), jnp.float32)]
-    ds = deep_stack_shape(spec)
-    return [pltpu.VMEM(ds, jnp.float32)] if ds else []
+    shapes = (stack_shapes(spec) if isinstance(spec, MegaSpec)
+              else deep_stack_shapes(spec))
+    return [pltpu.VMEM(s, jnp.float32) for s in shapes]
 
 
 def _family(spec):
