@@ -328,14 +328,6 @@ def common_disqualifiers(net):
     return bad_dtype or net.remat or net.fused_tail
 
 
-def sublane_concat_ok(piece_rows):
-    """Mosaic can only concatenate sublane-axis pieces whose row count is a
-    multiple of the f32 sublane (8); on TPU a kernel that violates this
-    dies at compile, so matchers must reject such shapes there. Interpret
-    mode (CPU tests) has no such constraint."""
-    return jax.default_backend() != "tpu" or piece_rows % 8 == 0
-
-
 def flagship_vmem_ok(spec):
     """VMEM feasibility of the flagship kernel at ``spec.batch`` — sized
     from the ACTUAL constant tensors (sh2 grows as filt2^2 * p1^4 and the
@@ -451,9 +443,9 @@ def spec_from_net(net):
         tile_cands = [d for d in range(32, 3, -1) if B_ref % d == 0]
         tile_cands.append(B_ref)
     for bt in tile_cands:
-        # conv2's patch matrix sublane-concatenates M1*tile-row pieces
-        if not sublane_concat_ok(c1.num_maps * bt):
-            continue
+        # (conv2's patch matrix used to sublane-concatenate M1*tile-row
+        # pieces, restricting tiles to 8-multiples of M1*B; the store-
+        # built patch slots pad to 8 rows, so any tile size fuses now)
         cand = base._replace(
             batch=bt, n_tiles=B_ref // bt,
             loss_div=(B_ref if bt != B_ref else 0),
@@ -660,6 +652,12 @@ def build_constants(spec: MegaSpec):
         ecol1 = np.concatenate([ecol1, zc], axis=1)
         zs = np.zeros((stripe1.shape[0], CBP - CB), np.float32)
         stripe1 = np.concatenate([stripe1, zs], axis=1)
+    R1, R1P = M1 * B, _pad8(M1 * B)
+    if R1P != R1:
+        zc = np.zeros((ecol2.shape[0], R1P - R1), np.float32)
+        ecol2 = np.concatenate([ecol2, zc], axis=1)
+        zs = np.zeros((stripe2.shape[0], R1P - R1), np.float32)
+        stripe2 = np.concatenate([stripe2, zs], axis=1)
     em2 = np.repeat(np.eye(M2, dtype=np.float32), B, axis=0)     # (R2, M2)
     p2sq = spec.p2 * spec.p2
 
@@ -707,12 +705,14 @@ def stack_shapes(spec):
         sublane slot, so conv1's forward contraction and its
         weight-gradient contraction are each ONE wide matmul against the
         stack instead of F1^2 skinny (in_ch*B-lane) launches.
-    [1] conv2 patch matrix (p1s) — the F2^2 tap pieces (M1*B rows,
-        already 8-aligned) are built by roll+mask STORES instead of
-        one-hot shift matmuls."""
+    [1] conv2 patch matrix (p1s) — the F2^2 tap pieces (M1*B rows, in
+        8-row-aligned slots like [0]) are built by roll+mask STORES
+        instead of one-hot shift matmuls; the slot padding lifts the old
+        sublane-concat 8-multiple constraint on M1*batch entirely."""
     return [
         (spec.filt1 ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw),
-        (spec.filt2 ** 2 * spec.maps1 * spec.batch, spec.p1 * spec.p1),
+        (spec.filt2 ** 2 * _pad8(spec.maps1 * spec.batch),
+         spec.p1 * spec.p1),
     ]
 
 
@@ -1399,14 +1399,19 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     # K = F2^2*R1 matmul — the same patch matrix serves both backward
     # contractions.
     R1 = M1 * B
+    R1P = _pad8(R1)
     em2, st2x, e9b2 = em2_ref[:], st2x_ref[:], e9b2_ref[:]
     sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
     lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, P1SQ), 1)
+    if R1P != R1:
+        zpad2 = jnp.zeros((R1P - R1, P1SQ), jnp.float32)
     for k, off in enumerate(_tap_offsets(F2, spec.p1)):
-        stk2_ref[k * R1:(k + 1) * R1, :] = jnp.where(
+        stk2_ref[k * R1P:k * R1P + R1, :] = jnp.where(
             lane_q < (P1SQ - off), _roll(p1, -off), 0.0)
-    p1s = stk2_ref[:]                                     # (F2^2*R1, P1SQ)
-    w2_big = _mm(_mm(em2, w2), e9b2) * st2x               # (R2, F2^2*R1)
+        if R1P != R1:
+            stk2_ref[k * R1P + R1:(k + 1) * R1P, :] = zpad2
+    p1s = stk2_ref[:]                                     # (F2^2*R1P, P1SQ)
+    w2_big = _mm(_mm(em2, w2), e9b2) * st2x               # (R2, F2^2*R1P)
     z2 = _mm(w2_big, p1s) + _mm(em2, b2) * jnp.ones((1, P1SQ), jnp.float32)
     h2 = _act(z2, spec.act2, spec.slope2)
     v2 = v2_ref[:]
@@ -1464,23 +1469,26 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     # conv2 backward: one matmul per contraction against the patch matrix;
     # every tap's weight gradient falls out of ONE pair of matmuls through
     # the block-diagonal e9b2 (zero terms only — exact)
-    dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, F2^2*R1)
+    dbig_all = _mm(dz2, p1s, tb=True)                     # (R2, F2^2*R1P)
     dw2 = _mm(_mm(em2, dbig_all * st2x, ta=True), e9b2, tb=True)
     # (M2, F2^2*M1)
 
     if debug_stage == "bwd_dw2":
         return jnp.sum(dw2), min_tl, None
-    dp_stack = _mm(w2_big, dz2, ta=True)                  # (F2^2*R1, P1SQ)
-    dp1 = jnp.zeros_like(p1)
+    dp_stack = _mm(w2_big, dz2, ta=True)                  # (F2^2*R1P, P1SQ)
+    # accumulate at the PADDED slot height so every slice is 8-aligned,
+    # then drop the pad rows — exact zeros (w2_big's pad columns)
+    dp1p = jnp.zeros((R1P, P1SQ), jnp.float32)
     for k in range(F2 * F2):
         # un-shift with the transposed one-hot. (A roll+static-mask variant
         # — identical data movement without the nine MXU launches — was
         # measured a wash on chip: 19.18 vs 19.34 us at the bwd_conv2
         # truncation, full step 22.25 vs 22.22; the launches pipeline
         # behind VPU work. Kept as the simpler exact form.)
-        dp1 = dp1 + _mm(dp_stack[k * R1:(k + 1) * R1, :],
-                        sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True,
-                        hi=spec.exact_movement)
+        dp1p = dp1p + _mm(dp_stack[k * R1P:(k + 1) * R1P, :],
+                          sh2[k * P1SQ:(k + 1) * P1SQ, :], tb=True,
+                          hi=spec.exact_movement)
+    dp1 = dp1p[:R1] if R1P != R1 else dp1p
     db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)   # (M2, 1)
 
     if debug_stage == "bwd_conv2":

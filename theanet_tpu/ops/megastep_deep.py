@@ -69,7 +69,6 @@ from .megastep import (
     head_loss_tag,
     reg_of,
     smoothing_const,
-    sublane_concat_ok,
 )
 
 __all__ = ["DeepSpec", "deep_spec_from_net", "make_deep_epoch_fn",
@@ -216,11 +215,9 @@ def _conv_stack_ok(convs, pools, net):
     # frozen layers keep no momentum buffers in the framework layout
     if any(not c.reg["rate"] for c in convs):
         return None
-    # every deep level's patch matrix sublane-concatenates
-    # maps[k-1]*B-row pieces
-    if any(not sublane_concat_ok(convs[k - 1].num_maps * net.batch_sz)
-           for k in range(1, len(convs))):
-        return None
+    # (every deep level's patch matrix used to sublane-concatenate
+    # maps[k-1]*B-row pieces, restricting fusion to 8-multiples; the
+    # store-built patch slots pad to 8 rows, so any maps*batch fuses)
     return acts
 
 
@@ -481,18 +478,18 @@ def build_constants_deep(spec: DeepSpec):
         taps = spec.filts[k] ** 2
         ecol = np.repeat(np.eye(prev_maps, dtype=np.float32), B, axis=1)
         stripe = np.tile(np.eye(B, dtype=np.float32), (mk, prev_maps))
-        if k == 0:
-            # level-0 tap blocks live in 8-row-aligned patch-stack slots
-            # (deep_stack_shape; cf. megastep.build_constants): zero
-            # columns at each slot's pad positions
-            CB, CBP = prev_maps * B, _pad8(prev_maps * B)
-            if CBP != CB:
-                ecol = np.concatenate(
-                    [ecol, np.zeros((prev_maps, CBP - CB), np.float32)],
-                    axis=1)
-                stripe = np.concatenate(
-                    [stripe, np.zeros((mk * B, CBP - CB), np.float32)],
-                    axis=1)
+        # every level's tap blocks live in 8-row-aligned patch-stack
+        # slots (deep_stack_shapes; cf. megastep.build_constants): zero
+        # columns at each slot's pad positions, so ANY maps*batch fuses
+        # (no sublane-concat 8-multiple constraint)
+        CB, CBP = prev_maps * B, _pad8(prev_maps * B)
+        if CBP != CB:
+            ecol = np.concatenate(
+                [ecol, np.zeros((prev_maps, CBP - CB), np.float32)],
+                axis=1)
+            stripe = np.concatenate(
+                [stripe, np.zeros((mk * B, CBP - CB), np.float32)],
+                axis=1)
         consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k])
         consts[f"valid{k}"] = _valid_mask(c, stride)
         # pre-rolled anchor-mask stack + tap-batched striping constants
@@ -567,8 +564,9 @@ def deep_stack_shapes(spec: DeepSpec):
                spec.hw)]
     for k in range(1, spec.n_levels):
         stride = spec.sides[k][0]
-        shapes.append((spec.filts[k] ** 2 * spec.maps[k - 1] * spec.batch,
-                       stride * stride))
+        shapes.append(
+            (spec.filts[k] ** 2 * _pad8(spec.maps[k - 1] * spec.batch),
+             stride * stride))
     return shapes
 
 
@@ -712,17 +710,22 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                 stkx = lvl[k]["stx"][:]
                 p_prev = saved[k - 1][3]
                 # patch matrix by roll+mask STORES into the level's
-                # scratch (pieces are Rp rows, 8-aligned by the matcher
-                # gate): piece t = roll(p_prev, -off) with the wrap
+                # scratch (Rp-row pieces in 8-aligned RpP slots, pad rows
+                # zeroed): piece t = roll(p_prev, -off) with the wrap
                 # region zeroed — exactly the sh one-hot shift matmul's
                 # output, minus its bf16 rounding of the moved values
                 # (cf. megastep._conv_fwd_bwd's conv2 build)
+                RpP = _pad8(Rp)
                 stkk = scratch[k]
                 lq = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+                if RpP != Rp:
+                    zpk = jnp.zeros((RpP - Rp, lanes), jnp.float32)
                 for t, off in enumerate(_tap_offsets(Fk, stride)):
-                    stkk[t * Rp:(t + 1) * Rp, :] = jnp.where(
+                    stkk[t * RpP:t * RpP + Rp, :] = jnp.where(
                         lq < (lanes - off), _roll(p_prev, -off), 0.0)
-                ps = stkk[:]                             # (Fk^2*Rp, lanes)
+                    if RpP != Rp:
+                        stkk[t * RpP + Rp:(t + 1) * RpP, :] = zpk
+                ps = stkk[:]                            # (Fk^2*RpP, lanes)
                 w_big = _mm(_mm(emk, ws[k]), e9bk) * stkx  # (Rk, Fk^2*Rp)
                 z = (_mm(w_big, ps)
                      + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
@@ -874,15 +877,19 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
             stkx = lvl[k]["stx"][:]
             sh = lvl[k]["sh"][:]
             ps = patches[k]
-            dbig_all = _mm(dz, ps, tb=True)              # (Rk, Fk^2*Rp)
+            RpP = _pad8(Rp)
+            dbig_all = _mm(dz, ps, tb=True)              # (Rk, Fk^2*RpP)
             dws[k] = _mm(_mm(emk, dbig_all * stkx, ta=True), e9bk,
                          tb=True)                        # (Mk, Fk^2*Mp)
-            dstack = _mm(wbigs[k], dz, ta=True)          # (Fk^2*Rp, lanes)
-            dp = jnp.zeros((Rp, lanes), jnp.float32)
+            dstack = _mm(wbigs[k], dz, ta=True)          # (Fk^2*RpP, lanes)
+            # accumulate at the PADDED slot height (8-aligned slices),
+            # then drop the pad rows — exact zeros (w_big's pad columns)
+            dpp = jnp.zeros((RpP, lanes), jnp.float32)
             for t in range(Fk * Fk):
-                dp = dp + _mm(dstack[t * Rp:(t + 1) * Rp, :],
-                              sh[t * lanes:(t + 1) * lanes, :], tb=True,
-                              hi=spec.exact_movement)
+                dpp = dpp + _mm(dstack[t * RpP:(t + 1) * RpP, :],
+                                sh[t * lanes:(t + 1) * lanes, :], tb=True,
+                                hi=spec.exact_movement)
+            dp = dpp[:Rp] if RpP != Rp else dpp
             dbs[k] = _mm(emk, jnp.sum(dz, axis=1, keepdims=True), ta=True)
         else:
             # ONE wide contraction against the forward's patch stack

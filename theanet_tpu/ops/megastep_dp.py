@@ -123,19 +123,18 @@ def _family(spec):
 def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
     """Can this conv-family spec run the fused-DP path on an n_data-way
     mesh? Needs an even split of the GLOBAL (reference) batch, and on real
-    hardware the per-device kernel must satisfy Mosaic's sublane-concat
-    constraint and fit VMEM at the LOCAL batch size. Tiled flagship specs
-    are accepted: the DP path re-poses them as one untiled global batch
-    (_untiled_global) and shards THAT."""
+    hardware the per-device kernel must fit VMEM at the LOCAL batch size.
+    Tiled flagship specs are accepted: the DP path re-poses them as one
+    untiled global batch (_untiled_global) and shards THAT."""
     if isinstance(spec, MegaSpec):
         spec = _untiled_global(spec)
         if spec.batch % n_data:
             return False
         b_loc = spec.batch // n_data
         if not on_tpu:
-            return True  # interpret mode: no Mosaic/VMEM constraints
-        if (spec.maps1 * b_loc) % 8 != 0:
-            return False
+            return True  # interpret mode: no VMEM constraints
+        # (the old (maps1*b_loc) % 8 Mosaic sublane-concat gate is gone:
+        # the store-built patch slots pad to 8 rows at any shard size)
         return flagship_vmem_ok(spec._replace(batch=b_loc))
     if isinstance(spec, DeepSpec):
         if spec.batch % n_data:
@@ -143,10 +142,7 @@ def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
         b_loc = spec.batch // n_data
         if not on_tpu:
             return True
-        # level k>0 patch matrices sublane-concat maps[k-1]*b_loc-row pieces
-        if any((spec.maps[k - 1] * b_loc) % 8
-               for k in range(1, spec.n_levels)):
-            return False
+        # (no sublane-concat gate: patch slots pad to 8 rows per level)
         return _deep_vmem_ok(spec._replace(batch=b_loc))
     # the tuned flat-MLP family (MlpSpec) has no DP kernel, but flat nets
     # never reach here under a mesh: fused_plan(for_mesh=True) matches
