@@ -591,6 +591,16 @@ def _pool_offsets(pool, stride):
     return [dy * stride + dx for dy in range(pool) for dx in range(pool)]
 
 
+def _member_grid(c, pool, stride):
+    """One-hot membership matrix from the anchor grid ``c``
+    (stride^2, side_out^2): row q has a single 1 in the column of the
+    window q belongs to (windows are non-overlapping, so each position
+    is a member of at most one). Equals sum_j roll(c, off_j, axis=0) —
+    every window offset places the anchor's column at the member row."""
+    return sum(np.roll(c, off, axis=0)
+               for off in _pool_offsets(pool, stride)).astype(np.float32)
+
+
 def _pool_max(z, pool, stride):
     """Window max over the pool x pool window anchored at each position,
     separably: p-1 column rolls then p-1 row rolls (2(p-1) VPU maxes
@@ -626,6 +636,11 @@ def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2,
         # pool backward reads constant rows instead of rolling at runtime
         "a1r": _rolled_anchor_stack(a1, pool1, img),
         "a2r": _rolled_anchor_stack(a2, pool2, p1),
+        # one-hot membership matrices (position -> its window): ONE
+        # movement matmul spreads each anchor's gradient to every member
+        # in the pool backward, replacing pool^2 roll/where/add passes
+        "mem1": _member_grid(_anchor_grid(p1, img, pool1), pool1, img),
+        "mem2": _member_grid(_anchor_grid(p2, p1, pool2), pool2, p1),
         "sh2": _shift_stack(filt2, p1),
     }
 
@@ -765,6 +780,7 @@ def _tap_offsets(filt, stride):
 
 MEGA_CONST_NAMES = (
     "s_smooth", "c1", "c2", "valid1", "valid2", "a1r", "a2r",
+    "mem1", "mem2",
     "em1", "em2", "st1x", "st2x", "e9b1", "e9b2", "selmask", "selsum",
     "sumsel", "sh2",
 )
@@ -1318,6 +1334,7 @@ def _apply_updates(updates, lr):
 def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ub_ref, fb_ref, pb_ref, db_ref,
                   ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+                  mem1_ref, mem2_ref,
                   em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
                   selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
                   stk_ref=None, stk2_ref=None, wt_scale=1.0, noise_row=0):
@@ -1423,10 +1440,22 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
         return jnp.sum(p2), 0.0, None
 
     # ---------------- flatten (embed + select matmuls) + dense tail
+    # lane-tile p2 across the M2 map blocks on the MXU: selsum's transpose
+    # IS the tile matrix (selsum[l, q] = [q(l) == q]), so the tile is one
+    # movement matmul instead of an M2-piece lane concat (the concat's
+    # unaligned 36-lane writes measured ~1 us — the single biggest
+    # dense-tail block; same values, selection is exact movement)
     selmask = selmask_ref[:]
-    p_embed = jnp.concatenate([p2] * M2, axis=1) * selmask  # (R2, NF)
+    p_embed = _mm(p2, selsum_ref[:], tb=True,
+                  hi=spec.exact_movement) * selmask        # (R2, NF)
+
+    if debug_stage == "embed":
+        return jnp.sum(p_embed), 0.0, None
     sumsel = sumsel_ref[:]
     f = _mm(sumsel, p_embed, hi=spec.exact_movement)      # (B, NF)
+
+    if debug_stage == "flat":
+        return jnp.sum(f), 0.0, None
 
     cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
                                                  db_ref, row=noise_row)
@@ -1454,13 +1483,24 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     # one mul + one one-hot matmul instead of an M2-slice loop
     dp2 = _mm(dpe * selmask, selsum_ref[:], hi=spec.exact_movement)
 
-    # pool2 backward: expand anchor grads, gate by max-equality
+    if debug_stage == "unembed":
+        return jnp.sum(dp2), min_tl, None
+
+    # pool2 backward: ONE membership matmul spreads each anchor's
+    # gradient to every window member (mem2 rows are one-hot — exact
+    # movement, bit-identical to the per-offset rolled form it replaced),
+    # the window max spreads to members by pool^2 masked rolls of mx2
+    # (exact VPU movement), and a single compare/select gates the result
+    # (all tied maxima receive the anchor gradient — reference
+    # convpool.py max-pool semantics).
     a2r = a2r_ref[:]
-    dmx2 = _mm(dp2, c2_ref[:], tb=True, hi=spec.exact_movement)  # (R2, P1SQ)
-    dz2a = jnp.zeros_like(z2m)
+    dmxe2 = _mm(dp2, mem2_ref[:], tb=True, hi=spec.exact_movement)
+    mxe2 = jnp.zeros_like(z2m)                            # (R2, P1SQ)
     for j, off in enumerate(_pool_offsets(spec.pool2, spec.p1)):
-        gate = (a2r[j:j + 1, :] > 0) & (z2m == _roll(mx2, off))
-        dz2a = dz2a + jnp.where(gate, _roll(dmx2, off), 0.0)
+        mxe2 = mxe2 + jnp.where(a2r[j:j + 1, :] > 0, _roll(mx2, off), 0.0)
+    # positions outside every window: mxe2 = 0 may equal a real z2m, but
+    # dmxe2 is exactly 0 there (empty membership row), so no grad leaks
+    dz2a = jnp.where(z2m == mxe2, dmxe2, 0.0)
     dz2 = dz2a * _dact(z2, spec.act2, spec.slope2)        # (R2, P1SQ)
 
     if debug_stage == "bwd_pool2":
@@ -1494,13 +1534,13 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     if debug_stage == "bwd_conv2":
         return jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2), min_tl, None
 
-    # pool1 backward
+    # pool1 backward (same membership-matmul structure as pool2)
     a1r = a1r_ref[:]
-    dmx1 = _mm(dp1, c1_ref[:], tb=True, hi=spec.exact_movement)  # (R1, HW)
-    dz1a = jnp.zeros_like(z1m)
+    dmxe1 = _mm(dp1, mem1_ref[:], tb=True, hi=spec.exact_movement)
+    mxe1 = jnp.zeros_like(z1m)                            # (R1, HW)
     for j, off in enumerate(_pool_offsets(spec.pool1, H)):
-        gate = (a1r[j:j + 1, :] > 0) & (z1m == _roll(mx1, off))
-        dz1a = dz1a + jnp.where(gate, _roll(dmx1, off), 0.0)
+        mxe1 = mxe1 + jnp.where(a1r[j:j + 1, :] > 0, _roll(mx1, off), 0.0)
+    dz1a = jnp.where(z1m == mxe1, dmxe1, 0.0)
     dz1 = dz1a * _dact(z1, spec.act1, spec.slope1)        # (R1, HW)
 
     if debug_stage == "bwd_pool1":
@@ -1535,6 +1575,7 @@ def _kernel(spec: MegaSpec,
             a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
             aow_ref, aob_ref,
             ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+            mem1_ref, mem2_ref,
             em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
             selmask_ref, selsum_ref, sumsel_ref,
             sh2_ref,
@@ -1602,6 +1643,7 @@ def _kernel(spec: MegaSpec,
             spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
             ub_ref, fb_ref, pb_ref, db_ref,
             ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+            mem1_ref, mem2_ref,
             em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
             selmask_ref, selsum_ref, sumsel_ref, sh2_ref, stk_ref, stk2_ref,
             wt_scale=(1.0 if n_tiles == 1

@@ -51,6 +51,7 @@ from .megastep import (
     _pad8,
     act_of,
     _pool_max,
+    _member_grid,
     _pool_offsets,
     _roll,
     _rolled_anchor_stack,
@@ -496,6 +497,11 @@ def build_constants_deep(spec: DeepSpec):
         # (see megastep.build_constants — same exact-batching design)
         consts[f"a{k}r"] = _rolled_anchor_stack(
             _anchor_mask(po, stride, spec.pools[k]), spec.pools[k], stride)
+        # one-hot membership matrix (position -> its window): the pool
+        # backward's gradient spread is ONE movement matmul (see
+        # megastep._member_grid; pool 1 degenerates to the anchor grid)
+        consts[f"mem{k}"] = _member_grid(consts[f"c{k}"],
+                                         spec.pools[k], stride)
         consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), B, axis=0)
         consts[f"e9b{k}"] = _tap_blockdiag(ecol, taps)
         consts[f"st{k}x"] = np.tile(stripe, (1, taps))
@@ -594,7 +600,7 @@ def deep_reg_kinds(spec: DeepSpec):
 
 def _n_deep_consts(spec: DeepSpec):
     n_sel = 1 if spec.n_levels == 0 else 3   # sumsel [+ selmask + selsum]
-    return (1 + sum(6 if k == 0 else 7 for k in range(spec.n_levels))
+    return (1 + sum(7 if k == 0 else 8 for k in range(spec.n_levels))
             + n_sel
             + (1 if (spec.head in ("logit", "rbf")
                      and not spec.learn_centers) else 0))
@@ -608,9 +614,9 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
     i = 1
     for k in range(spec.n_levels):
         d = {"c": c_refs[i], "valid": c_refs[i + 1], "ar": c_refs[i + 2],
-             "em": c_refs[i + 3], "e9b": c_refs[i + 4],
-             "stx": c_refs[i + 5]}
-        i += 6
+             "mem": c_refs[i + 3], "em": c_refs[i + 4], "e9b": c_refs[i + 5],
+             "stx": c_refs[i + 6]}
+        i += 7
         if k > 0:
             d["sh"] = c_refs[i]
             i += 1
@@ -743,7 +749,10 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         Mn = spec.maps[-1]
         pn = saved[-1][3]
         selmask = selmask_ref[:]
-        p_embed = jnp.concatenate([pn] * Mn, axis=1) * selmask
+        # lane-tile via selsum's transpose — one movement matmul instead
+        # of an Mn-piece lane concat (see megastep._conv_fwd_bwd)
+        p_embed = _mm(pn, selsum_ref[:], tb=True,
+                      hi=spec.exact_movement) * selmask
         f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
     # pre-hidden dense stack (leading lane slices of the dropout block;
@@ -859,12 +868,16 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     for k in range(n - 1, -1, -1):
         stride, c, po = spec.sides[k]
         z, zm, mx, _p = saved[k]
+        # membership-matmul pool backward (megastep._conv_fwd_bwd): one
+        # one-hot matmul spreads anchor grads to members, masked rolls
+        # spread the window max, one compare/select gates — bit-identical
+        # to the per-offset rolled form
         ar = lvl[k]["ar"][:]
-        dmx = _mm(dp, lvl[k]["c"][:], tb=True, hi=spec.exact_movement)
-        dza = jnp.zeros_like(zm)
+        dmxe = _mm(dp, lvl[k]["mem"][:], tb=True, hi=spec.exact_movement)
+        mxe = jnp.zeros_like(zm)
         for j, off in enumerate(_pool_offsets(spec.pools[k], stride)):
-            gate = (ar[j:j + 1, :] > 0) & (zm == _roll(mx, off))
-            dza = dza + jnp.where(gate, _roll(dmx, off), 0.0)
+            mxe = mxe + jnp.where(ar[j:j + 1, :] > 0, _roll(mx, off), 0.0)
+        dza = jnp.where(zm == mxe, dmxe, 0.0)
         dz = dza * _dact(z, spec.acts[k] if spec.acts else "leaky",
                          spec.slopes[k])
 

@@ -31,9 +31,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-STAGES = ["noop0", "noop", "warp", "smat", "aug", "conv1", "conv2", "fwd",
-          "bwd_dense", "bwd_pool2", "bwd_dw2", "bwd_conv2", "bwd_pool1",
-          "grads", "full"]
+STAGES = ["noop0", "noop", "warp", "smat", "aug", "conv1", "conv2",
+          "embed", "flat", "fwd", "bwd_dense", "unembed", "bwd_pool2",
+          "bwd_dw2", "bwd_conv2", "bwd_pool1", "grads", "full"]
 
 
 def main():
