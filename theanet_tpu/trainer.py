@@ -326,21 +326,22 @@ class Trainer:
                     )
             if (plan is not None and mega_mode == "auto" and mesh is None
                     and getattr(plan.spec, "n_tiles", 1) > 1
-                    and bsz > 64):
+                    and bsz > 128):
                 decline_reason = (
-                    f"BATCH_SZ {bsz} > 64 rides the measured tiled-vs-"
-                    "scanned crossover (XLA's batched convs win from 128 "
+                    f"BATCH_SZ {bsz} > 128 rides the measured tiled-vs-"
+                    "scanned crossover (XLA's batched convs win from 256 "
                     "up; MEGAFUSED=True forces the tiled kernel)"
                 )
                 # Batch-tiled fusion has a measured crossover vs the
-                # scanned path: after the r3 block-diagonal kernel
-                # batching, tiled-fused wins at batch 64 (788k vs 710k
-                # img/s chained on v5e) but XLA's batched convs win from
-                # 128 up (1.11M/1.25M scanned vs 814k/842k tiled at
-                # 128/256 — tools/tiled_crossover.py, BASELINE.md).
-                # 'auto' therefore tiles up to batch 64 and keeps the
-                # scanned path beyond; MEGAFUSED=True still forces the
-                # tiled kernel at any batch.
+                # scanned path, re-measured after the r4 membership-
+                # matmul/MXU-tile kernel work: tiled-fused wins at batch
+                # 64 (1,185k vs 730k img/s chained on v5e) and 128
+                # (1,150k vs 1,106k), XLA's batched convs win from 256 up
+                # (1,293k scanned vs 1,208k tiled —
+                # tools/tiled_crossover.py, BASELINE.md r4). 'auto'
+                # therefore tiles up to batch 128 and keeps the scanned
+                # path beyond; MEGAFUSED=True still forces the tiled
+                # kernel at any batch.
                 plan = None
             if plan is not None and train_x.shape[1] != plan.spec.in_ch:
                 decline_reason = (
