@@ -1,7 +1,7 @@
 """MEGAFUSED=auto decline diagnostics (VERDICT r3 item 8): when a net
 cannot fuse, ``megastep.fused_decline_reason`` must NAME the disqualifier
-(stride>1, mode='full'/'same', pool>filter, unfusable activation/loss,
-frozen layer, bad dtype) instead of a generic wave, and the probes must
+(mode='full', non-divisible stride, unfusable activation/loss, frozen
+layer, bad dtype) instead of a generic wave, and the probes must
 never contradict the matchers: any net the probes flag must actually be
 declined by ``fused_plan``, and any fused-eligible net must not trip a
 probe (the function is diagnostic-only; the matchers own eligibility)."""
@@ -13,9 +13,9 @@ from theanet_tpu.model import NeuralNet
 from theanet_tpu.ops import megastep
 
 
-def _net(conv_kw=None, head=None, tr_extra=None, hid_kw=None):
+def _net(conv_kw=None, head=None, tr_extra=None, hid_kw=None, img=14):
     layers = [
-        ["InputLayer", {"img_sz": 14}],
+        ["InputLayer", {"img_sz": img}],
         ["ConvLayer", dict({"num_maps": 3, "filter_sz": 3, "stride": 1,
                             "mode": "valid", "actvn": "relu07"},
                            **(conv_kw or {}))],
@@ -32,11 +32,12 @@ def _net(conv_kw=None, head=None, tr_extra=None, hid_kw=None):
 
 
 CASES = [
-    ("stride", _net(conv_kw={"stride": 2}), "stride=2"),
+    # stride 2 on img 14 (in-f+1 = 12, divisible) FUSES since r4; the
+    # remaining stride decline is the non-divisible envelope where the
+    # reference's floor bookkeeping disagrees with the conv tensor
+    ("stride_nondiv", _net(conv_kw={"stride": 2}, img=13),
+     "stride=2 does not divide"),
     ("mode_full", _net(conv_kw={"mode": "full"}), "mode='full'"),
-    ("mode_same", _net(conv_kw={"mode": "same"}), "mode='same'"),
-    ("pool_gt_filter", _net(conv_kw={"filter_sz": 3, "num_maps": 3},
-                            head=None), None),  # patched below
     ("softmax_hidden", _net(hid_kw={"actvn": "softmax"}),
      "activation 'softmax'"),
     ("hinge_max", _net(head=["SoftmaxLayer", {"n_out": 3,
@@ -56,7 +57,15 @@ def test_reason_names_the_disqualifier(tag, net, expect):
     assert expect in reason, (tag, reason)
 
 
-def test_pool_gt_filter_reason():
+def test_former_disqualifiers_now_fuse():
+    """stride>1 (divisible), mode='same', and pool>filter all fuse via
+    the deep family since the r4 geometry extensions — they must reach
+    fused_plan AND trip no decline probe (tests/test_fused_modes.py pins
+    their trajectories)."""
+    for kw in ({"stride": 2},                 # in-f+1 = 12, divisible
+               {"mode": "same"},):
+        net = _net(conv_kw=kw)
+        assert megastep.fused_plan(net) is not None, kw
     layers = [
         ["InputLayer", {"img_sz": 16}],
         ["ConvLayer", {"num_maps": 3, "filter_sz": 3, "stride": 1,
@@ -69,8 +78,7 @@ def test_pool_gt_filter_reason():
                "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
                "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
     net = NeuralNet(layers, tr_prms)
-    assert megastep.fused_plan(net) is None
-    assert "pool_sz=4 > filter_sz=3" in megastep.fused_decline_reason(net)
+    assert megastep.fused_plan(net) is not None
 
 
 def test_fusable_net_trips_no_probe():
@@ -87,9 +95,10 @@ def test_auto_notice_names_reason_in_trainer(capsys):
     """Trainer's MEGAFUSED=True error carries the named reason."""
     from theanet_tpu.trainer import Trainer
 
-    net = _net(conv_kw={"stride": 2}, tr_extra={"MEGAFUSED": True})
+    net = _net(conv_kw={"stride": 2}, tr_extra={"MEGAFUSED": True},
+               img=13)                        # non-divisible stride
     rng = np.random.RandomState(0)
-    x = rng.rand(8, 1, 14, 14).astype(np.float32)
+    x = rng.rand(8, 1, 13, 13).astype(np.float32)
     y = rng.randint(0, 3, 8).astype(np.int32)
-    with pytest.raises(ValueError, match="stride=2"):
+    with pytest.raises(ValueError, match="stride=2 does not divide"):
         Trainer(net, x, y, x, y)

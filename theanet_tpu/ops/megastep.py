@@ -510,7 +510,7 @@ def fused_decline_reason(net):
     grammar/VMEM line. Diagnostic only — the matchers stay the single
     source of truth for eligibility."""
     from ..layers import (CenteredOutLayer, ConvLayer, ExpLossLayer,
-                          HiddenLayer, HingeLayer, PoolLayer, SoftAuxLayer,
+                          HiddenLayer, HingeLayer, SoftAuxLayer,
                           SoftmaxLayer)
 
     if net.compute_dtype is not None \
@@ -526,17 +526,19 @@ def fused_decline_reason(net):
     L = net.net_layers
     for k, lyr in enumerate(L):
         if type(lyr) is ConvLayer:
-            if lyr.stride != 1:
-                return (f"layer {k} ConvLayer stride={lyr.stride} (the "
-                        "fused families support stride 1 only)")
-            if lyr.mode != "valid":
-                return (f"layer {k} ConvLayer mode='{lyr.mode}' (the fused "
-                        "families support mode='valid' only)")
-            if k + 1 < len(L) and type(L[k + 1]) is PoolLayer \
-                    and L[k + 1].pool_sz > lyr.filter_sz:
-                return (f"layer {k + 1} pool_sz={L[k + 1].pool_sz} > "
-                        f"filter_sz={lyr.filter_sz} (lane-roll pooling "
-                        "needs pool_sz <= the adjacent filter_sz)")
+            if lyr.mode == "full":
+                return (f"layer {k} ConvLayer mode='full' (the reference's "
+                        "out = in + filter + 1 bookkeeping quirk makes "
+                        "full-mode shapes inconsistent; scanned-only by "
+                        "design)")
+            if lyr.stride > 1 \
+                    and (lyr.in_sz - lyr.filter_sz + 1) % lyr.stride:
+                return (f"layer {k} ConvLayer stride={lyr.stride} does not "
+                        f"divide in-filter+1="
+                        f"{lyr.in_sz - lyr.filter_sz + 1} (the reference's "
+                        "floor out_sz bookkeeping disagrees with the conv "
+                        "tensor there and such nets shape-error; the "
+                        "scanned path keeps that parity)")
         actvn = getattr(lyr, "actvn", None)
         if actvn is not None and act_of(actvn) is None \
                 and not isinstance(lyr, (SoftmaxLayer, SoftAuxLayer)):
@@ -560,57 +562,106 @@ def fused_decline_reason(net):
             "head) or the working set exceeds the VMEM gate")
 
 
-def _anchor_grid(side_out, stride_in, pool):
+def _anchor_grid(side_out, stride_in, pool, cstride=1):
     """One-hot compaction matrix (stride_in^2, side_out^2): column r=(i,j)
-    selects the window anchor, input position (pool*i)*stride_in + pool*j."""
+    selects the window anchor. ``cstride`` > 1 spaces the pooled grid on
+    a conv-stride lattice (a strided conv's outputs live at
+    cstride-multiples of the full stride-1 grid the kernel computes on),
+    so the anchor sits at input position
+    (pool*i*cstride)*stride_in + pool*j*cstride."""
     c = np.zeros((stride_in * stride_in, side_out * side_out), np.float32)
     for i in range(side_out):
         for j in range(side_out):
-            c[(pool * i) * stride_in + pool * j, i * side_out + j] = 1.0
+            c[(pool * i * cstride) * stride_in + pool * j * cstride,
+              i * side_out + j] = 1.0
     return c
 
 
-def _valid_mask(side_valid, stride):
+def _valid_mask(side_valid, stride, cstride=1):
+    """Marks the conv-output positions: the (y, x) lattice points
+    (y*cstride, x*cstride) for y, x < side_valid."""
     m = np.zeros((1, stride * stride), np.float32)
-    for i in range(side_valid):
-        m[0, i * stride : i * stride + side_valid] = 1.0
+    for y in range(side_valid):
+        for x in range(side_valid):
+            m[0, (y * cstride) * stride + x * cstride] = 1.0
     return m
 
 
-def _anchor_mask(side_out, stride, pool):
-    m = np.zeros((1, stride * stride), np.float32)
+def _pool_offsets(pool, stride, cstride=1):
+    """Flat lane offsets of a pool window's positions relative to its
+    anchor: {(dy*stride + dx) * cstride} for dy,dx in [0,pool) —
+    ``cstride`` steps along the strided-conv lattice."""
+    return [(dy * stride + dx) * cstride
+            for dy in range(pool) for dx in range(pool)]
+
+
+def _member_grid(side_out, stride_in, pool, cstride=1, side_valid=None):
+    """One-hot membership matrix (stride_in^2, side_out^2): row q has a
+    single 1 in the column of the window it belongs to (windows are
+    non-overlapping, so each position is a member of at most one).
+    Members are CLIPPED to the conv-output extent ``side_valid`` (ceil
+    pooling's partial windows stop at the tensor edge, reference
+    convpool.py ignore_border=False), so no row ever wraps to a foreign
+    grid position."""
+    if side_valid is None:
+        side_valid = side_out * pool
+    m = np.zeros((stride_in * stride_in, side_out * side_out), np.float32)
     for i in range(side_out):
         for j in range(side_out):
-            m[0, (pool * i) * stride + pool * j] = 1.0
+            for dy in range(pool):
+                for dx in range(pool):
+                    y, x = pool * i + dy, pool * j + dx
+                    if y < side_valid and x < side_valid:
+                        m[(y * cstride) * stride_in + x * cstride,
+                          i * side_out + j] = 1.0
     return m
 
 
-def _pool_offsets(pool, stride):
-    """Flat lane offsets of a pool window's positions relative to its
-    anchor: {dy*stride + dx} for dy,dx in [0,pool)."""
-    return [dy * stride + dx for dy in range(pool) for dx in range(pool)]
+def _member_stack(side_out, stride_in, pool, cstride=1, side_valid=None):
+    """(pool^2, stride_in^2) stack of per-offset member masks: row k
+    marks the positions that are offset-_pool_offsets[k] members of
+    their window, clipped like _member_grid. Replaces the rolled
+    anchor-mask stack (identical within the no-partial-window envelope;
+    exact at clipped partial windows, where a wrapped roll would mark a
+    foreign position)."""
+    if side_valid is None:
+        side_valid = side_out * pool
+    m = np.zeros((pool * pool, stride_in * stride_in), np.float32)
+    for i in range(side_out):
+        for j in range(side_out):
+            for k, (dy, dx) in enumerate(
+                    (dy, dx) for dy in range(pool) for dx in range(pool)):
+                y, x = pool * i + dy, pool * j + dx
+                if y < side_valid and x < side_valid:
+                    m[k, (y * cstride) * stride_in + x * cstride] = 1.0
+    return m
 
 
-def _member_grid(c, pool, stride):
-    """One-hot membership matrix from the anchor grid ``c``
-    (stride^2, side_out^2): row q has a single 1 in the column of the
-    window q belongs to (windows are non-overlapping, so each position
-    is a member of at most one). Equals sum_j roll(c, off_j, axis=0) —
-    every window offset places the anchor's column at the member row."""
-    return sum(np.roll(c, off, axis=0)
-               for off in _pool_offsets(pool, stride)).astype(np.float32)
-
-
-def _pool_max(z, pool, stride):
+def _pool_max(z, pool, stride, cstride=1, guard=False):
     """Window max over the pool x pool window anchored at each position,
     separably: p-1 column rolls then p-1 row rolls (2(p-1) VPU maxes
-    instead of p^2-1 for the direct offset enumeration)."""
+    instead of p^2-1 for the direct offset enumeration). ``guard`` masks
+    each roll's cross-row / cross-grid reads to BIG_NEG — needed when
+    the conv slack beyond the valid region cannot absorb the reads
+    (same-mode convs, strided convs, pool windows wider than the
+    filter); the consumed positions are only the window anchors, whose
+    guarded reads are exactly the reference's partial-window clipping."""
+    n = stride
+    if guard:
+        lq = jax.lax.broadcasted_iota(jnp.int32, (1, n * n), 1)
+        colq, rowq = lq % n, lq // n
     row = z
     for dx in range(1, pool):
-        row = jnp.maximum(row, _roll(z, -dx))
+        t = _roll(z, -dx * cstride)
+        if guard:
+            t = jnp.where(colq < (n - dx * cstride), t, BIG_NEG)
+        row = jnp.maximum(row, t)
     out = row
     for dy in range(1, pool):
-        out = jnp.maximum(out, _roll(row, -dy * stride))
+        t = _roll(row, -dy * cstride * n)
+        if guard:
+            t = jnp.where(rowq < (n - dy * cstride), t, BIG_NEG)
+        out = jnp.maximum(out, t)
     return out
 
 
@@ -624,23 +675,22 @@ def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2,
     when only the batch-dependent stripes actually change.
     ``need_smooth=False`` (magnitude == 0) ships the placeholder instead —
     see smoothing_const."""
-    a1 = _anchor_mask(p1, img, pool1)                          # (1, hw)
-    a2 = _anchor_mask(p2, p1, pool2)                           # (1, p1^2)
     return {
         "s_smooth": smoothing_const(img, sigma, need_smooth),  # (hw, hw)
         "c1": _anchor_grid(p1, img, pool1),                    # (hw, p1^2)
         "c2": _anchor_grid(p2, p1, pool2),                     # (p1^2, p2^2)
         "valid1": _valid_mask(c1, img),                        # (1, hw)
         "valid2": _valid_mask(c2, p1),                         # (1, p1^2)
-        # pre-rolled anchor masks, one row per pool-window offset, so the
-        # pool backward reads constant rows instead of rolling at runtime
-        "a1r": _rolled_anchor_stack(a1, pool1, img),
-        "a2r": _rolled_anchor_stack(a2, pool2, p1),
+        # per-offset member masks, one row per pool-window offset, so the
+        # pool backward's max spread reads constant rows instead of
+        # rolling anchor masks at runtime (clipped at the valid extent)
+        "a1r": _member_stack(p1, img, pool1, side_valid=c1),
+        "a2r": _member_stack(p2, p1, pool2, side_valid=c2),
         # one-hot membership matrices (position -> its window): ONE
         # movement matmul spreads each anchor's gradient to every member
         # in the pool backward, replacing pool^2 roll/where/add passes
-        "mem1": _member_grid(_anchor_grid(p1, img, pool1), pool1, img),
-        "mem2": _member_grid(_anchor_grid(p2, p1, pool2), pool2, p1),
+        "mem1": _member_grid(p1, img, pool1, side_valid=c1),
+        "mem2": _member_grid(p2, p1, pool2, side_valid=c2),
         "sh2": _shift_stack(filt2, p1),
     }
 
@@ -731,16 +781,6 @@ def stack_shapes(spec):
     ]
 
 
-def _rolled_anchor_stack(a, pool, stride):
-    """(pool^2, N) stack of the anchor mask pre-rolled by each window
-    offset: row j = roll(a, _pool_offsets[j]) (matching _roll semantics,
-    values move toward higher lanes)."""
-    return np.concatenate(
-        [np.roll(a, off, axis=1) for off in _pool_offsets(pool, stride)],
-        axis=0,
-    )
-
-
 def _tap_blockdiag(ecol, taps):
     """Block-diagonal stack of ``ecol`` (c, s), one block per conv tap:
     out[k*c + i, k*s + j] = ecol[i, j]."""
@@ -763,6 +803,23 @@ def _shift_stack(filt, stride):
     return sh
 
 
+def _shift_stack_mode(filt, stride, mode):
+    """Mode-aware _shift_stack: sh[t*p + (q + off_t), q] = 1 exactly when
+    tap t's patch piece READ position q + off_t (per _tap_masks), so the
+    backward un-shift scatters gradients only to inputs the forward
+    consumed. 'valid' reproduces _shift_stack bit-for-bit."""
+    if mode == "valid":
+        return _shift_stack(filt, stride)
+    p = stride * stride
+    tm = _tap_masks(filt, stride, mode)
+    sh = np.zeros((filt ** 2 * p, p), np.float32)
+    for t, off in enumerate(_tap_offsets_mode(filt, stride, mode)):
+        for q in range(p):
+            if tm[t, q] and 0 <= q + off < p:
+                sh[t * p + q + off, q] = 1.0
+    return sh
+
+
 # tap offsets enumerate the REVERSED kernel (true convolution): output q
 # reads input q + off for off built from the flipped tap position.
 def _tap_offsets(filt, stride):
@@ -772,6 +829,56 @@ def _tap_offsets(filt, stride):
             uu, vv = filt - 1 - u, filt - 1 - v
             offs.append(uu * stride + vv)
     return offs
+
+
+def _tap_offsets_mode(filt, stride, mode):
+    """Per-tap flat lane offsets in the SAME reversed-kernel enumeration
+    order as _tap_offsets (the kernel weight layout depends on the
+    order). mode 'valid' reads input q + off, off >= 0; mode 'same'
+    centers the window (reference convpool.py: full conv cropped by
+    (f-1)//2), so offsets are signed: (uu - sh)*stride + (vv - sh)."""
+    if mode == "valid":
+        return _tap_offsets(filt, stride)
+    sh = (filt - 1) // 2
+    offs = []
+    for u in range(filt):
+        for v in range(filt):
+            uu, vv = filt - 1 - u, filt - 1 - v
+            offs.append((uu - sh) * stride + (vv - sh))
+    return offs
+
+
+def _tap_masks(filt, stride, mode, unmasked=False):
+    """(filt^2, stride^2) per-tap read-validity masks for the store-built
+    patch pieces: tap t keeps position q iff its read q + off_t is a real
+    grid neighbor. mode 'valid' keeps the historical flat wrap clip
+    (q + off < stride^2; row-crossing reads survive — they only feed
+    conv outputs beyond the valid extent, which the valid mask kills);
+    'same' needs the full 2-D clip because edge outputs are REAL outputs
+    whose off-grid taps must contribute exact zeros (lax.conv zero
+    padding). ``unmasked`` = all-ones (level 0's historical behavior:
+    even the flat wrap region survives, absorbed the same way)."""
+    p = stride * stride
+    m = np.zeros((filt * filt, p), np.float32)
+    if unmasked and mode == "valid":
+        m[:] = 1.0
+        return m
+    if mode == "valid":
+        for t, off in enumerate(_tap_offsets(filt, stride)):
+            m[t, :p - off] = 1.0
+        return m
+    sh = (filt - 1) // 2
+    t = 0
+    for u in range(filt):
+        for v in range(filt):
+            du = (filt - 1 - u) - sh
+            dv = (filt - 1 - v) - sh
+            for q in range(p):
+                y, x = q // stride, q % stride
+                if 0 <= y + du < stride and 0 <= x + dv < stride:
+                    m[t, q] = 1.0
+            t += 1
+    return m
 
 
 # The flagship family's kernel-layout tables, shared by the whole-epoch

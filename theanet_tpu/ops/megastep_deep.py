@@ -36,7 +36,6 @@ from .megastep import (
     CM_BLOCK,
     LayerReg,
     _anchor_grid,
-    _anchor_mask,
     _apply_updates,
     _augment_block,
     _dense_centered_bwd,
@@ -52,12 +51,14 @@ from .megastep import (
     act_of,
     _pool_max,
     _member_grid,
+    _member_stack,
     _pool_offsets,
     _roll,
-    _rolled_anchor_stack,
-    _shift_stack,
+    _shift_stack_mode,
     _tap_blockdiag,
+    _tap_masks,
     _tap_offsets,
+    _tap_offsets_mode,
     _u01,
     _valid_mask,
     _wt_cost,
@@ -141,6 +142,22 @@ class DeepSpec(NamedTuple):
     # pre-hidden folds into its pdrop like the final hidden's does.
     pre_hidden: tuple = ()
     regs_pre: tuple = ()
+    # conv geometry extensions (r4): per-level conv stride and border
+    # mode ('valid' | 'same', reference convpool.py:53-70). Empty tuples
+    # mean all-stride-1 valid, so specs built before these fields
+    # existed keep their meaning. Strided convs are computed as the full
+    # stride-1 conv on the level's lane grid and compacted by
+    # cstride-spaced anchor/membership constants; 'same' convs use
+    # signed tap offsets with 2-D-clipped read masks (tm{k}) so edge
+    # outputs see exact zero padding.
+    conv_strides: tuple = ()
+    modes: tuple = ()
+
+    def cstride(self, k):
+        return self.conv_strides[k] if self.conv_strides else 1
+
+    def mode(self, k):
+        return self.modes[k] if self.modes else "valid"
 
     @property
     def has_aux(self):
@@ -158,13 +175,19 @@ class DeepSpec(NamedTuple):
     def sides(self):
         """Per level: (stride_lanes, conv_out_side, pool_out_side). Level
         k's tensors live on stride_lanes^2 lane grids (level 1: the image,
-        level k>1: the previous pooled grid)."""
+        level k>1: the previous pooled grid). conv_out_side is the
+        STRIDED output side — the layer's out_sz bookkeeping
+        ((in - f + 1) // stride for 'valid', in for 'same';
+        layers/conv.py) — whose positions sit at cstride-multiples of
+        the lane grid."""
         out = []
         s = self.img
-        for f, p, ib in zip(self.filts, self.pools, self.ibs):
-            c = s - f + 1
-            po = c // p if ib else -(-c // p)
-            out.append((s, c, po))
+        for k, (f, p, ib) in enumerate(zip(self.filts, self.pools,
+                                           self.ibs)):
+            ce = s if self.mode(k) == "same" else s - f + 1
+            co = ce // self.cstride(k)
+            po = co // p if ib else -(-co // p)
+            out.append((s, co, po))
             s = po
         return tuple(out)
 
@@ -202,11 +225,21 @@ def _conv_stack_ok(convs, pools, net):
     the per-level activation tags (kind, slope), or None if any check
     fails."""
     for c, p in zip(convs, pools):
-        if c.stride != 1 or c.mode != "valid":
+        # 'valid' and 'same' fuse (any stride); 'full' keeps the scanned
+        # path — the reference's out = in + filter + 1 bookkeeping quirk
+        # (convpool.py:64) makes downstream shapes inconsistent with the
+        # tensor anyway, so full-mode nets are scanned-only by design.
+        # (Pool windows wider than the filter are fine now: the pool-max
+        # edge guards in megastep._pool_max clip the reads the conv
+        # slack used to absorb.)
+        if c.mode not in ("valid", "same"):
             return None
-        # lane-roll safety: the f-1 lanes of row padding absorb pool reads
-        # past a row's valid columns only while pool_sz <= filter_sz
-        if p.pool_sz > c.filter_sz:
+        # stride bookkeeping parity: the reference's out_sz is
+        # (in - f + 1) // stride (floor) while Theano's strided conv
+        # tensor is ceil-sized — configs where stride does not divide
+        # (in - f + 1) shape-error downstream in the reference (and in
+        # the scanned path); declining fusion preserves that behavior
+        if c.stride > 1 and (c.in_sz - c.filter_sz + 1) % c.stride:
             return None
     acts = [act_of(c.actvn) for c in convs]
     if any(a is None for a in acts):
@@ -303,6 +336,8 @@ def deep_spec_from_net(net):
             pools=tuple(p.pool_sz for p in pools),
             ibs=tuple(bool(p.ignore_border) for p in pools),
             maps=tuple(c.num_maps for c in convs),
+            conv_strides=tuple(c.stride for c in convs),
+            modes=tuple(c.mode for c in convs),
             slopes=tuple(s for _, s in conv_acts),
             acts=tuple(k for k, _ in conv_acts),
             n_hid=head.n_out, n_out=head.n_out, slope_h=1.0, pdrop=0.0,
@@ -403,6 +438,8 @@ def deep_spec_from_net(net):
         pools=tuple(p.pool_sz for p in pools),
         ibs=tuple(bool(p.ignore_border) for p in pools),
         maps=tuple(c.num_maps for c in convs),
+        conv_strides=tuple(c.stride for c in convs),
+        modes=tuple(c.mode for c in convs),
         slopes=tuple(s for _, s in conv_acts),
         acts=tuple(k for k, _ in conv_acts),
         n_hid=hid.n_out, n_out=head.n_out, slope_h=act_h[1], act_h=act_h[0],
@@ -491,22 +528,31 @@ def build_constants_deep(spec: DeepSpec):
             stripe = np.concatenate(
                 [stripe, np.zeros((mk * B, CBP - CB), np.float32)],
                 axis=1)
-        consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k])
-        consts[f"valid{k}"] = _valid_mask(c, stride)
-        # pre-rolled anchor-mask stack + tap-batched striping constants
-        # (see megastep.build_constants — same exact-batching design)
-        consts[f"a{k}r"] = _rolled_anchor_stack(
-            _anchor_mask(po, stride, spec.pools[k]), spec.pools[k], stride)
+        cs, mode = spec.cstride(k), spec.mode(k)
+        consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k], cs)
+        consts[f"valid{k}"] = _valid_mask(c, stride, cs)
+        # per-offset member-mask stack + tap-batched striping constants
+        # (see megastep.build_constants — same exact-batching design);
+        # members clip at the conv-out extent and step the cstride
+        # lattice, so strided convs and partial (ceil-pool) windows are
+        # exact
+        consts[f"a{k}r"] = _member_stack(po, stride, spec.pools[k], cs,
+                                         side_valid=c)
         # one-hot membership matrix (position -> its window): the pool
         # backward's gradient spread is ONE movement matmul (see
         # megastep._member_grid; pool 1 degenerates to the anchor grid)
-        consts[f"mem{k}"] = _member_grid(consts[f"c{k}"],
-                                         spec.pools[k], stride)
+        consts[f"mem{k}"] = _member_grid(po, stride, spec.pools[k], cs,
+                                         side_valid=c)
+        # per-tap patch read masks: level 0 'valid' keeps its historical
+        # unmasked stores (wrap reads only feed invalid outputs); 'same'
+        # levels clip 2-D so edge outputs see exact zero padding
+        consts[f"tm{k}"] = _tap_masks(spec.filts[k], stride, mode,
+                                      unmasked=(k == 0))
         consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), B, axis=0)
         consts[f"e9b{k}"] = _tap_blockdiag(ecol, taps)
         consts[f"st{k}x"] = np.tile(stripe, (1, taps))
         if k > 0:
-            consts[f"sh{k}"] = _shift_stack(spec.filts[k], stride)
+            consts[f"sh{k}"] = _shift_stack_mode(spec.filts[k], stride, mode)
         prev_maps = mk
     if spec.n_levels == 0:
         # flat net: the flatten selector sums the channel-major augmented
@@ -600,7 +646,7 @@ def deep_reg_kinds(spec: DeepSpec):
 
 def _n_deep_consts(spec: DeepSpec):
     n_sel = 1 if spec.n_levels == 0 else 3   # sumsel [+ selmask + selsum]
-    return (1 + sum(7 if k == 0 else 8 for k in range(spec.n_levels))
+    return (1 + sum(8 if k == 0 else 9 for k in range(spec.n_levels))
             + n_sel
             + (1 if (spec.head in ("logit", "rbf")
                      and not spec.learn_centers) else 0))
@@ -614,9 +660,9 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
     i = 1
     for k in range(spec.n_levels):
         d = {"c": c_refs[i], "valid": c_refs[i + 1], "ar": c_refs[i + 2],
-             "mem": c_refs[i + 3], "em": c_refs[i + 4], "e9b": c_refs[i + 5],
-             "stx": c_refs[i + 6]}
-        i += 7
+             "mem": c_refs[i + 3], "tm": c_refs[i + 4], "em": c_refs[i + 5],
+             "e9b": c_refs[i + 6], "stx": c_refs[i + 7]}
+        i += 8
         if k > 0:
             d["sh"] = c_refs[i]
             i += 1
@@ -674,7 +720,8 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     else:
         # ---------------- forward through the conv levels
         F0 = spec.filts[0]
-        offs0 = _tap_offsets(F0, spec.img)
+        offs0 = _tap_offsets_mode(F0, spec.img, spec.mode(0))
+        tm0 = lvl[0]["tm"][:] if spec.mode(0) == "same" else None
         em0, e9b0, st0x = (lvl[0]["em"][:], lvl[0]["e9b"][:],
                            lvl[0]["stx"][:])
         lanes0 = spec.hw
@@ -692,7 +739,12 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         if CBP0 != CB0:
             zpad0 = jnp.zeros((CBP0 - CB0, lanes0), jnp.float32)
         for k, off in enumerate(offs0):
-            stk_ref[k * CBP0:k * CBP0 + CB0, :] = _roll(aug, -off)
+            piece = _roll(aug, -off)
+            if tm0 is not None:
+                # 'same' conv: 2-D-clipped reads so edge outputs see the
+                # exact zero padding lax.conv applies on the scanned path
+                piece = jnp.where(tm0[k:k + 1, :] > 0, piece, 0.0)
+            stk_ref[k * CBP0:k * CBP0 + CB0, :] = piece
             if CBP0 != CB0:
                 # scratch is uninitialized per launch; NaN garbage times
                 # a zero weight column would still poison the contraction
@@ -726,9 +778,17 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                 lq = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
                 if RpP != Rp:
                     zpk = jnp.zeros((RpP - Rp, lanes), jnp.float32)
-                for t, off in enumerate(_tap_offsets(Fk, stride)):
-                    stkk[t * RpP:t * RpP + Rp, :] = jnp.where(
-                        lq < (lanes - off), _roll(p_prev, -off), 0.0)
+                tmk = (lvl[k]["tm"][:]
+                       if spec.mode(k) == "same" else None)
+                for t, off in enumerate(
+                        _tap_offsets_mode(Fk, stride, spec.mode(k))):
+                    if tmk is not None:
+                        piece = jnp.where(tmk[t:t + 1, :] > 0,
+                                          _roll(p_prev, -off), 0.0)
+                    else:
+                        piece = jnp.where(lq < (lanes - off),
+                                          _roll(p_prev, -off), 0.0)
+                    stkk[t * RpP:t * RpP + Rp, :] = piece
                     if RpP != Rp:
                         stkk[t * RpP + Rp:(t + 1) * RpP, :] = zpk
                 ps = stkk[:]                            # (Fk^2*RpP, lanes)
@@ -741,7 +801,11 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                      spec.slopes[k])
             v = lvl[k]["valid"][:]
             zm = jnp.where(v > 0, h, BIG_NEG)
-            mx = _pool_max(zm, spec.pools[k], stride)
+            cs_k, po_k = spec.cstride(k), spec.sides[k][2]
+            # guard pool reads the conv slack can't absorb (same-mode /
+            # strided levels, pool windows wider than the filter)
+            guard_k = (spec.pools[k] * po_k - 1) * cs_k > stride - 1
+            mx = _pool_max(zm, spec.pools[k], stride, cs_k, guard_k)
             p = _mm(mx, lvl[k]["c"][:], hi=spec.exact_movement)
             saved.append((z, zm, mx, p))
 
@@ -875,7 +939,8 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         ar = lvl[k]["ar"][:]
         dmxe = _mm(dp, lvl[k]["mem"][:], tb=True, hi=spec.exact_movement)
         mxe = jnp.zeros_like(zm)
-        for j, off in enumerate(_pool_offsets(spec.pools[k], stride)):
+        for j, off in enumerate(
+                _pool_offsets(spec.pools[k], stride, spec.cstride(k))):
             mxe = mxe + jnp.where(ar[j:j + 1, :] > 0, _roll(mx, off), 0.0)
         dza = jnp.where(zm == mxe, dmxe, 0.0)
         dz = dza * _dact(z, spec.acts[k] if spec.acts else "leaky",
