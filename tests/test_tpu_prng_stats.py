@@ -558,3 +558,52 @@ def test_megastep_flat_net_hardware_matches_interpret():
     kshapes = [(spec.n_flat, 16), (1, 16),
                (16, 12), (1, 12), (12, 4), (1, 4)]
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
+GEOMETRY_CASES = [
+    # 'same' stack: signed tap offsets + 2-D-clipped read masks, level-2
+    # ceil-pool partial windows (5 -> 3) engage the pool edge guards
+    ("same-stack", dict(img=10, filts=(3, 3), pools=(2, 2),
+                        ibs=(False, False), maps=(3, 4),
+                        slopes=(0.07, 0.07), modes=("same", "same"),
+                        conv_strides=(1, 1))),
+    # strided conv in the reference-consistent envelope (2 | 14-3+1):
+    # full-grid conv + cstride-spaced anchor/member/valid compaction
+    ("stride2", dict(img=14, filts=(3,), pools=(2,), ibs=(False,),
+                     maps=(3,), slopes=(0.07,), modes=("valid",),
+                     conv_strides=(2,))),
+    # pool window wider than the filter AND the conv slack: anchor reads
+    # cross rows unless the _pool_max guards clip them
+    ("pool-gt-filter", dict(img=13, filts=(3,), pools=(5,), ibs=(False,),
+                            maps=(3,), slopes=(0.07,), modes=("valid",),
+                            conv_strides=(1,))),
+    # mixed: a 'same' level feeding a strided 'valid' level
+    ("same-then-stride", dict(img=12, filts=(3, 3), pools=(2, 2),
+                              ibs=(False, False), maps=(2, 3),
+                              slopes=(0.07, 0.07),
+                              modes=("same", "valid"),
+                              conv_strides=(1, 2))),
+]
+
+
+@pytest.mark.parametrize("name,kw", GEOMETRY_CASES,
+                         ids=[c[0] for c in GEOMETRY_CASES])
+def test_megastep_geometry_hardware_matches_interpret(name, kw):
+    """The r4 conv-geometry extensions (mode='same' masked stores, strided
+    anchor lattices, pool-max edge guards — tests/test_fused_modes.py has
+    the CPU trajectory pins) through the REAL Mosaic compiler vs interpret
+    mode: the clipped tap masks and guarded rolls are exactly the kind of
+    layout/masking code interpret mode cannot vouch for."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+    from theanet_tpu.ops.megastep_deep import deep_kernel_shapes
+
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, n_hid=16, n_out=4, slope_h=0.01, pdrop=0.5,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg,) * len(kw["filts"]), reg_h=reg, reg_o=reg,
+        **kw,
+    )
+    _mega_consistency(MD.make_deep_epoch_fn, spec, deep_kernel_shapes(spec))
