@@ -227,7 +227,8 @@ def test_augmented_forward_matches_bit_replica(nearest):
 
     # replica: same bits -> same warp -> same augmented batch
     ub, fb, pb, db = [np.asarray(b) for b in bits]
-    ty, tx = _warp_replica(spec, ub[0, 0], fb[0])
+    # fb ships (lanes, hw); the numpy replica keeps its (hw, lanes) view
+    ty, tx = _warp_replica(spec, ub[0, 0], fb[0].T)
     x_inv = 1.0 - xs[0].reshape(B, IMG * IMG)
     aug = _resample_np(x_inv.astype(np.float64), ty, tx, IMG, nearest)
     flip = ((pb[0].astype(np.int64) & 0xFFFFFF) / (1 << 24)) < spec.pflip

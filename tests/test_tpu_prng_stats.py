@@ -457,7 +457,7 @@ def test_megastep_dp_grad_kernel_hardware_matches_interpret():
     ub = jax.random.bits(jax.random.key(5, impl="rbg"), (1, 1, 8),
                          jnp.uint32)
     fb = jax.random.bits(jax.random.key(6, impl="rbg"), (1, spec.hw, 4),
-                         jnp.uint32)
+                         jnp.uint32).transpose(0, 2, 1)
     pb = jax.random.bits(jax.random.key(7, impl="rbg"),
                          (1, spec.batch, spec.hw), jnp.uint32)
     db = jax.random.bits(jax.random.key(8, impl="rbg"),
@@ -517,7 +517,7 @@ def test_megastep_deep_dp_grad_kernel_hardware_matches_interpret(head):
     ub = jax.random.bits(jax.random.key(5, impl="rbg"), (1, 1, 8),
                          jnp.uint32)
     fb = jax.random.bits(jax.random.key(6, impl="rbg"), (1, spec.hw, 4),
-                         jnp.uint32)
+                         jnp.uint32).transpose(0, 2, 1)
     pb = jax.random.bits(jax.random.key(7, impl="rbg"),
                          (1, spec.batch, spec.hw), jnp.uint32)
     db = jax.random.bits(jax.random.key(8, impl="rbg"),

@@ -203,7 +203,8 @@ def megastep_fields(cfg):
     def one(key):
         k1, k2 = jax.random.split(key)
         ub = jax.random.bits(k1, (1, 1, 8), jnp.uint32)
-        fb = jax.random.bits(k2, (1, H * H, 4), jnp.uint32)
+        fb = jax.random.bits(k2, (1, H * H, 4),
+                             jnp.uint32).transpose(0, 2, 1)
         pb = jnp.zeros((1, 2, H * H), jnp.uint32)
         aug = _augment_block(spec, coords, _Ref(ub), _Ref(fb), _Ref(pb),
                              _Ref(ss))

@@ -1069,9 +1069,11 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0,
     if getattr(spec, "color", False):
         # color jitter precedes the elastic pipeline (a ColorLayer ahead
         # of the ElasticLayer, e.g. params/galaxy_rbf.prms); its three
-        # per-(sample, channel) draws ride in lanes 4:7 of the widened
-        # field-bits block
-        x = _color_rows(spec, x, fb_ref[row][:x.shape[0], 4:7])
+        # per-(sample, channel) draws ride in ROWS 4:7 of the widened
+        # (lanes, hw) field-bits block, columns 0..rows-1 (one small
+        # (3, rows) transpose puts them back in _color_rows' layout)
+        x = _color_rows(spec, x, jnp.transpose(
+            fb_ref[row][4:7, :x.shape[0]], (1, 0)))
 
     if spec.invert:
         x = 1.0 - x
@@ -1101,9 +1103,10 @@ def _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref, row=0,
             tx = tx + spec.translation * u_pm1(1)
 
         if spec.magnitude:
-            # transpose the four warp-bit lanes to rows (the Mosaic
-            # transpose unit handles (HW, 4) -> (4, HW); 12 KB, one op)
-            fbw = jnp.transpose(fb_ref[row][:, 0:4], (1, 0))  # (4, HW) u32
+            # the field bits arrive pre-transposed (lanes, HW) — the
+            # tall-narrow (HW, 4) stream cost 1.3 us/step of DMA
+            # (tools/floor_probe.py), so the epoch generator ships rows
+            fbw = fb_ref[row][0:4, :]                         # (4, HW) u32
 
             def u_open(bits):
                 # +0.5 keeps u strictly inside (0, 1) for the log
@@ -1811,9 +1814,17 @@ def epoch_noise_bits(key, spec: MegaSpec, n_batches: int, n_tiles=None):
     ks = jax.random.split(key, 4)
     u32 = jnp.uint32
     fb_lanes = 8 if getattr(spec, "color", False) else 4
+    # fb is DRAWN (hw, lanes) — the draw order is part of the pinned
+    # trajectories — but SHIPPED transposed (lanes, hw): the tall-narrow
+    # (784, 4) per-step DMA block measured 1.3 us/step of pure stream
+    # cost on chip vs the wide layout (tools/floor_probe.py), and the
+    # kernel consumed it via an in-kernel transpose anyway. One XLA
+    # transpose per epoch here keeps every bit at the same (position,
+    # lane) coordinate, so trajectories are unchanged.
     return (
         jax.random.bits(ks[0], (n_batches, 1, 8), u32),
-        jax.random.bits(ks[1], (n_batches, spec.hw, fb_lanes), u32),
+        jax.random.bits(ks[1], (n_batches, spec.hw, fb_lanes),
+                        u32).transpose(0, 2, 1),
         jax.random.bits(ks[2], (n_batches * n_tiles, spec.batch,
                                 spec.in_ch * spec.hw), u32),
         jax.random.bits(ks[3], (n_batches * n_tiles, spec.batch,
@@ -1987,7 +1998,7 @@ def build_epoch_fn(spec, n_batches, kshapes, const_arrs, kernel_body,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((U, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((U, 1, 8), per_batch, memory_space=pltpu.SMEM),
-        pl.BlockSpec((U, HW, fb_lanes), per_batch,
+        pl.BlockSpec((U, fb_lanes, HW), per_batch,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((U, C0 * B, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),

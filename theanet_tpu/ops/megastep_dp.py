@@ -192,7 +192,7 @@ def make_dp_step_fn(spec, interpret=None):
     in_specs = (
         [vmem((1, C0 * B, HW)), vmem((1, B, 1)),
          pl.BlockSpec((1, 1, 8), memory_space=pltpu.SMEM),
-         vmem((1, HW, fb_lanes)), vmem((1, C0 * B, HW)), vmem((1, B, NH))]
+         vmem((1, fb_lanes, HW)), vmem((1, C0 * B, HW)), vmem((1, B, NH))]
         + ([vmem((1, B, 4))] if has_aux else [])
         + [vmem(s) for s in kshapes]
         + [vmem(a.shape) for a in const_arrs]
@@ -294,19 +294,20 @@ def dp_epoch_arrange(spec, nb, n_data, x, y, aux, key, epoch_no, shuffle):
     )
     db_dp = db.reshape(nb, n_data * b_loc, NH)
     if has_color:
-        # single-chip kernel row r = c*B+b reads color draws from fb
-        # row r, lanes 4:7; device d's local row c*b_loc+b_rel is
-        # global row c*B + d*b_loc + b_rel. Field lanes stay identical
-        # on every device (one warp per global batch).
-        lanes = fb.shape[-1]
+        # single-chip kernel row r = c*B+b reads color draws from the
+        # (lanes, HW) fb block's rows 4:7, column r; device d's local
+        # column c*b_loc+b_rel is global column c*B + d*b_loc + b_rel.
+        # Field rows 0:4 stay identical on every device (one warp per
+        # global batch).
+        lanes = fb.shape[1]
         cb_loc = C0 * b_loc
-        col = (fb[:, :C0 * B, 4:7]
-               .reshape(nb, C0, n_data, b_loc, 3)
-               .transpose(0, 2, 1, 3, 4)
-               .reshape(nb, n_data, cb_loc, 3))
-        fbb = jnp.broadcast_to(fb[:, None], (nb, n_data, HW, lanes))
-        fbb = fbb.at[:, :, :cb_loc, 4:7].set(col)
-        fb = fbb.reshape(nb, n_data * HW, lanes)
+        col = (fb[:, 4:7, :C0 * B]
+               .reshape(nb, 3, C0, n_data, b_loc)
+               .transpose(0, 3, 1, 2, 4)
+               .reshape(nb, n_data, 3, cb_loc))
+        fbb = jnp.broadcast_to(fb[:, None], (nb, n_data, lanes, HW))
+        fbb = fbb.at[:, :, 4:7, :cb_loc].set(col)
+        fb = fbb.reshape(nb, n_data * lanes, HW)
     out = (x_dp, y_dp, ub, fb, pb_dp, db_dp)
     if has_aux:
         out += (a2d.reshape(nb, n_data * b_loc, 4),)
@@ -343,7 +344,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
 
     def epoch_shard(*args):
         # shapes per shard: x (nb, C0*b_loc, HW), y (nb, b_loc, 1),
-        # ub (nb, 1, 8), fb (nb, HW, lanes) [replicated: ONE warp per
+        # ub (nb, 1, 8), fb (nb, lanes, HW) [replicated: ONE warp per
         # global batch], pb (nb, C0*b_loc, HW), db (nb, b_loc, NH),
         # aux (nb, b_loc, 4) for softaux heads; consts is the replicated
         # constant-tensor tuple (threaded as jit arguments, not closures)

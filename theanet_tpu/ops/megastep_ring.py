@@ -274,7 +274,7 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, HW, fb_lanes), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, fb_lanes, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C0 * b_loc, HW), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
