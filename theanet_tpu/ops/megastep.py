@@ -587,14 +587,6 @@ def _valid_mask(side_valid, stride, cstride=1):
     return m
 
 
-def _pool_offsets(pool, stride, cstride=1):
-    """Flat lane offsets of a pool window's positions relative to its
-    anchor: {(dy*stride + dx) * cstride} for dy,dx in [0,pool) —
-    ``cstride`` steps along the strided-conv lattice."""
-    return [(dy * stride + dx) * cstride
-            for dy in range(pool) for dx in range(pool)]
-
-
 def _member_grid(side_out, stride_in, pool, cstride=1, side_valid=None):
     """One-hot membership matrix (stride_in^2, side_out^2): row q has a
     single 1 in the column of the window it belongs to (windows are
@@ -614,26 +606,6 @@ def _member_grid(side_out, stride_in, pool, cstride=1, side_valid=None):
                     if y < side_valid and x < side_valid:
                         m[(y * cstride) * stride_in + x * cstride,
                           i * side_out + j] = 1.0
-    return m
-
-
-def _member_stack(side_out, stride_in, pool, cstride=1, side_valid=None):
-    """(pool^2, stride_in^2) stack of per-offset member masks: row k
-    marks the positions that are offset-_pool_offsets[k] members of
-    their window, clipped like _member_grid. Replaces the rolled
-    anchor-mask stack (identical within the no-partial-window envelope;
-    exact at clipped partial windows, where a wrapped roll would mark a
-    foreign position)."""
-    if side_valid is None:
-        side_valid = side_out * pool
-    m = np.zeros((pool * pool, stride_in * stride_in), np.float32)
-    for i in range(side_out):
-        for j in range(side_out):
-            for k, (dy, dx) in enumerate(
-                    (dy, dx) for dy in range(pool) for dx in range(pool)):
-                y, x = pool * i + dy, pool * j + dx
-                if y < side_valid and x < side_valid:
-                    m[k, (y * cstride) * stride_in + x * cstride] = 1.0
     return m
 
 
@@ -665,6 +637,31 @@ def _pool_max(z, pool, stride, cstride=1, guard=False):
     return out
 
 
+def _anchor_select(mx, pool, stride, cstride=1):
+    """Containing-window max at every grid position, separably:
+    mxe[y, x] = mx[y - (y_lat % pool)*cs, x - (x_lat % pool)*cs] — each
+    position reads its window ANCHOR's _pool_max value through (pool-1)
+    lane rolls + selects per axis, replacing the pool^2 masked-roll
+    accumulation (4 rolls + 4 selects + 3 adds for pool 2) the backward
+    used to rebuild it with. Exact movement on the VPU in both
+    exact_movement modes. Off-lattice / windowless / invalid positions
+    get an arbitrary neighbor's value; they are gated out downstream
+    because dmxe — the membership-matmul gradient spread, whose rows are
+    empty exactly there — is 0.0, so ``where(zm == mxe, 0, 0)`` is zero
+    either way and trajectories are bit-identical to the masked form."""
+    n = stride
+    lq = jax.lax.broadcasted_iota(jnp.int32, (1, n * n), 1)
+    xm = ((lq % n) // cstride) % pool      # lattice offset within window
+    ym = ((lq // n) // cstride) % pool
+    t = mx
+    for dx in range(1, pool):
+        t = jnp.where(xm == dx, _roll(mx, dx * cstride), t)
+    out = t
+    for dy in range(1, pool):
+        out = jnp.where(ym == dy, _roll(t, dy * cstride * n), out)
+    return out
+
+
 @functools.lru_cache(maxsize=16)
 def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2,
                         need_smooth=True):
@@ -681,11 +678,6 @@ def _geometry_constants(img, sigma, p1, p2, pool1, pool2, c1, c2, filt2,
         "c2": _anchor_grid(p2, p1, pool2),                     # (p1^2, p2^2)
         "valid1": _valid_mask(c1, img),                        # (1, hw)
         "valid2": _valid_mask(c2, p1),                         # (1, p1^2)
-        # per-offset member masks, one row per pool-window offset, so the
-        # pool backward's max spread reads constant rows instead of
-        # rolling anchor masks at runtime (clipped at the valid extent)
-        "a1r": _member_stack(p1, img, pool1, side_valid=c1),
-        "a2r": _member_stack(p2, p1, pool2, side_valid=c2),
         # one-hot membership matrices (position -> its window): ONE
         # movement matmul spreads each anchor's gradient to every member
         # in the pool backward, replacing pool^2 roll/where/add passes
@@ -886,7 +878,7 @@ def _tap_masks(filt, stride, mode, unmasked=False):
 # (megastep_dp) — ONE definition so layout changes cannot drift.
 
 MEGA_CONST_NAMES = (
-    "s_smooth", "c1", "c2", "valid1", "valid2", "a1r", "a2r",
+    "s_smooth", "c1", "c2", "valid1", "valid2",
     "mem1", "mem2",
     "em1", "em2", "st1x", "st2x", "e9b1", "e9b2", "selmask", "selsum",
     "sumsel", "sh2",
@@ -1443,11 +1435,12 @@ def _apply_updates(updates, lr):
 
 def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ub_ref, fb_ref, pb_ref, db_ref,
-                  ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+                  ss_ref, c1_ref, c2_ref, v1_ref, v2_ref,
                   mem1_ref, mem2_ref,
                   em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
                   selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
-                  stk_ref=None, stk2_ref=None, wt_scale=1.0, noise_row=0):
+                  stk_ref=None, stk2_ref=None, wt_scale=1.0, noise_row=0,
+                  pads_zeroed=False):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -1494,13 +1487,16 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     em1, st1x, e9b1 = em1_ref[:], st1x_ref[:], e9b1_ref[:]
     CB = C0 * B
     CBP = _pad8(CB)
-    if CBP != CB:
+    if CBP != CB and not pads_zeroed:
         zpad = jnp.zeros((CBP - CB, HW), jnp.float32)
     for k, off in enumerate(offs1):
         stk_ref[k * CBP:k * CBP + CB, :] = _roll(aug, -off)
-        if CBP != CB:
+        if CBP != CB and not pads_zeroed:
             # scratch is uninitialized per launch; NaN garbage times a
-            # zero weight column would still poison the contraction
+            # zero weight column would still poison the contraction.
+            # Whole-epoch kernels zero the pad rows ONCE at their it==0
+            # init (pads_zeroed=True) — the slots are written every step
+            # but the pad rows only ever hold zeros
             stk_ref[k * CBP + CB:(k + 1) * CBP, :] = zpad
     stk = stk_ref[:]
     w1_all = _mm(_mm(em1, w1), e9b1) * st1x               # (R1, F1^2*CBP)
@@ -1529,13 +1525,19 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     R1P = _pad8(R1)
     em2, st2x, e9b2 = em2_ref[:], st2x_ref[:], e9b2_ref[:]
     sh2 = sh2_ref[:]                                      # (9*P1SQ, P1SQ)
-    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, P1SQ), 1)
-    if R1P != R1:
+    if R1P != R1 and not pads_zeroed:
         zpad2 = jnp.zeros((R1P - R1, P1SQ), jnp.float32)
     for k, off in enumerate(_tap_offsets(F2, spec.p1)):
-        stk2_ref[k * R1P:k * R1P + R1, :] = jnp.where(
-            lane_q < (P1SQ - off), _roll(p1, -off), 0.0)
-        if R1P != R1:
+        # UNMASKED rolls: the flat wrap region (lanes q >= P1SQ - off)
+        # only reaches conv2 outputs beyond the valid extent — max valid
+        # flat q is (p1-F2)(p1+1) < P1SQ - off for every tap — whose
+        # activations valid2 masks to BIG_NEG before pooling and whose
+        # gradients dz2 are exactly 0.0 (empty mem2 rows), so neither the
+        # forward pass nor the dw2 contraction ever consumes a wrapped
+        # value: trajectories are bit-identical to the masked stores this
+        # replaces, minus F2^2 where passes per step
+        stk2_ref[k * R1P:k * R1P + R1, :] = _roll(p1, -off)
+        if R1P != R1 and not pads_zeroed:
             stk2_ref[k * R1P + R1:(k + 1) * R1P, :] = zpad2
     p1s = stk2_ref[:]                                     # (F2^2*R1P, P1SQ)
     w2_big = _mm(_mm(em2, w2), e9b2) * st2x               # (R2, F2^2*R1P)
@@ -1599,17 +1601,14 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     # pool2 backward: ONE membership matmul spreads each anchor's
     # gradient to every window member (mem2 rows are one-hot — exact
     # movement, bit-identical to the per-offset rolled form it replaced),
-    # the window max spreads to members by pool^2 masked rolls of mx2
-    # (exact VPU movement), and a single compare/select gates the result
-    # (all tied maxima receive the anchor gradient — reference
-    # convpool.py max-pool semantics).
-    a2r = a2r_ref[:]
+    # the window max reaches each member by the separable anchor select
+    # (2(pool-1) rolls + selects instead of pool^2 masked rolls), and a
+    # single compare/select gates the result (all tied maxima receive
+    # the anchor gradient — reference convpool.py max-pool semantics).
+    # Positions outside every window get an arbitrary mxe2 value, but
+    # dmxe2 is exactly 0 there (empty membership row), so no grad leaks.
     dmxe2 = _mm(dp2, mem2_ref[:], tb=True, hi=spec.exact_movement)
-    mxe2 = jnp.zeros_like(z2m)                            # (R2, P1SQ)
-    for j, off in enumerate(_pool_offsets(spec.pool2, spec.p1)):
-        mxe2 = mxe2 + jnp.where(a2r[j:j + 1, :] > 0, _roll(mx2, off), 0.0)
-    # positions outside every window: mxe2 = 0 may equal a real z2m, but
-    # dmxe2 is exactly 0 there (empty membership row), so no grad leaks
+    mxe2 = _anchor_select(mx2, spec.pool2, spec.p1)       # (R2, P1SQ)
     dz2a = jnp.where(z2m == mxe2, dmxe2, 0.0)
     dz2 = dz2a * _dact(z2, spec.act2, spec.slope2)        # (R2, P1SQ)
 
@@ -1644,12 +1643,9 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
     if debug_stage == "bwd_conv2":
         return jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2), min_tl, None
 
-    # pool1 backward (same membership-matmul structure as pool2)
-    a1r = a1r_ref[:]
+    # pool1 backward (same membership-matmul + anchor-select structure)
     dmxe1 = _mm(dp1, mem1_ref[:], tb=True, hi=spec.exact_movement)
-    mxe1 = jnp.zeros_like(z1m)                            # (R1, HW)
-    for j, off in enumerate(_pool_offsets(spec.pool1, H)):
-        mxe1 = mxe1 + jnp.where(a1r[j:j + 1, :] > 0, _roll(mx1, off), 0.0)
+    mxe1 = _anchor_select(mx1, spec.pool1, H)             # (R1, HW)
     dz1a = jnp.where(z1m == mxe1, dmxe1, 0.0)
     dz1 = dz1a * _dact(z1, spec.act1, spec.slope1)        # (R1, HW)
 
@@ -1684,7 +1680,7 @@ def _kernel(spec: MegaSpec,
             w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref, wo_ref, bo_ref,
             a1w_ref, a1b_ref, a2w_ref, a2b_ref, ahw_ref, ahb_ref,
             aow_ref, aob_ref,
-            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref,
             mem1_ref, mem2_ref,
             em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
             selmask_ref, selsum_ref, sumsel_ref,
@@ -1725,6 +1721,20 @@ def _kernel(spec: MegaSpec,
     def _init():
         for out, inp in state:
             out[:] = inp[:]
+        # zero the patch-stack slot pad rows ONCE: the per-step stores
+        # only ever write the real rows, so the pads stay zero for the
+        # whole epoch (fresh-scratch kernels pass pads_zeroed=False and
+        # zero them per step instead)
+        CB_, CBP_ = spec.in_ch * spec.batch, _pad8(spec.in_ch * spec.batch)
+        if CBP_ != CB_:
+            zp = jnp.zeros((CBP_ - CB_, spec.hw), jnp.float32)
+            for k in range(spec.filt1 ** 2):
+                stk_ref[k * CBP_ + CB_:(k + 1) * CBP_, :] = zp
+        R1_, R1P_ = spec.maps1 * spec.batch, _pad8(spec.maps1 * spec.batch)
+        if R1P_ != R1_:
+            zp2 = jnp.zeros((R1P_ - R1_, spec.p1 * spec.p1), jnp.float32)
+            for k in range(spec.filt2 ** 2):
+                stk2_ref[k * R1P_ + R1_:(k + 1) * R1P_, :] = zp2
 
     p_outs = [s[0] for s in state[:8]]   # persistent param refs
     a_outs = [s[0] for s in state[8:]]   # persistent accumulator refs
@@ -1752,13 +1762,14 @@ def _kernel(spec: MegaSpec,
         cost, minf, grads = _conv_fwd_bwd(
             spec, debug_stage, x, y, (w1, b1, w2, b2, wh, bh, wo, bo),
             ub_ref, fb_ref, pb_ref, db_ref,
-            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, a1r_ref, a2r_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref,
             mem1_ref, mem2_ref,
             em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
             selmask_ref, selsum_ref, sumsel_ref, sh2_ref, stk_ref, stk2_ref,
             wt_scale=(1.0 if n_tiles == 1
                       else jnp.where(tile == 0, 1.0, 0.0)),
             noise_row=sub,   # sub-step's row of the unroll-wide blocks
+            pads_zeroed=True,   # _init zeroed the stack slot pads once
         )
         cm_ref[step % CM_BLOCK, 0] = cost
         cm_ref[step % CM_BLOCK, 1] = minf

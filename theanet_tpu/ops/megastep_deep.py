@@ -50,9 +50,8 @@ from .megastep import (
     _pad8,
     act_of,
     _pool_max,
+    _anchor_select,
     _member_grid,
-    _member_stack,
-    _pool_offsets,
     _roll,
     _shift_stack_mode,
     _tap_blockdiag,
@@ -531,15 +530,10 @@ def build_constants_deep(spec: DeepSpec):
         cs, mode = spec.cstride(k), spec.mode(k)
         consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k], cs)
         consts[f"valid{k}"] = _valid_mask(c, stride, cs)
-        # per-offset member-mask stack + tap-batched striping constants
-        # (see megastep.build_constants — same exact-batching design);
-        # members clip at the conv-out extent and step the cstride
-        # lattice, so strided convs and partial (ceil-pool) windows are
-        # exact
-        consts[f"a{k}r"] = _member_stack(po, stride, spec.pools[k], cs,
-                                         side_valid=c)
         # one-hot membership matrix (position -> its window): the pool
-        # backward's gradient spread is ONE movement matmul (see
+        # backward's gradient spread is ONE movement matmul, clipped at
+        # the conv-out extent and stepping the cstride lattice so strided
+        # convs and partial (ceil-pool) windows are exact (see
         # megastep._member_grid; pool 1 degenerates to the anchor grid)
         consts[f"mem{k}"] = _member_grid(po, stride, spec.pools[k], cs,
                                          side_valid=c)
@@ -646,7 +640,7 @@ def deep_reg_kinds(spec: DeepSpec):
 
 def _n_deep_consts(spec: DeepSpec):
     n_sel = 1 if spec.n_levels == 0 else 3   # sumsel [+ selmask + selsum]
-    return (1 + sum(8 if k == 0 else 9 for k in range(spec.n_levels))
+    return (1 + sum(7 if k == 0 else 8 for k in range(spec.n_levels))
             + n_sel
             + (1 if (spec.head in ("logit", "rbf")
                      and not spec.learn_centers) else 0))
@@ -659,10 +653,10 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
     lvl = []                        # per level: dict of const refs
     i = 1
     for k in range(spec.n_levels):
-        d = {"c": c_refs[i], "valid": c_refs[i + 1], "ar": c_refs[i + 2],
-             "mem": c_refs[i + 3], "tm": c_refs[i + 4], "em": c_refs[i + 5],
-             "e9b": c_refs[i + 6], "stx": c_refs[i + 7]}
-        i += 8
+        d = {"c": c_refs[i], "valid": c_refs[i + 1],
+             "mem": c_refs[i + 2], "tm": c_refs[i + 3], "em": c_refs[i + 4],
+             "e9b": c_refs[i + 5], "stx": c_refs[i + 6]}
+        i += 7
         if k > 0:
             d["sh"] = c_refs[i]
             i += 1
@@ -775,7 +769,6 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                 # (cf. megastep._conv_fwd_bwd's conv2 build)
                 RpP = _pad8(Rp)
                 stkk = scratch[k]
-                lq = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
                 if RpP != Rp:
                     zpk = jnp.zeros((RpP - Rp, lanes), jnp.float32)
                 tmk = (lvl[k]["tm"][:]
@@ -786,8 +779,14 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                         piece = jnp.where(tmk[t:t + 1, :] > 0,
                                           _roll(p_prev, -off), 0.0)
                     else:
-                        piece = jnp.where(lq < (lanes - off),
-                                          _roll(p_prev, -off), 0.0)
+                        # UNMASKED valid-mode rolls: wrap lanes only reach
+                        # conv outputs beyond the valid extent — max valid
+                        # flat q = (sv-1)(stride+1)·cs < stride^2 - off for
+                        # every tap — which valid{k} masks to BIG_NEG and
+                        # whose dz is exactly 0.0 (empty mem{k} rows), so
+                        # no contraction consumes a wrapped value (cf.
+                        # megastep._conv_fwd_bwd's conv2 build)
+                        piece = _roll(p_prev, -off)
                     stkk[t * RpP:t * RpP + Rp, :] = piece
                     if RpP != Rp:
                         stkk[t * RpP + Rp:(t + 1) * RpP, :] = zpk
@@ -933,15 +932,14 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
         stride, c, po = spec.sides[k]
         z, zm, mx, _p = saved[k]
         # membership-matmul pool backward (megastep._conv_fwd_bwd): one
-        # one-hot matmul spreads anchor grads to members, masked rolls
-        # spread the window max, one compare/select gates — bit-identical
-        # to the per-offset rolled form
-        ar = lvl[k]["ar"][:]
+        # one-hot matmul spreads anchor grads to members, the separable
+        # anchor select spreads the window max (2(pool-1) rolls + selects
+        # instead of pool^2 masked rolls; windowless positions read
+        # arbitrary neighbors but their dmxe is exactly 0.0), one
+        # compare/select gates — bit-identical to the per-offset rolled
+        # form
         dmxe = _mm(dp, lvl[k]["mem"][:], tb=True, hi=spec.exact_movement)
-        mxe = jnp.zeros_like(zm)
-        for j, off in enumerate(
-                _pool_offsets(spec.pools[k], stride, spec.cstride(k))):
-            mxe = mxe + jnp.where(ar[j:j + 1, :] > 0, _roll(mx, off), 0.0)
+        mxe = _anchor_select(mx, spec.pools[k], stride, spec.cstride(k))
         dza = jnp.where(zm == mxe, dmxe, 0.0)
         dz = dza * _dact(z, spec.acts[k] if spec.acts else "leaky",
                          spec.slopes[k])
