@@ -150,6 +150,14 @@ class MegaSpec(NamedTuple):
     act1: str = "leaky"
     act2: str = "leaky"
     act_h: str = "leaky"
+    # Grouped lane-slot conv layout (BASELINE.md r4 layout probe: the
+    # striped batch-in-sublanes layout streams B^2/G^2 redundant MXU
+    # blocks through the three big conv matmuls; grouping B = G*g with g
+    # batch members side by side in 128-aligned lane slots cut the conv2
+    # section 31%). group_g = 1 is the round-4 striped kernel,
+    # bit-for-bit; g > 1 runs the conv pipeline (entrance relayout after
+    # augmentation through the flatten) on g lane slots of G members.
+    group_g: int = 1
 
     # ---- derived static shapes
     @property
@@ -350,6 +358,28 @@ def flagship_vmem_ok(spec):
     # runtime instances of the striped block-diagonal tap matrix (w2_big
     # forward, dbig_all backward — each st2x-shaped, i.e. the O(B^2)
     # term the constant table already counts once)
+    if getattr(spec, "group_g", 1) > 1:
+        # grouped layout: the same live set at the slotted shapes —
+        # G-striped rows, g 128-padded lane slots (the stripe term drops
+        # to O(G^2 * g) but the grids carry lane padding), plus the
+        # relayout scratch and the per-slot embed/un-embed pair
+        g = spec.group_g
+        G = B // g
+        R1GP = _pad8(spec.maps1 * G)
+        HWP, S1P = _pad128(hw), _pad128(spec.p1 ** 2)
+        st2x_elems = (spec.maps2 * G) * (spec.filt2 ** 2 * R1GP)
+        work_bytes = 4 * (
+            hw * B * spec.in_ch                    # augmented batch
+            + sum(int(np.prod(s)) for s in stack_shapes(spec))
+            + 5 * spec.maps1 * G * g * HWP
+            + spec.filt2 ** 2 * R1GP * g * S1P    # dp_stack (backward)
+            + 5 * spec.maps2 * G * g * S1P
+            + 2 * spec.maps2 * G * spec.n_flat    # pe / dpe slot pieces
+            + 8 * B * spec.n_hid
+            + 2 * st2x_elems
+        )
+        return (const_bytes + state_bytes + work_bytes
+                <= 40 * 1024 * 1024)
     st2x_elems = (spec.maps2 * B) * (spec.filt2 ** 2 * spec.maps1 * B)
     work_bytes = 4 * (
         hw * B * (spec.filt1 ** 2 * spec.in_ch + 5 * spec.maps1)
@@ -369,6 +399,62 @@ def flagship_vmem_ok(spec):
     # compile. 40 MB keeps every measured-good size and rejects every
     # measured-bad one with margin on both sides.
     return const_bytes + state_bytes + work_bytes <= 40 * 1024 * 1024
+
+
+def pick_group_g(spec, on_tpu=None):
+    """Grouped lane-slot factor g for a flagship spec's batch (B = G*g;
+    see MegaSpec.group_g). THEANET_GROUP: 'auto' (default) engages the
+    grouped layout on TPU only — it exists to cut MXU-redundancy step
+    time, while the CPU interpret tests pin the striped trajectories —
+    picking the divisor whose G = B/g lands nearest the measured G=5
+    sweet spot (grouped5x4 4.86 us vs grouped10x2 5.12 vs striped 7.05
+    on the conv2 section — tools/conv_layout_probe.py, BASELINE.md r4),
+    ties to the larger g; '0'/'1' forces striped; an explicit integer
+    forces that g anywhere it divides the batch (measurement/tests).
+    The caller still VMEM-gates the grouped candidate."""
+    mode = os.environ.get("THEANET_GROUP", "auto")
+    B = spec.batch
+    if mode in ("0", "1"):
+        return 1
+    if mode not in ("auto", ""):
+        try:
+            gv = int(mode)
+        except ValueError:
+            warnings.warn(f"THEANET_GROUP={mode!r} is not an integer or "
+                          "'auto'; using the striped layout")
+            return 1
+        if gv <= 1:
+            return 1
+        if B % gv:
+            warnings.warn(f"THEANET_GROUP={gv} does not divide the batch "
+                          f"({B}); using the striped layout")
+            return 1
+        return gv
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return 1
+    # G >= 2 keeps at least two members striped (G=1 degenerates to the
+    # unmeasured pure batch-in-lanes extreme) and the lane extent sane
+    cands = [d for d in range(2, B // 2 + 1)
+             if B % d == 0 and d * _pad128(spec.hw) <= 16384]
+    if not cands:
+        return 1
+    return min(cands, key=lambda d: (abs(B // d - 5), -d))
+
+
+def regroup(spec, batch):
+    """_replace(batch=batch) for flagship specs, re-picking the grouped
+    factor for the NEW batch — the g chosen for a global/tile batch need
+    not divide a per-device shard (megastep_dp/_ring derive their local
+    specs through this). Striped specs stay striped."""
+    if getattr(spec, "group_g", 1) <= 1:
+        return spec._replace(batch=batch)
+    s = spec._replace(batch=batch, group_g=1)
+    gv = pick_group_g(s)
+    if gv > 1 and flagship_vmem_ok(s._replace(group_g=gv)):
+        return s._replace(group_g=gv)
+    return s
 
 
 def spec_from_net(net):
@@ -451,6 +537,14 @@ def spec_from_net(net):
             loss_div=(B_ref if bt != B_ref else 0),
         )
         if flagship_vmem_ok(cand):
+            # grouped lane-slot layout on the chosen tile batch (TPU
+            # auto / THEANET_GROUP; falls back to striped when the
+            # grouped working set misses the VMEM gate)
+            gv = pick_group_g(cand)
+            if gv > 1:
+                gcand = cand._replace(group_g=gv)
+                if flagship_vmem_ok(gcand):
+                    return gcand
             return cand
     return None
 
@@ -637,7 +731,7 @@ def _pool_max(z, pool, stride, cstride=1, guard=False):
     return out
 
 
-def _anchor_select(mx, pool, stride, cstride=1):
+def _anchor_select(mx, pool, stride, cstride=1, slot=None):
     """Containing-window max at every grid position, separably:
     mxe[y, x] = mx[y - (y_lat % pool)*cs, x - (x_lat % pool)*cs] — each
     position reads its window ANCHOR's _pool_max value through (pool-1)
@@ -648,9 +742,17 @@ def _anchor_select(mx, pool, stride, cstride=1):
     get an arbitrary neighbor's value; they are gated out downstream
     because dmxe — the membership-matmul gradient spread, whose rows are
     empty exactly there — is 0.0, so ``where(zm == mxe, 0, 0)`` is zero
-    either way and trajectories are bit-identical to the masked form."""
+    either way and trajectories are bit-identical to the masked form.
+
+    ``slot``: grouped layouts pass the 128-padded slot width; positions
+    are then per-slot (lane % slot) over mx's full lane extent, and the
+    cross-slot reads a full-width roll makes land only on pad/invalid
+    positions where dmxe is 0 (selected positions q >= dx*cstride /
+    dy*cstride rows read within their own slot)."""
     n = stride
-    lq = jax.lax.broadcasted_iota(jnp.int32, (1, n * n), 1)
+    width, per = ((mx.shape[-1], slot) if slot is not None
+                  else (n * n, n * n))
+    lq = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) % per
     xm = ((lq % n) // cstride) % pool      # lattice offset within window
     ym = ((lq // n) // cstride) % pool
     t = mx
@@ -691,6 +793,8 @@ def build_constants(spec: MegaSpec):
     """All constant operand tensors, as numpy. Passed as kernel inputs.
     Read-only by contract: the geometry subset is shared across specs via
     an lru_cache."""
+    if getattr(spec, "group_g", 1) > 1:
+        return _grouped_constants(spec)
     B = spec.batch
     M1, M2 = spec.maps1, spec.maps2
 
@@ -747,9 +851,99 @@ def build_constants(spec: MegaSpec):
     return consts
 
 
+def _grouped_constants(spec: MegaSpec):
+    """build_constants for the grouped lane-slot layout (group_g > 1):
+    same MEGA_CONST_NAMES, grouped shapes. The batch factors as B = G*g;
+    conv tensors carry G members striped in sublanes (reps G instead of
+    B in the stripe masks — the O(B^2) MXU redundancy drops to O(G^2*g))
+    and g members side by side in 128-aligned lane slots, so the
+    geometry constants (anchor/member/valid) become PER-SLOT matrices
+    the kernel applies with slot-sliced matmuls, zero-padded to the slot
+    widths (pad rows/columns contribute exact zeros to every
+    contraction). sh2 is unused (the grouped un-shift is roll+iota-mask,
+    a full-width constant would cost (g*S1P)^2 VMEM) and ships as a
+    placeholder."""
+    B, g = spec.batch, spec.group_g
+    G = B // g
+    GP, BP = _pad8(G), _pad8(B)
+    M1, M2, C0 = spec.maps1, spec.maps2, spec.in_ch
+    R1GP = _pad8(M1 * G)
+    HWP, S1P, S2P = _pad128(spec.hw), _pad128(spec.p1 ** 2), \
+        _pad128(spec.p2 ** 2)
+    p1sq, p2sq = spec.p1 ** 2, spec.p2 ** 2
+
+    geo = _geometry_constants(
+        spec.img, spec.sigma, spec.p1, spec.p2, spec.pool1, spec.pool2,
+        spec.c1, spec.c2, spec.filt2, bool(spec.magnitude),
+    )
+
+    # per-channel group slots in the relayout scratch: row c*GP + bg
+    ecol1 = np.zeros((C0, C0 * GP), np.float32)
+    stripe1 = np.zeros((M1 * G, C0 * GP), np.float32)
+    for c in range(C0):
+        ecol1[c, c * GP:c * GP + G] = 1.0
+        for m in range(M1):
+            stripe1[m * G:(m + 1) * G, c * GP:c * GP + G] = np.eye(
+                G, dtype=np.float32)
+    ecol2 = np.zeros((M1, R1GP), np.float32)
+    stripe2 = np.zeros((M2 * G, R1GP), np.float32)
+    for m1 in range(M1):
+        ecol2[m1, m1 * G:(m1 + 1) * G] = 1.0
+        for m2 in range(M2):
+            stripe2[m2 * G:(m2 + 1) * G, m1 * G:(m1 + 1) * G] = np.eye(
+                G, dtype=np.float32)
+    em2 = np.repeat(np.eye(M2, dtype=np.float32), G, axis=0)  # (M2*G, M2)
+
+    # flatten selector, packed per lane slot j in 8-aligned sublane
+    # blocks: f[j*G + bg, :] = sum over m2 of pe_j rows (m2*G + bg)
+    sumsel = np.zeros((g * BP, M2 * G), np.float32)
+    for j in range(g):
+        for bg in range(G):
+            for m2 in range(M2):
+                sumsel[j * BP + j * G + bg, m2 * G + bg] = 1.0
+
+    return {
+        "s_smooth": geo["s_smooth"],
+        # per-slot anchor compactions, slot-padded on both sides (output
+        # pads stay exact zeros so slot pieces lane-concatenate aligned)
+        "c1": _embed(geo["c1"], HWP, S1P),
+        "c2": _embed(geo["c2"], S1P, S2P),
+        "valid1": np.tile(_embed(geo["valid1"], 1, HWP), (1, g)),
+        "valid2": np.tile(_embed(geo["valid2"], 1, S1P), (1, g)),
+        # membership expanders: input-side pads are zero COLUMNS, so the
+        # garbage a grouped gradient carries in its slot-pad lanes never
+        # reaches dmxe (0 * finite == 0)
+        "mem1": _embed(geo["mem1"], HWP, S1P),
+        "mem2": _embed(geo["mem2"], S1P, p2sq),
+        "em1": np.repeat(np.eye(M1, dtype=np.float32), G, axis=0),
+        "em2": em2,
+        "st1x": np.tile(stripe1, (1, spec.filt1 ** 2)),
+        "st2x": np.tile(stripe2, (1, spec.filt2 ** 2)),
+        "e9b1": _tap_blockdiag(ecol1, spec.filt1 ** 2),
+        "e9b2": _tap_blockdiag(ecol2, spec.filt2 ** 2),
+        "selmask": np.repeat(em2, p2sq, axis=1),            # (M2*G, NF)
+        "selsum": np.tile(np.eye(p2sq, dtype=np.float32), (M2, 1)),
+        "sumsel": sumsel,
+        "sh2": np.zeros((8, 128), np.float32),              # unused
+    }
+
+
 def _pad8(n):
     """Sublane-pad: smallest multiple of 8 >= n."""
     return -(-n // 8) * 8
+
+
+def _pad128(n):
+    """Lane-slot pad: smallest multiple of 128 >= n (grouped layouts put
+    each batch group's grid in its own 128-aligned lane slot)."""
+    return -(-n // 128) * 128
+
+
+def _embed(a, rows, cols):
+    """Zero-pad a 2-D numpy array into the top-left of (rows, cols)."""
+    out = np.zeros((rows, cols), np.float32)
+    out[:a.shape[0], :a.shape[1]] = a
+    return out
 
 
 def stack_shapes(spec):
@@ -765,7 +959,23 @@ def stack_shapes(spec):
     [1] conv2 patch matrix (p1s) — the F2^2 tap pieces (M1*B rows, in
         8-row-aligned slots like [0]) are built by roll+mask STORES
         instead of one-hot shift matmuls; the slot padding lifts the old
-        sublane-concat 8-multiple constraint on M1*batch entirely."""
+        sublane-concat 8-multiple constraint on M1*batch entirely.
+
+    Grouped layout (spec.group_g > 1) prepends the entrance-relayout
+    scratch [xg] (the augmented batch re-posed as g lane slots of
+    per-channel G-member groups) and sizes the two patch stacks at the
+    grouped rows/lanes (G members striped, g slots of 128-padded
+    grids)."""
+    if getattr(spec, "group_g", 1) > 1:
+        g = spec.group_g
+        G = spec.batch // g
+        rows1 = spec.in_ch * _pad8(G)
+        return [
+            (rows1, g * _pad128(spec.hw)),
+            (spec.filt1 ** 2 * rows1, g * _pad128(spec.hw)),
+            (spec.filt2 ** 2 * _pad8(spec.maps1 * G),
+             g * _pad128(spec.p1 * spec.p1)),
+        ]
     return [
         (spec.filt1 ** 2 * _pad8(spec.in_ch * spec.batch), spec.hw),
         (spec.filt2 ** 2 * _pad8(spec.maps1 * spec.batch),
@@ -1433,6 +1643,215 @@ def _apply_updates(updates, lr):
         p_ref[:] = p_new
 
 
+def _conv_fwd_bwd_grouped(spec, debug_stage, aug, y, params, db_ref,
+                          ss_ref, c1_ref, c2_ref, v1_ref, v2_ref,
+                          mem1_ref, mem2_ref,
+                          em1_ref, em2_ref, st1x_ref, st2x_ref,
+                          e9b1_ref, e9b2_ref,
+                          selmask_ref, selsum_ref, sumsel_ref,
+                          xg_ref, stk_ref, stk2_ref,
+                          wt_scale, noise_row, pads_zeroed):
+    """The grouped-lane-slot conv pipeline (spec.group_g > 1), from the
+    augmented batch through the gradients — the layout the r4 probe
+    measured 31% faster on the conv2 section (tools/conv_layout_probe.py,
+    BASELINE.md). B = G*g: an entrance relayout stores the augmented
+    channel-major rows as g 128-aligned lane slots of G members each
+    (per-channel 8-aligned sublane groups), every conv/pool/flatten stage
+    runs on the slotted grids (stripe masks carry reps=G — the striped
+    layout's O(B^2) redundant MXU blocks drop to O(G^2*g)), and the
+    dense tail reassembles f (B, NF) exactly. Same noise-bit consumption
+    and the same nonzero contraction terms in the same relative order as
+    the striped kernel — trajectories agree to MXU-reassociation level
+    (pinned in tests/test_megastep_grouped.py).
+
+    Slot-safety invariants (why full-width rolls/reads never leak):
+      - tap reads: a VALID output q reads q + off < grid extent for every
+        tap (off <= (F-1)*(side+1), max valid q = (side-F)(side+1), and
+        (side-F)(side+1) + (F-1)(side+1) = side^2 - 1), so the 128-pad
+        region absorbs every live read; pad-lane values only reach
+        masked/zero-gradient positions.
+      - slot-pad lanes hold exact zeros on every path that is ever
+        contracted over lanes (xg zeroed once, compaction/membership
+        constants carry zero pad rows/columns), so 0 * garbage never
+        appears with NaN garbage."""
+    B, H = spec.batch, spec.img
+    F1, F2 = spec.filt1, spec.filt2
+    M1, M2 = spec.maps1, spec.maps2
+    HW, C0 = spec.hw, spec.in_ch
+    P1SQ, P2SQ = spec.p1 * spec.p1, spec.p2 * spec.p2
+    g = spec.group_g
+    G = B // g
+    GP, BP = _pad8(G), _pad8(B)
+    R1G, R1GP = M1 * G, _pad8(M1 * G)
+    HWP, S1P, S2P = _pad128(HW), _pad128(P1SQ), _pad128(P2SQ)
+    w1, b1, w2, b2, wh, bh, wo, bo = params
+
+    # ---------------- entrance relayout (g*C0 block stores of (G, HW))
+    if not pads_zeroed:
+        # slot-pad lanes/rows must be exact zeros (see invariants above);
+        # whole-epoch kernels zero the scratch once at it == 0 instead
+        xg_ref[:] = jnp.zeros(xg_ref.shape, jnp.float32)
+    for c in range(C0):
+        for j in range(g):
+            xg_ref[c * GP:c * GP + G, j * HWP:j * HWP + HW] = \
+                aug[c * B + j * G:c * B + (j + 1) * G, :]
+    xg = xg_ref[:]                                    # (C0*GP, g*HWP)
+
+    # ---------------- conv1 (patch-stack matmul) + pool1
+    RS1 = C0 * GP                                     # rows per tap slot
+    for k, off in enumerate(_tap_offsets(F1, H)):
+        # full-slot-height stores: xg's pad rows are zero, so the stack's
+        # pad rows stay zero without per-tap zpad stores
+        stk_ref[k * RS1:(k + 1) * RS1, :] = _roll(xg, -off)
+    stk = stk_ref[:]
+    em1, st1x, e9b1 = em1_ref[:], st1x_ref[:], e9b1_ref[:]
+    w1_all = _mm(_mm(em1, w1), e9b1) * st1x           # (R1G, F1^2*RS1)
+    z1 = (_mm(em1, b1) * jnp.ones((1, g * HWP), jnp.float32)
+          + _mm(w1_all, stk))                         # (R1G, g*HWP)
+    h1 = _act(z1, spec.act1, spec.slope1)
+    z1m = jnp.where(v1_ref[:] > 0, h1, BIG_NEG)
+    mx1 = _pool_max(z1m, spec.pool1, H)
+    c1 = c1_ref[:]                                    # (HWP, S1P)
+    p1 = jnp.concatenate(
+        [_mm(mx1[:, j * HWP:(j + 1) * HWP], c1, hi=spec.exact_movement)
+         for j in range(g)], axis=1)                  # (R1G, g*S1P)
+
+    if debug_stage == "conv1":
+        return jnp.sum(p1), 0.0, None
+
+    # ---------------- conv2 (single tap-stacked matmul) + pool2
+    offs2 = _tap_offsets(F2, spec.p1)
+    if R1GP != R1G and not pads_zeroed:
+        zpad2 = jnp.zeros((R1GP - R1G, g * S1P), jnp.float32)
+    for k, off in enumerate(offs2):
+        stk2_ref[k * R1GP:k * R1GP + R1G, :] = _roll(p1, -off)
+        if R1GP != R1G and not pads_zeroed:
+            stk2_ref[k * R1GP + R1G:(k + 1) * R1GP, :] = zpad2
+    p1s = stk2_ref[:]                                 # (F2^2*R1GP, g*S1P)
+    em2, st2x, e9b2 = em2_ref[:], st2x_ref[:], e9b2_ref[:]
+    w2_big = _mm(_mm(em2, w2), e9b2) * st2x           # (M2*G, F2^2*R1GP)
+    z2 = (_mm(w2_big, p1s)
+          + _mm(em2, b2) * jnp.ones((1, g * S1P), jnp.float32))
+    h2 = _act(z2, spec.act2, spec.slope2)
+    z2m = jnp.where(v2_ref[:] > 0, h2, BIG_NEG)
+    mx2 = _pool_max(z2m, spec.pool2, spec.p1)
+    c2 = c2_ref[:]                                    # (S1P, S2P)
+    p2 = jnp.concatenate(
+        [_mm(mx2[:, j * S1P:(j + 1) * S1P], c2, hi=spec.exact_movement)
+         for j in range(g)], axis=1)                  # (M2*G, g*S2P)
+
+    if debug_stage == "conv2":
+        return jnp.sum(p2), 0.0, None
+
+    # ---------------- flatten: per-slot embed + row-select, exact
+    # movement (sumsel's group blocks have disjoint row supports, so the
+    # slot sum writes each f row exactly once)
+    selmask, selsum = selmask_ref[:], selsum_ref[:]   # (M2*G, NF), (NF, p2sq)
+    sumsel = sumsel_ref[:]                            # (g*BP, M2*G)
+    f = jnp.zeros((B, spec.n_flat), jnp.float32)
+    for j in range(g):
+        pe = _mm(p2[:, j * S2P:j * S2P + P2SQ], selsum, tb=True,
+                 hi=spec.exact_movement) * selmask    # (M2*G, NF)
+        f = f + _mm(sumsel[j * BP:j * BP + B, :], pe,
+                    hi=spec.exact_movement)
+
+    if debug_stage in ("embed", "flat"):
+        return jnp.sum(f), 0.0, None
+
+    cost_nll, min_tl, cache = _dense_softmax_fwd(spec, f, wh, bh, wo, bo, y,
+                                                 db_ref, row=noise_row)
+    cost = cost_nll + wt_scale * (
+        _wt_cost(spec.reg1, (w1, b1)) + _wt_cost(spec.reg2, (w2, b2))
+        + _wt_cost(spec.reg_h, (wh, bh)) + _wt_cost(spec.reg_o, (wo, bo))
+    )
+
+    if debug_stage == "fwd":
+        return cost, min_tl, None
+
+    # ---------------- backward
+    dwh, dbh, dwo, dbo, df = _dense_softmax_bwd(spec, cache, f, wh, wo)
+
+    if debug_stage == "bwd_dense":
+        return (jnp.sum(dwh) + jnp.sum(dwo) + jnp.sum(df)
+                + jnp.sum(dbh) + jnp.sum(dbo)), min_tl, None
+
+    # per-slot un-embed, kept as a list (p2sq-lane pieces would concat
+    # unaligned — the class of write the striped kernel's MXU-tile
+    # flatten removed); the membership expansion below concatenates at
+    # the 128-aligned S1P width instead
+    dp2s = [
+        _mm(_mm(sumsel[j * BP:j * BP + B, :], df, ta=True,
+                hi=spec.exact_movement) * selmask,
+            selsum, hi=spec.exact_movement)           # (M2*G, p2sq)
+        for j in range(g)
+    ]
+
+    if debug_stage == "unembed":
+        return sum(jnp.sum(d) for d in dp2s), min_tl, None
+
+    # pool2 backward (membership matmul + anchor select, per slot)
+    mem2 = mem2_ref[:]                                # (S1P, p2sq)
+    dmxe2 = jnp.concatenate(
+        [_mm(dp2s[j], mem2, tb=True, hi=spec.exact_movement)
+         for j in range(g)], axis=1)                  # (M2*G, g*S1P)
+    mxe2 = _anchor_select(mx2, spec.pool2, spec.p1, slot=S1P)
+    dz2a = jnp.where(z2m == mxe2, dmxe2, 0.0)
+    dz2 = dz2a * _dact(z2, spec.act2, spec.slope2)    # (M2*G, g*S1P)
+
+    if debug_stage == "bwd_pool2":
+        return jnp.sum(dz2), min_tl, None
+
+    # conv2 backward (dz2's slot-pad lanes are exact zeros — mem2's pad
+    # rows — so the lane contractions never touch pad garbage)
+    dbig_all = _mm(dz2, p1s, tb=True)                 # (M2*G, F2^2*R1GP)
+    dw2 = _mm(_mm(em2, dbig_all * st2x, ta=True), e9b2, tb=True)
+
+    if debug_stage == "bwd_dw2":
+        return jnp.sum(dw2), min_tl, None
+    dp_stack = _mm(w2_big, dz2, ta=True)              # (F2^2*R1GP, g*S1P)
+    # un-shift by roll + per-slot iota mask (the striped kernel's sh2
+    # one-hot matmuls would need a (g*S1P)^2 constant here); the mask
+    # q' % S1P >= off kills exactly the cross-slot lanes a full-width
+    # roll contaminates, and targets beyond P1SQ land on dp1's pad lanes,
+    # which mem1's zero columns discard
+    lq1 = jax.lax.broadcasted_iota(jnp.int32, (1, g * S1P), 1) % S1P
+    dp1p = jnp.zeros((R1GP, g * S1P), jnp.float32)
+    for k, off in enumerate(offs2):
+        dp1p = dp1p + jnp.where(
+            lq1 >= off, _roll(dp_stack[k * R1GP:(k + 1) * R1GP, :], off),
+            0.0)
+    dp1 = dp1p[:R1G] if R1GP != R1G else dp1p
+    db2 = _mm(em2, jnp.sum(dz2, axis=1, keepdims=True), ta=True)
+
+    if debug_stage == "bwd_conv2":
+        return jnp.sum(dw2) + jnp.sum(dp1) + jnp.sum(db2), min_tl, None
+
+    # pool1 backward
+    mem1 = mem1_ref[:]                                # (HWP, S1P)
+    dmxe1 = jnp.concatenate(
+        [_mm(dp1[:, j * S1P:(j + 1) * S1P], mem1, tb=True,
+             hi=spec.exact_movement)
+         for j in range(g)], axis=1)                  # (R1G, g*HWP)
+    mxe1 = _anchor_select(mx1, spec.pool1, H, slot=HWP)
+    dz1a = jnp.where(z1m == mxe1, dmxe1, 0.0)
+    dz1 = dz1a * _dact(z1, spec.act1, spec.slope1)    # (R1G, g*HWP)
+
+    if debug_stage == "bwd_pool1":
+        return jnp.sum(dz1), min_tl, None
+
+    # conv1 backward (weights only)
+    dbig_all1 = _mm(dz1, stk, tb=True)                # (R1G, F1^2*RS1)
+    dw1 = _mm(_mm(em1, dbig_all1 * st1x, ta=True), e9b1, tb=True)
+    db1 = _mm(em1, jnp.sum(dz1, axis=1, keepdims=True), ta=True)
+
+    if debug_stage == "grads":
+        return (jnp.sum(dw1) + jnp.sum(db1) + jnp.sum(dw2) + jnp.sum(db2)
+                + jnp.sum(dwh) + jnp.sum(dbh) + jnp.sum(dwo) + jnp.sum(dbo)
+                ), min_tl, None
+
+    return cost, min_tl, (dw1, db1, dw2, db2, dwh, dbh, dwo, dbo)
+
+
 def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   ub_ref, fb_ref, pb_ref, db_ref,
                   ss_ref, c1_ref, c2_ref, v1_ref, v2_ref,
@@ -1440,7 +1859,7 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
                   em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
                   selmask_ref, selsum_ref, sumsel_ref, sh2_ref,
                   stk_ref=None, stk2_ref=None, wt_scale=1.0, noise_row=0,
-                  pads_zeroed=False):
+                  pads_zeroed=False, xg_ref=None):
     """One step's fused forward + backward: augmentation -> striped-matmul
     conv/pool x2 -> dense tail -> softmax NLL -> hand-derived gradients.
     Shared by the whole-epoch kernel (_kernel, which applies the momentum
@@ -1471,6 +1890,17 @@ def _conv_fwd_bwd(spec, debug_stage, x, y, params,
 
     if debug_stage == "aug":
         return jnp.sum(aug), 0.0, None  # consume so nothing is DCE'd
+
+    if getattr(spec, "group_g", 1) > 1:
+        # grouped lane-slot layout: relayout + conv pipeline + tail in
+        # _conv_fwd_bwd_grouped (augmentation and noise consumption are
+        # shared above — the layouts differ only from here on)
+        return _conv_fwd_bwd_grouped(
+            spec, debug_stage, aug, y, params, db_ref,
+            ss_ref, c1_ref, c2_ref, v1_ref, v2_ref, mem1_ref, mem2_ref,
+            em1_ref, em2_ref, st1x_ref, st2x_ref, e9b1_ref, e9b2_ref,
+            selmask_ref, selsum_ref, sumsel_ref,
+            xg_ref, stk_ref, stk2_ref, wt_scale, noise_row, pads_zeroed)
 
     # ---------------- conv1 (patch-stack matmul) + pool1
     # Conv1's rolled tap pieces are C0*B-row (20) blocks, which Mosaic
@@ -1689,9 +2119,10 @@ def _kernel(spec: MegaSpec,
             ow1, ob1, ow2, ob2, owh, obh, owo, obo,
             oa1w, oa1b, oa2w, oa2b, oahw, oahb, oaow, oaob,
             cm_ref,
-            # scratch: the family stacks (stack_shapes), then the VMEM
-            # gradient accumulators — present iff n_tiles > 1
-            stk_ref, stk2_ref, *gacc):
+            # scratch: the family stacks (stack_shapes — grouped specs
+            # prepend the relayout scratch), then the VMEM gradient
+            # accumulators — present iff n_tiles > 1
+            *scratch):
     # unroll > 1 processes ``unroll`` consecutive reference batches per
     # grid iteration (step blocks carry an extra leading dim), amortizing
     # the per-iteration grid/DMA bookkeeping floor. The sub-steps run the
@@ -1701,6 +2132,14 @@ def _kernel(spec: MegaSpec,
     # Excluded when n_tiles > 1 (tile phase would cross iteration
     # boundaries).
     assert unroll == 1 or spec.n_tiles == 1
+    grouped = spec.group_g > 1
+    if grouped:
+        xg_ref, stk_ref, stk2_ref = scratch[:3]
+        gacc = scratch[3:]
+    else:
+        xg_ref = None
+        stk_ref, stk2_ref = scratch[:2]
+        gacc = scratch[2:]
     it = pl.program_id(0)
 
     if debug_stage == "noop0":     # floor before ANY kernel structure
@@ -1725,14 +2164,26 @@ def _kernel(spec: MegaSpec,
         # only ever write the real rows, so the pads stay zero for the
         # whole epoch (fresh-scratch kernels pass pads_zeroed=False and
         # zero them per step instead)
-        CB_, CBP_ = spec.in_ch * spec.batch, _pad8(spec.in_ch * spec.batch)
-        if CBP_ != CB_:
-            zp = jnp.zeros((CBP_ - CB_, spec.hw), jnp.float32)
-            for k in range(spec.filt1 ** 2):
-                stk_ref[k * CBP_ + CB_:(k + 1) * CBP_, :] = zp
-        R1_, R1P_ = spec.maps1 * spec.batch, _pad8(spec.maps1 * spec.batch)
+        if grouped:
+            # the relayout scratch's pad rows AND slot-pad lanes must be
+            # zero (its per-step stores write only the (G, HW) blocks;
+            # the conv1 stack inherits zeros through the full-slot rolls)
+            xg_ref[:] = jnp.zeros(xg_ref.shape, jnp.float32)
+            G_ = spec.batch // spec.group_g
+            R1_, R1P_ = spec.maps1 * G_, _pad8(spec.maps1 * G_)
+            lanes2 = spec.group_g * _pad128(spec.p1 * spec.p1)
+        else:
+            CB_ = spec.in_ch * spec.batch
+            CBP_ = _pad8(spec.in_ch * spec.batch)
+            if CBP_ != CB_:
+                zp = jnp.zeros((CBP_ - CB_, spec.hw), jnp.float32)
+                for k in range(spec.filt1 ** 2):
+                    stk_ref[k * CBP_ + CB_:(k + 1) * CBP_, :] = zp
+            R1_ = spec.maps1 * spec.batch
+            R1P_ = _pad8(spec.maps1 * spec.batch)
+            lanes2 = spec.p1 * spec.p1
         if R1P_ != R1_:
-            zp2 = jnp.zeros((R1P_ - R1_, spec.p1 * spec.p1), jnp.float32)
+            zp2 = jnp.zeros((R1P_ - R1_, lanes2), jnp.float32)
             for k in range(spec.filt2 ** 2):
                 stk2_ref[k * R1P_ + R1_:(k + 1) * R1P_, :] = zp2
 
@@ -1770,6 +2221,7 @@ def _kernel(spec: MegaSpec,
                       else jnp.where(tile == 0, 1.0, 0.0)),
             noise_row=sub,   # sub-step's row of the unroll-wide blocks
             pads_zeroed=True,   # _init zeroed the stack slot pads once
+            xg_ref=xg_ref,
         )
         cm_ref[step % CM_BLOCK, 0] = cost
         cm_ref[step % CM_BLOCK, 1] = minf

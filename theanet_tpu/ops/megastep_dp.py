@@ -57,6 +57,7 @@ from .megastep import (
     flagship_vmem_ok,
     kernel_reg_kinds,
     kernel_shapes,
+    regroup,
     stack_shapes,
 )
 from .megastep_deep import (
@@ -81,8 +82,18 @@ def _untiled_global(spec):
     family tiles; deep specs pass through.)"""
     if getattr(spec, "n_tiles", 1) == 1:
         return spec
-    return spec._replace(batch=spec.batch * spec.n_tiles, n_tiles=1,
-                         loss_div=0)
+    return regroup(spec, spec.batch * spec.n_tiles)._replace(
+        n_tiles=1, loss_div=0)
+
+
+def local_spec(spec, b_loc):
+    """The per-device spec at shard batch ``b_loc``: flagship specs
+    re-pick their grouped lane-slot factor for the new batch
+    (megastep.regroup — the global batch's g need not divide a shard);
+    deep specs re-batch directly."""
+    if isinstance(spec, MegaSpec):
+        return regroup(spec, b_loc)
+    return spec._replace(batch=b_loc)
 
 
 def _flag_fwd_bwd(spec, x, y, params, ub_ref, fb_ref, pb_ref, db_ref,
@@ -90,10 +101,13 @@ def _flag_fwd_bwd(spec, x, y, params, ub_ref, fb_ref, pb_ref, db_ref,
     """Flagship-family adapter: _conv_fwd_bwd with its constant refs
     passed positionally (MEGA_CONST_NAMES order matches its signature).
     ``scratch`` carries the family's kernel scratch (family_scratch):
-    the level-1 patch stack."""
+    the patch stacks, preceded by the relayout scratch for grouped
+    (group_g > 1) specs."""
+    xg, rest = ((scratch[0], scratch[1:])
+                if getattr(spec, "group_g", 1) > 1 else (None, scratch))
     return _conv_fwd_bwd(spec, None, x, y, tuple(params),
                          ub_ref, fb_ref, pb_ref, db_ref, *c_refs,
-                         stk_ref=scratch[0], stk2_ref=scratch[1])
+                         stk_ref=rest[0], stk2_ref=rest[1], xg_ref=xg)
 
 
 def family_scratch(spec):
@@ -135,7 +149,7 @@ def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
             return True  # interpret mode: no VMEM constraints
         # (the old (maps1*b_loc) % 8 Mosaic sublane-concat gate is gone:
         # the store-built patch slots pad to 8 rows at any shard size)
-        return flagship_vmem_ok(spec._replace(batch=b_loc))
+        return flagship_vmem_ok(local_spec(spec, b_loc))
     if isinstance(spec, DeepSpec):
         if spec.batch % n_data:
             return False
@@ -333,7 +347,7 @@ def make_dp_epoch_fn(spec, n_batches: int, mesh, interpret=None,
     n_data = mesh.shape["data"]
     B = spec.batch
     b_loc = B // n_data
-    spec_loc = spec._replace(batch=b_loc)
+    spec_loc = local_spec(spec, b_loc)
     C0, HW, NH = spec.in_ch, spec.hw, db_lanes(spec)
     step_fn = make_dp_step_fn(spec_loc, interpret=interpret)
     regs = (kernel_reg_kinds(spec) if isinstance(spec, MegaSpec)

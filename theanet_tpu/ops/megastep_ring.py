@@ -108,7 +108,7 @@ def ring_supported(spec, n_data: int, on_tpu: bool) -> bool:
     if not on_tpu:
         return True  # interpret mode: no VMEM constraint
     spec = _untiled_global(spec)
-    spec_loc = spec._replace(batch=spec.batch // n_data)
+    spec_loc = local_spec(spec, spec.batch // n_data)
     return _ring_bytes(spec_loc, n_data) <= _RING_MB * 1024 * 1024
 
 
@@ -254,7 +254,7 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
     n_data = mesh.shape["data"]
     B = spec.batch
     b_loc = B // n_data
-    spec_loc = spec._replace(batch=b_loc)
+    spec_loc = local_spec(spec, b_loc)
     kshapes, const_arrs, regs, fwd_bwd, has_aux = _family(spec_loc)
     n_state = len(kshapes)
     C0, HW, NH = spec.in_ch, spec.hw, db_lanes(spec)
