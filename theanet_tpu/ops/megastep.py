@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import functools
 import math
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -703,7 +704,7 @@ def _member_grid(side_out, stride_in, pool, cstride=1, side_valid=None):
     return m
 
 
-def _pool_max(z, pool, stride, cstride=1, guard=False):
+def _pool_max(z, pool, stride, cstride=1, guard=False, slot=None):
     """Window max over the pool x pool window anchored at each position,
     separably: p-1 column rolls then p-1 row rolls (2(p-1) VPU maxes
     instead of p^2-1 for the direct offset enumeration). ``guard`` masks
@@ -711,10 +712,14 @@ def _pool_max(z, pool, stride, cstride=1, guard=False):
     the conv slack beyond the valid region cannot absorb the reads
     (same-mode convs, strided convs, pool windows wider than the
     filter); the consumed positions are only the window anchors, whose
-    guarded reads are exactly the reference's partial-window clipping."""
+    guarded reads are exactly the reference's partial-window clipping.
+    ``slot``: grouped layouts pass the 128-padded slot width so the
+    guard coordinates are per-slot (cf. _anchor_select)."""
     n = stride
     if guard:
-        lq = jax.lax.broadcasted_iota(jnp.int32, (1, n * n), 1)
+        width, per = ((z.shape[-1], slot) if slot is not None
+                      else (n * n, n * n))
+        lq = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) % per
         colq, rowq = lq % n, lq // n
     row = z
     for dx in range(1, pool):

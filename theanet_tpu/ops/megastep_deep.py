@@ -36,6 +36,9 @@ from .megastep import (
     CM_BLOCK,
     LayerReg,
     _anchor_grid,
+    _embed,
+    _pad128,
+    pick_group_g,
     _apply_updates,
     _augment_block,
     _dense_centered_bwd,
@@ -151,6 +154,11 @@ class DeepSpec(NamedTuple):
     # outputs see exact zero padding.
     conv_strides: tuple = ()
     modes: tuple = ()
+    # Grouped lane-slot conv layout (see megastep.MegaSpec.group_g): the
+    # batch factors as B = G*g with g members side by side in 128-aligned
+    # lane slots. 1 = the striped layout, bit-for-bit. Only conv stacks
+    # group (flat nets have no conv redundancy to cut).
+    group_g: int = 1
 
     def cstride(self, k):
         return self.conv_strides[k] if self.conv_strides else 1
@@ -350,7 +358,7 @@ def deep_spec_from_net(net):
             return None
         if convs[0].num_prev_maps != spec.in_ch:
             return None
-        return spec if _fits_vmem(spec) else None
+        return _grouped_or_self(spec) if _fits_vmem(spec) else None
 
     # dense tail: [Hidden -> [DropOut]]*m, m >= 1; the last group is the
     # spec's n_hid/act_h/pdrop fields, earlier groups fill pre_hidden
@@ -454,7 +462,30 @@ def deep_spec_from_net(net):
     if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
         return None
 
-    return spec if _fits_vmem(spec) else None
+    return _grouped_or_self(spec) if _fits_vmem(spec) else None
+
+
+def _grouped_or_self(spec):
+    """Apply the grouped lane-slot layout when eligible: conv stacks on
+    TPU (megastep.pick_group_g policy, THEANET_GROUP override), gated on
+    the grouped VMEM footprint. Flat nets stay striped (no conv
+    redundancy to cut)."""
+    if spec.n_levels == 0:
+        return spec
+    gv = pick_group_g(spec)
+    if gv > 1:
+        gspec = spec._replace(group_g=gv)
+        if _fits_vmem(gspec):
+            return gspec
+    return spec
+
+
+def regroup_deep(spec, batch):
+    """_replace(batch=batch) for deep specs, re-picking the grouped
+    factor for the new batch (cf. megastep.regroup)."""
+    if getattr(spec, "group_g", 1) <= 1:
+        return spec._replace(batch=batch)
+    return _grouped_or_self(spec._replace(batch=batch, group_g=1))
 
 
 def _fits_vmem(spec):
@@ -469,12 +500,33 @@ def _fits_vmem(spec):
     state_bytes = 4 * 3 * sum(
         int(np.prod(s)) for s in deep_kernel_shapes(spec)
     )
+    grouped = getattr(spec, "group_g", 1) > 1 and spec.n_levels > 0
     if spec.n_levels == 0:
         # flat dense net: resample workspace (when a warp is active) + the
         # channel lane-embedding — ONE formula shared with the MLP gate
         # (budget verified on v5e by the megastep_mlp twin at the 3flat
         # shape — hidden 1000, 457 classes, 28x28)
         work_bytes = flat_embed_bytes(spec)
+    elif grouped:
+        # grouped layout: the same live set at the slotted shapes —
+        # G-striped rows, g 128-padded lane slots (the B^2 stripe term
+        # drops to G^2*g, the grids gain lane padding), plus the
+        # relayout scratch and the per-slot embed/un-embed pieces
+        g = spec.group_g
+        G = B // g
+        work_bytes = 4 * (
+            spec.hw * B * spec.in_ch
+            + sum(int(np.prod(s)) for s in deep_stack_shapes(spec))
+            + 2 * spec.maps[-1] * G * spec.n_flat
+        )
+        for k in range(spec.n_levels):
+            lanes = g * _pad128(spec.sides[k][0] ** 2)
+            work_bytes += 4 * 5 * spec.maps[k] * G * lanes
+            if k > 0:
+                fk2 = spec.filts[k] ** 2
+                rp = _pad8(spec.maps[k - 1] * G)
+                work_bytes += 4 * (fk2 * rp * lanes           # dstack bwd
+                                   + 2 * fk2 * spec.maps[k] * G * rp)
     else:
         # the level-0 patch stack is extra scratch; the k>0 patch-matrix
         # buffers are the same fk2*rp*lanes tensors the loop below
@@ -482,7 +534,7 @@ def _fits_vmem(spec):
         work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
                                          + 5 * spec.maps[0])
                           + int(np.prod(deep_stack_shapes(spec)[0])))
-    for k in range(1, spec.n_levels):
+    for k in range(1 if not grouped else spec.n_levels, spec.n_levels):
         lanes = spec.sides[k][0] ** 2
         fk2 = spec.filts[k] ** 2
         rp = spec.maps[k - 1] * B
@@ -505,8 +557,98 @@ def _fits_vmem(spec):
     return const_bytes + state_bytes + work_bytes <= budget
 
 
+def _grouped_constants_deep(spec: DeepSpec):
+    """build_constants_deep for the grouped lane-slot layout (group_g >
+    1): SAME keys in the SAME order, grouped shapes (cf. megastep.
+    _grouped_constants). Geometry constants become per-slot matrices
+    padded to the level slot widths (SkP = pad128(side^2) input-side,
+    OkP = pad128(pooled^2) output-side — level k+1's input slot, so the
+    compaction output IS the next level's slotted grid); sh{k} is
+    repurposed as the un-shift TARGET masks (shm[t, q'] = 1 iff source
+    q'-off_t is a tap-valid read), since a one-hot shift matmul would
+    need a (g*SkP)^2 constant."""
+    B, g = spec.batch, spec.group_g
+    G = B // g
+    GP, BP = _pad8(G), _pad8(B)
+    consts = {"s_smooth": smoothing_const(spec.img, spec.sigma,
+                                          spec.magnitude)}
+    prev_maps = spec.in_ch
+    for k, (stride, c, po) in enumerate(spec.sides):
+        mk = spec.maps[k]
+        taps = spec.filts[k] ** 2
+        p = stride * stride
+        SkP, OkP = _pad128(p), _pad128(po * po)
+        if k == 0:
+            # per-channel GP-row slots in the relayout scratch
+            ecol = np.zeros((prev_maps, prev_maps * GP), np.float32)
+            stripe = np.zeros((mk * G, prev_maps * GP), np.float32)
+            for ch in range(prev_maps):
+                ecol[ch, ch * GP:ch * GP + G] = 1.0
+                for m in range(mk):
+                    stripe[m * G:(m + 1) * G, ch * GP:ch * GP + G] = \
+                        np.eye(G, dtype=np.float32)
+        else:
+            RpG, RpGP = prev_maps * G, _pad8(prev_maps * G)
+            ecol = np.zeros((prev_maps, RpGP), np.float32)
+            stripe = np.zeros((mk * G, RpGP), np.float32)
+            for ch in range(prev_maps):
+                ecol[ch, ch * G:(ch + 1) * G] = 1.0
+                for m in range(mk):
+                    stripe[m * G:(m + 1) * G, ch * G:(ch + 1) * G] = \
+                        np.eye(G, dtype=np.float32)
+        cs, mode = spec.cstride(k), spec.mode(k)
+        consts[f"c{k}"] = _embed(
+            _anchor_grid(po, stride, spec.pools[k], cs), SkP, OkP)
+        consts[f"valid{k}"] = np.tile(
+            _embed(_valid_mask(c, stride, cs), 1, SkP), (1, g))
+        consts[f"mem{k}"] = _embed(
+            _member_grid(po, stride, spec.pools[k], cs, side_valid=c),
+            SkP, OkP)
+        tm = _tap_masks(spec.filts[k], stride, mode, unmasked=(k == 0))
+        consts[f"tm{k}"] = np.tile(_embed(tm, taps, SkP), (1, g))
+        consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), G,
+                                     axis=0)
+        consts[f"e9b{k}"] = _tap_blockdiag(ecol, taps)
+        consts[f"st{k}x"] = np.tile(stripe, (1, taps))
+        if k > 0:
+            # un-shift target masks, per slot: q' receives src = q' - off
+            # iff the forward store placed a tap-valid read there
+            tm_m = _tap_masks(spec.filts[k], stride, mode)
+            shm = np.zeros((taps, SkP), np.float32)
+            for t, off in enumerate(
+                    _tap_offsets_mode(spec.filts[k], stride, mode)):
+                for q in range(p):
+                    if 0 <= q + off < p and tm_m[t, q]:
+                        shm[t, q + off] = 1.0
+            consts[f"sh{k}"] = np.tile(shm, (1, g))
+        prev_maps = mk
+    # flatten: per-slot embed (selsum padded to the last level's slot
+    # width so the slot slices stay 128-aligned) + packed row selectors
+    Mn = spec.maps[-1]
+    pn2 = spec.sides[-1][2] ** 2
+    OnP = _pad128(pn2)
+    sumsel = np.zeros((g * BP, Mn * G), np.float32)
+    for j in range(g):
+        for bg in range(G):
+            for m in range(Mn):
+                sumsel[j * BP + j * G + bg, m * G + bg] = 1.0
+    consts["sumsel"] = sumsel
+    consts["selmask"] = np.repeat(
+        np.repeat(np.eye(Mn, dtype=np.float32), G, axis=0), pn2, axis=1)
+    consts["selsum"] = _embed(
+        np.tile(np.eye(pn2, dtype=np.float32), (Mn, 1)),
+        Mn * pn2, OnP)
+    if spec.head in ("logit", "rbf") and not spec.learn_centers:
+        consts["centers"] = np.frombuffer(
+            spec.centers_bytes, np.float32
+        ).reshape(spec.n_classes, spec.n_out).copy()
+    return consts
+
+
 def build_constants_deep(spec: DeepSpec):
     """All constant operand tensors (numpy), in a deterministic order."""
+    if getattr(spec, "group_g", 1) > 1:
+        return _grouped_constants_deep(spec)
     B, H = spec.batch, spec.img
     consts = {"s_smooth": smoothing_const(H, spec.sigma, spec.magnitude)}
     prev_maps = spec.in_ch
@@ -603,9 +745,23 @@ def deep_stack_shapes(spec: DeepSpec):
     8-row-aligned slot, so level 0's forward and weight-gradient
     contractions are one wide matmul each), then one patch-matrix store
     buffer per deeper level (pieces built by roll+mask stores instead of
-    one-hot shift matmuls)."""
+    one-hot shift matmuls). Grouped specs (group_g > 1) prepend the
+    entrance-relayout scratch and size the stacks at the slotted
+    rows/lanes (cf. megastep.stack_shapes)."""
     if spec.n_levels == 0:
         return []
+    if getattr(spec, "group_g", 1) > 1:
+        g = spec.group_g
+        G = spec.batch // g
+        rows0 = spec.in_ch * _pad8(G)
+        shapes = [(rows0, g * _pad128(spec.hw)),
+                  (spec.filts[0] ** 2 * rows0, g * _pad128(spec.hw))]
+        for k in range(1, spec.n_levels):
+            stride = spec.sides[k][0]
+            shapes.append(
+                (spec.filts[k] ** 2 * _pad8(spec.maps[k - 1] * G),
+                 g * _pad128(stride * stride)))
+        return shapes
     shapes = [(spec.filts[0] ** 2 * _pad8(spec.in_ch * spec.batch),
                spec.hw)]
     for k in range(1, spec.n_levels):
@@ -674,6 +830,160 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
     return ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref, centers_ref
 
 
+def _deep_grouped_fwd(spec, aug, ws, bs, lvl, scratch,
+                      sumsel_ref, selmask_ref, selsum_ref):
+    """Grouped lane-slot conv forward (group_g > 1), augmented batch ->
+    dense-tail input f — the deep-family port of megastep.
+    _conv_fwd_bwd_grouped (see its docstring for the slot-safety
+    invariants; the mode/stride extensions add only the per-slot tap
+    masks tm{k}, whose 2-D clip also kills every cross-slot read a
+    signed 'same' offset can make). Returns (f, ctx) with ctx carrying
+    what the backward needs."""
+    n, B, g = spec.n_levels, spec.batch, spec.group_g
+    G = B // g
+    GP, BP = _pad8(G), _pad8(B)
+    C0 = spec.in_ch
+    HW, HWP = spec.hw, _pad128(spec.hw)
+    xg_ref = scratch[0]
+    # pad rows and slot-tail lanes must be exact zeros every step (the
+    # per-step kernels get fresh scratch; one full-array store is cheap
+    # next to the conv work)
+    xg_ref[:] = jnp.zeros(xg_ref.shape, jnp.float32)
+    for c in range(C0):
+        for j in range(g):
+            xg_ref[c * GP:c * GP + G, j * HWP:j * HWP + HW] = \
+                aug[c * B + j * G:c * B + (j + 1) * G, :]
+    xg = xg_ref[:]
+
+    saved = []
+    patches = [None]
+    wbigs = [None]
+    stk0 = None
+    for k in range(n):
+        stride, _cv, po = spec.sides[k]
+        p = stride * stride
+        SkP = _pad128(p)
+        lanes = g * SkP
+        Fk = spec.filts[k]
+        mode = spec.mode(k)
+        emk, e9bk, stkx = (lvl[k]["em"][:], lvl[k]["e9b"][:],
+                           lvl[k]["stx"][:])
+        gtm = lvl[k]["tm"][:] if mode == "same" else None
+        if k == 0:
+            rows, real = C0 * GP, C0 * GP   # xg pads are zero: full slots
+            src = xg
+        else:
+            real = spec.maps[k - 1] * G
+            rows = _pad8(real)
+            src = saved[k - 1][3]
+        stkk = scratch[k + 1]
+        if rows != real:
+            zpk = jnp.zeros((rows - real, lanes), jnp.float32)
+        for t, off in enumerate(_tap_offsets_mode(Fk, stride, mode)):
+            piece = _roll(src, -off)
+            if gtm is not None:
+                piece = jnp.where(gtm[t:t + 1, :] > 0, piece, 0.0)
+            stkk[t * rows:t * rows + real, :] = piece
+            if rows != real:
+                stkk[t * rows + real:(t + 1) * rows, :] = zpk
+        ps = stkk[:]
+        w_big = _mm(_mm(emk, ws[k]), e9bk) * stkx
+        z = (_mm(w_big, ps)
+             + _mm(emk, bs[k]) * jnp.ones((1, lanes), jnp.float32))
+        if k == 0:
+            stk0 = ps
+        else:
+            patches.append(ps)
+            wbigs.append(w_big)
+        h = _act(z, spec.acts[k] if spec.acts else "leaky", spec.slopes[k])
+        zm = jnp.where(lvl[k]["valid"][:] > 0, h, BIG_NEG)
+        cs_k = spec.cstride(k)
+        guard_k = (spec.pools[k] * po - 1) * cs_k > stride - 1
+        mx = _pool_max(zm, spec.pools[k], stride, cs_k, guard_k, slot=SkP)
+        ck = lvl[k]["c"][:]                        # (SkP, OkP)
+        pk = jnp.concatenate(
+            [_mm(mx[:, j * SkP:(j + 1) * SkP], ck, hi=spec.exact_movement)
+             for j in range(g)], axis=1)           # (MkG, g*OkP)
+        saved.append((z, zm, mx, pk))
+
+    # flatten: per-slot embed + packed row selectors (selsum is padded
+    # to the last slot width, so slices stay 128-aligned and the dp
+    # pieces the backward builds carry exact-zero pads)
+    pn = saved[-1][3]
+    OnP = _pad128(spec.sides[-1][2] ** 2)
+    selmask, selsum = selmask_ref[:], selsum_ref[:]
+    sumsel = sumsel_ref[:]
+    f = jnp.zeros((B, spec.n_flat), jnp.float32)
+    for j in range(g):
+        pe = _mm(pn[:, j * OnP:(j + 1) * OnP], selsum, tb=True,
+                 hi=spec.exact_movement) * selmask
+        f = f + _mm(sumsel[j * BP:j * BP + B, :], pe,
+                    hi=spec.exact_movement)
+    return f, (saved, patches, wbigs, stk0)
+
+
+def _deep_grouped_bwd(spec, ctx, df, ws, lvl,
+                      sumsel_ref, selmask_ref, selsum_ref):
+    """Grouped conv backward: df -> per-level (dw, db), mirroring the
+    striped level loop with per-slot membership matmuls, the slot-aware
+    anchor select, and the roll+target-mask un-shift (sh{k} carries the
+    target masks in grouped constants)."""
+    saved, patches, wbigs, stk0 = ctx
+    n, B, g = spec.n_levels, spec.batch, spec.group_g
+    G = B // g
+    BP = _pad8(B)
+    sumsel, selmask, selsum = (sumsel_ref[:], selmask_ref[:],
+                               selsum_ref[:])
+    dplist = [
+        _mm(_mm(sumsel[j * BP:j * BP + B, :], df, ta=True,
+                hi=spec.exact_movement) * selmask,
+            selsum, hi=spec.exact_movement)        # (MnG, OnP)
+        for j in range(g)
+    ]
+    dws, dbs = [None] * n, [None] * n
+    for k in range(n - 1, -1, -1):
+        stride, _cv, po = spec.sides[k]
+        p = stride * stride
+        SkP = _pad128(p)
+        lanes = g * SkP
+        z, zm, mx, _pk = saved[k]
+        memk = lvl[k]["mem"][:]                    # (SkP, OkP)
+        dmxe = jnp.concatenate(
+            [_mm(dplist[j], memk, tb=True, hi=spec.exact_movement)
+             for j in range(g)], axis=1)           # (MkG, g*SkP)
+        mxe = _anchor_select(mx, spec.pools[k], stride, spec.cstride(k),
+                             slot=SkP)
+        dza = jnp.where(zm == mxe, dmxe, 0.0)
+        dz = dza * _dact(z, spec.acts[k] if spec.acts else "leaky",
+                         spec.slopes[k])
+        emk, e9bk, stkx = (lvl[k]["em"][:], lvl[k]["e9b"][:],
+                           lvl[k]["stx"][:])
+        if k > 0:
+            Fk = spec.filts[k]
+            RpG = spec.maps[k - 1] * G
+            RpGP = _pad8(RpG)
+            dbig = _mm(dz, patches[k], tb=True)
+            dws[k] = _mm(_mm(emk, dbig * stkx, ta=True), e9bk, tb=True)
+            dstack = _mm(wbigs[k], dz, ta=True)    # (Fk^2*RpGP, lanes)
+            shm = lvl[k]["sh"][:]
+            dpp = jnp.zeros((RpGP, lanes), jnp.float32)
+            for t, off in enumerate(
+                    _tap_offsets_mode(Fk, stride, spec.mode(k))):
+                dpp = dpp + jnp.where(
+                    shm[t:t + 1, :] > 0,
+                    _roll(dstack[t * RpGP:(t + 1) * RpGP, :], off), 0.0)
+            dp_full = dpp[:RpG] if RpGP != RpG else dpp
+            # SkP = pad128(po_{k-1}^2): the slot slices ARE level k-1's
+            # output-side (OkP-wide) gradient pieces, pads exact zeros
+            dplist = [dp_full[:, j * SkP:(j + 1) * SkP] for j in range(g)]
+            dbs[k] = _mm(emk, jnp.sum(dz, axis=1, keepdims=True), ta=True)
+        else:
+            dbig0 = _mm(dz, stk0, tb=True)
+            dws[0] = _mm(_mm(emk, dbig0 * stkx, ta=True), e9bk, tb=True)
+            dbs[0] = _mm(emk, jnp.sum(dz, axis=1, keepdims=True), ta=True)
+    return dws, dbs
+
+
 def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                   db_ref, c_refs, aux=None, scratch=()):
     # ``scratch`` matches the flagship adapter's signature
@@ -706,11 +1016,15 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     aug = _augment_block(spec, x, ub_ref, fb_ref, pb_ref, ss_ref)
     C0 = spec.in_ch
 
+    grouped = getattr(spec, "group_g", 1) > 1
     if n == 0:
         # ---------------- flat dense net: the augmented rows feed the
         # dense tail directly, in the reference's flatten(2) order
         # (shared construction — see megastep.flatten_channel_rows)
         f = flatten_channel_rows(spec, aug, sumsel_ref)  # (B, C0*HW)
+    elif grouped:
+        f, gctx = _deep_grouped_fwd(spec, aug, ws, bs, lvl, scratch,
+                                    sumsel_ref, selmask_ref, selsum_ref)
     else:
         # ---------------- forward through the conv levels
         F0 = spec.filts[0]
@@ -922,13 +1236,16 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     dpre.reverse()
 
     # flat nets (n == 0) stop here: nothing learnable below the dense tail
-    if n > 0:
+    dws, dbs = [None] * n, [None] * n
+    if n > 0 and grouped:
+        dws, dbs = _deep_grouped_bwd(spec, gctx, df, ws, lvl,
+                                     sumsel_ref, selmask_ref, selsum_ref)
+    elif n > 0:
         dpe = _mm(sumsel_ref[:], df, ta=True, hi=spec.exact_movement)
         # un-embed via one mul + one one-hot matmul (megastep._conv_fwd_bwd)
         dp = _mm(dpe * selmask, selsum_ref[:], hi=spec.exact_movement)
 
-    dws, dbs = [None] * n, [None] * n
-    for k in range(n - 1, -1, -1):
+    for k in (() if grouped else range(n - 1, -1, -1)):
         stride, c, po = spec.sides[k]
         z, zm, mx, _p = saved[k]
         # membership-matmul pool backward (megastep._conv_fwd_bwd): one

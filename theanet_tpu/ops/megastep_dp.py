@@ -68,6 +68,7 @@ from .megastep_deep import (
     deep_kernel_shapes,
     deep_reg_kinds,
     deep_stack_shapes,
+    regroup_deep,
 )
 
 __all__ = ["make_dp_epoch_fn", "dp_supported"]
@@ -93,7 +94,7 @@ def local_spec(spec, b_loc):
     deep specs re-batch directly."""
     if isinstance(spec, MegaSpec):
         return regroup(spec, b_loc)
-    return spec._replace(batch=b_loc)
+    return regroup_deep(spec, b_loc)
 
 
 def _flag_fwd_bwd(spec, x, y, params, ub_ref, fb_ref, pb_ref, db_ref,
@@ -157,7 +158,7 @@ def dp_supported(spec, n_data: int, on_tpu: bool) -> bool:
         if not on_tpu:
             return True
         # (no sublane-concat gate: patch slots pad to 8 rows per level)
-        return _deep_vmem_ok(spec._replace(batch=b_loc))
+        return _deep_vmem_ok(local_spec(spec, b_loc))
     # the tuned flat-MLP family (MlpSpec) has no DP kernel, but flat nets
     # never reach here under a mesh: fused_plan(for_mesh=True) matches
     # them as zero-conv-level DeepSpecs, handled above

@@ -80,6 +80,7 @@ from .megastep_dp import (
     dp_epoch_arrange,
     dp_supported,
     family_scratch,
+    local_spec,
 )
 
 __all__ = ["make_ring_epoch_fn", "ring_supported"]
