@@ -583,6 +583,13 @@ GEOMETRY_CASES = [
                               slopes=(0.07, 0.07),
                               modes=("same", "valid"),
                               conv_strides=(1, 2))),
+    # mode='full' stack (r5): entry embedding onto the padded working
+    # grid, composed compaction embeddings between levels, wash-eligible
+    # pools (ceil(13/3)=ceil(15/3)=5, ceil(6/4)=ceil(8/4)=2)
+    ("full-stack", dict(img=11, filts=(3, 2), pools=(3, 4),
+                        ibs=(False, False), maps=(2, 3),
+                        slopes=(0.07, 0.07), modes=("full", "full"),
+                        conv_strides=(1, 1))),
 ]
 
 

@@ -41,17 +41,17 @@ def make_dataset(n_train=12000, n_test=2000, img_sz=28, seed=1234):
         for i in range(n):
             dy = rng.randint(-3, 4)
             dx = rng.randint(-5, 6)
-            img = glyphs[ys[i]] * rng.uniform(0.45, 1.0)
+            img = glyphs[ys[i]] * rng.uniform(0.35, 1.0)
             # distractor: a different class bleeds in at low contrast
             other = rng.randint(0, 10)
-            img = np.maximum(img, glyphs[other] * rng.uniform(0.0, 0.35))
+            img = np.maximum(img, glyphs[other] * rng.uniform(0.0, 0.5))
             # occlusion: blank a block of the glyph
-            bh, bw = rng.randint(4, 9), rng.randint(4, 9)
+            bh, bw = rng.randint(5, 11), rng.randint(5, 11)
             by, bx = rng.randint(0, gh - bh + 1), rng.randint(0, gw - bw + 1)
             img = img.copy()
             img[by:by + bh, bx:bx + bw] = 0.0
             xs[i, 0, oy0 + dy:oy0 + dy + gh, ox0 + dx:ox0 + dx + gw] = img
-        xs += rng.normal(0, 0.22, size=xs.shape).astype(np.float32)
+        xs += rng.normal(0, 0.30, size=xs.shape).astype(np.float32)
         np.clip(xs, 0.0, 1.0, out=xs)
         if train and LABEL_NOISE:
             flip = rng.rand(n) < LABEL_NOISE

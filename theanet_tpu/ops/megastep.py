@@ -622,10 +622,27 @@ def fused_decline_reason(net):
     for k, lyr in enumerate(L):
         if type(lyr) is ConvLayer:
             if lyr.mode == "full":
-                return (f"layer {k} ConvLayer mode='full' (the reference's "
-                        "out = in + filter + 1 bookkeeping quirk makes "
-                        "full-mode shapes inconsistent; scanned-only by "
-                        "design)")
+                if lyr.stride > 1:
+                    return (f"layer {k} ConvLayer mode='full' with "
+                            f"stride={lyr.stride} (the reference strides "
+                            "the real in+f-1 tensor while booking "
+                            "(in+f+1)//stride; scanned-only parity)")
+                from ..layers import PoolLayer
+
+                pool = L[k + 1] if k + 1 < len(L) else None
+                psz = pool.pool_sz if type(pool) is PoolLayer else 1
+                pib = bool(getattr(pool, "ignore_border", False))
+                ca, cb = (lyr.in_sz + lyr.filter_sz - 1,
+                          lyr.in_sz + lyr.filter_sz + 1)
+                poa = ca // psz if pib else -(-ca // psz)
+                pob = cb // psz if pib else -(-cb // psz)
+                if poa != pob:
+                    return (f"layer {k} ConvLayer mode='full': the pool "
+                            "does not wash the reference's out=in+filter+1 "
+                            f"bookkeeping quirk back onto the real tensor "
+                            f"(actual pooled {poa} != booked {pob}; such "
+                            "nets shape-error at the flatten — the scanned "
+                            "path keeps that parity)")
             if lyr.stride > 1 \
                     and (lyr.in_sz - lyr.filter_sz + 1) % lyr.stride:
                 return (f"layer {k} ConvLayer stride={lyr.stride} does not "
@@ -702,6 +719,31 @@ def _member_grid(side_out, stride_in, pool, cstride=1, side_valid=None):
                         m[(y * cstride) * stride_in + x * cstride,
                           i * side_out + j] = 1.0
     return m
+
+
+def _full_embed_idx(side_in, filt):
+    """Flat target positions embedding a side_in^2 grid at offset
+    (f-1, f-1) of the (side_in + 2(f-1))^2 zero-padded working grid a
+    full-mode conv level runs on: out[(u+f-1)*sp + (v+f-1)] = in[u*s+v].
+    With the image there, the VALID tap machinery on the padded grid IS
+    the reference's border_mode='full' true convolution (theano conv2d
+    pads f-1 zeros each side; convpool.py:53-56), and every roll read
+    beyond the image block lands on an exact zero."""
+    sp = side_in + 2 * (filt - 1)
+    return np.array([(u + filt - 1) * sp + (v + filt - 1)
+                     for u in range(side_in) for v in range(side_in)],
+                    np.int64)
+
+
+def _full_embed(side_in, filt):
+    """One-hot (side_in^2, (side_in + 2(f-1))^2) embedding matrix for
+    _full_embed_idx — the level-0 entry embedding; deeper full levels
+    compose the index form into the previous level's anchor/membership
+    constants for free."""
+    sp = side_in + 2 * (filt - 1)
+    e = np.zeros((side_in * side_in, sp * sp), np.float32)
+    e[np.arange(side_in * side_in), _full_embed_idx(side_in, filt)] = 1.0
+    return e
 
 
 def _pool_max(z, pool, stride, cstride=1, guard=False, slot=None):
@@ -1014,8 +1056,11 @@ def _shift_stack_mode(filt, stride, mode):
     """Mode-aware _shift_stack: sh[t*p + (q + off_t), q] = 1 exactly when
     tap t's patch piece READ position q + off_t (per _tap_masks), so the
     backward un-shift scatters gradients only to inputs the forward
-    consumed. 'valid' reproduces _shift_stack bit-for-bit."""
-    if mode == "valid":
+    consumed. 'valid' reproduces _shift_stack bit-for-bit. 'full' runs
+    the valid machinery on the level's zero-PADDED working grid
+    (``stride`` is already the padded side s + 2(f-1); see
+    megastep_deep.DeepSpec.sides), so it shares the valid branch."""
+    if mode in ("valid", "full"):
         return _shift_stack(filt, stride)
     p = stride * stride
     tm = _tap_masks(filt, stride, mode)
@@ -1043,8 +1088,11 @@ def _tap_offsets_mode(filt, stride, mode):
     order as _tap_offsets (the kernel weight layout depends on the
     order). mode 'valid' reads input q + off, off >= 0; mode 'same'
     centers the window (reference convpool.py: full conv cropped by
-    (f-1)//2), so offsets are signed: (uu - sh)*stride + (vv - sh)."""
-    if mode == "valid":
+    (f-1)//2), so offsets are signed: (uu - sh)*stride + (vv - sh).
+    mode 'full' is the valid enumeration on the zero-padded working grid
+    (``stride`` = s + 2(f-1), image embedded at (f-1, f-1) — see
+    _full_embed), which makes every offset non-negative again."""
+    if mode in ("valid", "full"):
         return _tap_offsets(filt, stride)
     sh = (filt - 1) // 2
     offs = []
@@ -1067,10 +1115,10 @@ def _tap_masks(filt, stride, mode, unmasked=False):
     even the flat wrap region survives, absorbed the same way)."""
     p = stride * stride
     m = np.zeros((filt * filt, p), np.float32)
-    if unmasked and mode == "valid":
+    if unmasked and mode in ("valid", "full"):
         m[:] = 1.0
         return m
-    if mode == "valid":
+    if mode in ("valid", "full"):
         for t, off in enumerate(_tap_offsets(filt, stride)):
             m[t, :p - off] = 1.0
         return m

@@ -37,6 +37,8 @@ from .megastep import (
     LayerReg,
     _anchor_grid,
     _embed,
+    _full_embed,
+    _full_embed_idx,
     _pad128,
     pick_group_g,
     _apply_updates,
@@ -159,6 +161,12 @@ class DeepSpec(NamedTuple):
     # lane slots. 1 = the striped layout, bit-for-bit. Only conv stacks
     # group (flat nets have no conv redundancy to cut).
     group_g: int = 1
+    # MeanLayer tail (reference convpool.py:129-144): the dense tail's
+    # input is the spatial MEAN of the last conv level's maps instead of
+    # the position flatten — same kernel movement matmuls, with selsum
+    # carrying uniform 1/pn^2 weights and selmask collapsing to the
+    # per-map column selector (n_flat = maps[-1]).
+    mean_tail: bool = False
 
     def cstride(self, k):
         return self.conv_strides[k] if self.conv_strides else 1
@@ -191,10 +199,24 @@ class DeepSpec(NamedTuple):
         s = self.img
         for k, (f, p, ib) in enumerate(zip(self.filts, self.pools,
                                            self.ibs)):
-            ce = s if self.mode(k) == "same" else s - f + 1
+            mode = self.mode(k)
+            if mode == "full":
+                # full-mode levels run the VALID machinery on a
+                # zero-PADDED working grid (input embedded at
+                # (f-1, f-1), megastep._full_embed): grid side
+                # s + 2(f-1), ACTUAL conv tensor side s + f - 1. The
+                # reference's in+f+1 bookkeeping quirk (convpool.py:64)
+                # is an eligibility condition, not a geometry input: the
+                # matcher only fuses nets whose pool washes booked back
+                # to actual (_conv_stack_ok), so downstream sides agree.
+                grid = s + 2 * (f - 1)
+                ce = s + f - 1
+            else:
+                grid = s
+                ce = s if mode == "same" else s - f + 1
             co = ce // self.cstride(k)
             po = co // p if ib else -(-co // p)
-            out.append((s, co, po))
+            out.append((grid, co, po))
             s = po
         return tuple(out)
 
@@ -202,6 +224,8 @@ class DeepSpec(NamedTuple):
     def n_flat(self):
         if not self.maps:        # flat dense net (zero conv levels)
             return self.in_ch * self.hw
+        if self.mean_tail:       # MeanLayer: one value per map
+            return self.maps[-1]
         return self.maps[-1] * self.sides[-1][2] ** 2
 
 
@@ -232,15 +256,28 @@ def _conv_stack_ok(convs, pools, net):
     the per-level activation tags (kind, slope), or None if any check
     fails."""
     for c, p in zip(convs, pools):
-        # 'valid' and 'same' fuse (any stride); 'full' keeps the scanned
-        # path — the reference's out = in + filter + 1 bookkeeping quirk
-        # (convpool.py:64) makes downstream shapes inconsistent with the
-        # tensor anyway, so full-mode nets are scanned-only by design.
-        # (Pool windows wider than the filter are fine now: the pool-max
-        # edge guards in megastep._pool_max clip the reads the conv
-        # slack used to absorb.)
-        if c.mode not in ("valid", "same"):
+        if c.mode not in ("valid", "same", "full"):
             return None
+        # 'full' fuses when the level's pool WASHES the reference's
+        # out = in + filter + 1 bookkeeping quirk (convpool.py:64) back
+        # onto the real in + filter - 1 tensor: floor/ceil(actual / p)
+        # must equal floor/ceil(booked / p). Elsewhere booked and actual
+        # sizes diverge and the net shape-errors at the flatten in the
+        # reference (and on the scanned path) — declining keeps that
+        # parity. Enforcing the wash PER LEVEL keeps every c.in_sz below
+        # this level booked == actual, so the remaining checks stay
+        # valid. Strided full convs stay scanned (the reference strides
+        # the real tensor while booking (in+f+1)//stride — murkier
+        # bookkeeping disagreements than the valid-mode rule below).
+        if c.mode == "full":
+            if c.stride > 1:
+                return None
+            ca, cb = c.in_sz + c.filter_sz - 1, c.in_sz + c.filter_sz + 1
+            psz, pib = p.pool_sz, bool(p.ignore_border)
+            poa = ca // psz if pib else -(-ca // psz)
+            pob = cb // psz if pib else -(-cb // psz)
+            if poa != pob:
+                return None
         # stride bookkeeping parity: the reference's out_sz is
         # (in - f + 1) // stride (floor) while Theano's strided conv
         # tensor is ceil-sized — configs where stride does not divide
@@ -326,7 +363,16 @@ def deep_spec_from_net(net):
     if i >= len(L):
         return None
 
-    from ..layers import SoftAuxLayer
+    from ..layers import MeanLayer, SoftAuxLayer
+
+    mean_tail = False
+    if n >= 1 and type(L[i]) is MeanLayer:
+        # MeanLayer (convpool.py:129-144): global spatial average —
+        # fuses as alternative flatten constants (see DeepSpec.mean_tail)
+        mean_tail = True
+        i += 1
+        if i >= len(L):
+            return None
 
     if n >= 1 and type(L[i]) is SoftAuxLayer and i == len(L) - 1:
         # SoftAux head directly on the conv features (synth_aux.prms):
@@ -352,7 +398,8 @@ def deep_spec_from_net(net):
             regs=tuple(reg_of(c) for c in convs),
             reg_h=reg_of(head), reg_o=reg_of(head), in_ch=L[0].num_maps,
             head="softaux", n_classes=head.n_out,
-            n_aux=tuple(head.n_aux), boost=float(head.boost), **color_cfg,
+            n_aux=tuple(head.n_aux), boost=float(head.boost),
+            mean_tail=mean_tail, **color_cfg,
         )
         if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
             return None
@@ -456,6 +503,7 @@ def deep_spec_from_net(net):
         regs=tuple(reg_of(c) for c in convs),
         reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
         pre_hidden=tuple(pre_hidden), regs_pre=tuple(regs_pre),
+        mean_tail=mean_tail,
         **head_cfg, **color_cfg,
     )
     # every level must produce a positive spatial extent
@@ -501,6 +549,7 @@ def _fits_vmem(spec):
         int(np.prod(s)) for s in deep_kernel_shapes(spec)
     )
     grouped = getattr(spec, "group_g", 1) > 1 and spec.n_levels > 0
+    s0sq = spec.sides[0][0] ** 2 if spec.n_levels else spec.hw
     if spec.n_levels == 0:
         # flat dense net: resample workspace (when a warp is active) + the
         # channel lane-embedding — ONE formula shared with the MLP gate
@@ -515,7 +564,7 @@ def _fits_vmem(spec):
         g = spec.group_g
         G = B // g
         work_bytes = 4 * (
-            spec.hw * B * spec.in_ch
+            (spec.hw + s0sq) * B * spec.in_ch
             + sum(int(np.prod(s)) for s in deep_stack_shapes(spec))
             + 2 * spec.maps[-1] * G * spec.n_flat
         )
@@ -531,8 +580,9 @@ def _fits_vmem(spec):
         # the level-0 patch stack is extra scratch; the k>0 patch-matrix
         # buffers are the same fk2*rp*lanes tensors the loop below
         # already counts (store-built now instead of concat-materialized)
-        work_bytes = 4 * (spec.hw * B * (spec.filts[0] ** 2 * spec.in_ch
-                                         + 5 * spec.maps[0])
+        work_bytes = 4 * (s0sq * B * (spec.filts[0] ** 2 * spec.in_ch
+                                      + 5 * spec.maps[0])
+                          + spec.hw * B * spec.in_ch
                           + int(np.prod(deep_stack_shapes(spec)[0])))
     for k in range(1 if not grouped else spec.n_levels, spec.n_levels):
         lanes = spec.sides[k][0] ** 2
@@ -557,6 +607,30 @@ def _fits_vmem(spec):
     return const_bytes + state_bytes + work_bytes <= budget
 
 
+def _next_in_embed(spec, k):
+    """Column embedding of level k's pool OUTPUT into level k+1's input
+    layout, or None for the compact po^2 identity. A full-mode level
+    k+1 works on a zero-padded grid with its input embedded at
+    (f-1, f-1) (megastep._full_embed_idx); composing the embedding into
+    level k's anchor/membership constants makes the relayout free —
+    the compaction matmul WRITES the embedded layout and the backward
+    membership matmul reads it back."""
+    if k + 1 < spec.n_levels and spec.mode(k + 1) == "full":
+        po = spec.sides[k][2]
+        sp = spec.sides[k + 1][0]
+        return _full_embed_idx(po, spec.filts[k + 1]), sp * sp
+    return None
+
+
+def _embed_cols(base, emb):
+    """Scatter ``base``'s columns into a wider zero matrix at the flat
+    positions ``emb = (idx, n_cols)`` (cf. _next_in_embed)."""
+    idx, ncols = emb
+    out = np.zeros((base.shape[0], ncols), np.float32)
+    out[:, idx] = base
+    return out
+
+
 def _grouped_constants_deep(spec: DeepSpec):
     """build_constants_deep for the grouped lane-slot layout (group_g >
     1): SAME keys in the SAME order, grouped shapes (cf. megastep.
@@ -577,7 +651,12 @@ def _grouped_constants_deep(spec: DeepSpec):
         mk = spec.maps[k]
         taps = spec.filts[k] ** 2
         p = stride * stride
-        SkP, OkP = _pad128(p), _pad128(po * po)
+        # output slot width = the NEXT level's input slot (its padded
+        # working grid when it is full-mode), so the compaction output
+        # IS the next level's slotted grid
+        out_sq = (spec.sides[k + 1][0] ** 2 if k + 1 < spec.n_levels
+                  and spec.mode(k + 1) == "full" else po * po)
+        SkP, OkP = _pad128(p), _pad128(out_sq)
         if k == 0:
             # per-channel GP-row slots in the relayout scratch
             ecol = np.zeros((prev_maps, prev_maps * GP), np.float32)
@@ -597,19 +676,25 @@ def _grouped_constants_deep(spec: DeepSpec):
                     stripe[m * G:(m + 1) * G, ch * G:(ch + 1) * G] = \
                         np.eye(G, dtype=np.float32)
         cs, mode = spec.cstride(k), spec.mode(k)
-        consts[f"c{k}"] = _embed(
-            _anchor_grid(po, stride, spec.pools[k], cs), SkP, OkP)
+        emb = _next_in_embed(spec, k)
+        cmat = _anchor_grid(po, stride, spec.pools[k], cs)
+        mmat = _member_grid(po, stride, spec.pools[k], cs, side_valid=c)
+        if emb is not None:
+            # level k+1 is full-mode: compact/spread via its embedded
+            # padded-grid layout (OkP below already sized from it)
+            cmat, mmat = _embed_cols(cmat, emb), _embed_cols(mmat, emb)
+        consts[f"c{k}"] = _embed(cmat, SkP, OkP)
         consts[f"valid{k}"] = np.tile(
             _embed(_valid_mask(c, stride, cs), 1, SkP), (1, g))
-        consts[f"mem{k}"] = _embed(
-            _member_grid(po, stride, spec.pools[k], cs, side_valid=c),
-            SkP, OkP)
+        consts[f"mem{k}"] = _embed(mmat, SkP, OkP)
         tm = _tap_masks(spec.filts[k], stride, mode, unmasked=(k == 0))
         consts[f"tm{k}"] = np.tile(_embed(tm, taps, SkP), (1, g))
         consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), G,
                                      axis=0)
         consts[f"e9b{k}"] = _tap_blockdiag(ecol, taps)
         consts[f"st{k}x"] = np.tile(stripe, (1, taps))
+        if k == 0 and mode == "full":
+            consts["e0"] = _full_embed(spec.img, spec.filts[0])
         if k > 0:
             # un-shift target masks, per slot: q' receives src = q' - off
             # iff the forward store placed a tap-valid read there
@@ -633,11 +718,20 @@ def _grouped_constants_deep(spec: DeepSpec):
             for m in range(Mn):
                 sumsel[j * BP + j * G + bg, m * G + bg] = 1.0
     consts["sumsel"] = sumsel
-    consts["selmask"] = np.repeat(
-        np.repeat(np.eye(Mn, dtype=np.float32), G, axis=0), pn2, axis=1)
-    consts["selsum"] = _embed(
-        np.tile(np.eye(pn2, dtype=np.float32), (Mn, 1)),
-        Mn * pn2, OnP)
+    if spec.mean_tail:
+        # MeanLayer flatten, slotted (cf. the striped builder): selsum
+        # rows carry 1/pn^2 at the valid grid positions (zero pads)
+        consts["selmask"] = np.repeat(np.eye(Mn, dtype=np.float32), G,
+                                      axis=0)
+        consts["selsum"] = _embed(
+            np.full((Mn, pn2), 1.0 / pn2, np.float32), Mn, OnP)
+    else:
+        consts["selmask"] = np.repeat(
+            np.repeat(np.eye(Mn, dtype=np.float32), G, axis=0), pn2,
+            axis=1)
+        consts["selsum"] = _embed(
+            np.tile(np.eye(pn2, dtype=np.float32), (Mn, 1)),
+            Mn * pn2, OnP)
     if spec.head in ("logit", "rbf") and not spec.learn_centers:
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
@@ -670,15 +764,21 @@ def build_constants_deep(spec: DeepSpec):
                 [stripe, np.zeros((mk * B, CBP - CB), np.float32)],
                 axis=1)
         cs, mode = spec.cstride(k), spec.mode(k)
-        consts[f"c{k}"] = _anchor_grid(po, stride, spec.pools[k], cs)
-        consts[f"valid{k}"] = _valid_mask(c, stride, cs)
+        emb = _next_in_embed(spec, k)
+        cmat = _anchor_grid(po, stride, spec.pools[k], cs)
         # one-hot membership matrix (position -> its window): the pool
         # backward's gradient spread is ONE movement matmul, clipped at
         # the conv-out extent and stepping the cstride lattice so strided
         # convs and partial (ceil-pool) windows are exact (see
         # megastep._member_grid; pool 1 degenerates to the anchor grid)
-        consts[f"mem{k}"] = _member_grid(po, stride, spec.pools[k], cs,
-                                         side_valid=c)
+        mmat = _member_grid(po, stride, spec.pools[k], cs, side_valid=c)
+        if emb is not None:
+            # level k+1 is full-mode: the compaction writes (and the
+            # membership spread reads) the embedded padded-grid layout
+            cmat, mmat = _embed_cols(cmat, emb), _embed_cols(mmat, emb)
+        consts[f"c{k}"] = cmat
+        consts[f"valid{k}"] = _valid_mask(c, stride, cs)
+        consts[f"mem{k}"] = mmat
         # per-tap patch read masks: level 0 'valid' keeps its historical
         # unmasked stores (wrap reads only feed invalid outputs); 'same'
         # levels clip 2-D so edge outputs see exact zero padding
@@ -687,6 +787,10 @@ def build_constants_deep(spec: DeepSpec):
         consts[f"em{k}"] = np.repeat(np.eye(mk, dtype=np.float32), B, axis=0)
         consts[f"e9b{k}"] = _tap_blockdiag(ecol, taps)
         consts[f"st{k}x"] = np.tile(stripe, (1, taps))
+        if k == 0 and mode == "full":
+            # entry embedding: augmented image rows -> the level-0
+            # padded working grid (one movement matmul in the kernel)
+            consts["e0"] = _full_embed(spec.img, spec.filts[0])
         if k > 0:
             consts[f"sh{k}"] = _shift_stack_mode(spec.filts[k], stride, mode)
         prev_maps = mk
@@ -700,11 +804,22 @@ def build_constants_deep(spec: DeepSpec):
         consts["sumsel"] = np.tile(np.eye(B, dtype=np.float32),
                                    (1, spec.maps[-1]))
         pnsq = spec.sides[-1][2] ** 2
-        consts["selmask"] = np.repeat(
-            np.repeat(np.eye(spec.maps[-1], dtype=np.float32), B, axis=0),
-            pnsq, axis=1)                                # (Rn, NF)
-        consts["selsum"] = np.tile(np.eye(pnsq, dtype=np.float32),
-                                   (spec.maps[-1], 1))   # (NF, pn^2)
+        if spec.mean_tail:
+            # MeanLayer flatten: selsum averages the pn^2 positions
+            # (uniform 1/pn^2 weights in place of the one-hot gather)
+            # and selmask keeps only each row's own map column — the
+            # SAME forward/backward matmuls produce (B, Mn) means
+            consts["selmask"] = np.repeat(
+                np.eye(spec.maps[-1], dtype=np.float32), B, axis=0)
+            consts["selsum"] = np.full((spec.maps[-1], pnsq),
+                                       1.0 / pnsq, np.float32)
+        else:
+            consts["selmask"] = np.repeat(
+                np.repeat(np.eye(spec.maps[-1], dtype=np.float32), B,
+                          axis=0),
+                pnsq, axis=1)                            # (Rn, NF)
+            consts["selsum"] = np.tile(np.eye(pnsq, dtype=np.float32),
+                                       (spec.maps[-1], 1))  # (NF, pn^2)
     if spec.head in ("logit", "rbf") and not spec.learn_centers:
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
@@ -750,12 +865,13 @@ def deep_stack_shapes(spec: DeepSpec):
     rows/lanes (cf. megastep.stack_shapes)."""
     if spec.n_levels == 0:
         return []
+    s0sq = spec.sides[0][0] ** 2    # == hw unless level 0 is full-mode
     if getattr(spec, "group_g", 1) > 1:
         g = spec.group_g
         G = spec.batch // g
         rows0 = spec.in_ch * _pad8(G)
-        shapes = [(rows0, g * _pad128(spec.hw)),
-                  (spec.filts[0] ** 2 * rows0, g * _pad128(spec.hw))]
+        shapes = [(rows0, g * _pad128(s0sq)),
+                  (spec.filts[0] ** 2 * rows0, g * _pad128(s0sq))]
         for k in range(1, spec.n_levels):
             stride = spec.sides[k][0]
             shapes.append(
@@ -763,7 +879,7 @@ def deep_stack_shapes(spec: DeepSpec):
                  g * _pad128(stride * stride)))
         return shapes
     shapes = [(spec.filts[0] ** 2 * _pad8(spec.in_ch * spec.batch),
-               spec.hw)]
+               s0sq)]
     for k in range(1, spec.n_levels):
         stride = spec.sides[k][0]
         shapes.append(
@@ -796,8 +912,9 @@ def deep_reg_kinds(spec: DeepSpec):
 
 def _n_deep_consts(spec: DeepSpec):
     n_sel = 1 if spec.n_levels == 0 else 3   # sumsel [+ selmask + selsum]
+    e0 = 1 if spec.n_levels and spec.mode(0) == "full" else 0
     return (1 + sum(7 if k == 0 else 8 for k in range(spec.n_levels))
-            + n_sel
+            + e0 + n_sel
             + (1 if (spec.head in ("logit", "rbf")
                      and not spec.learn_centers) else 0))
 
@@ -813,6 +930,9 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
              "mem": c_refs[i + 2], "tm": c_refs[i + 3], "em": c_refs[i + 4],
              "e9b": c_refs[i + 5], "stx": c_refs[i + 6]}
         i += 7
+        if k == 0 and spec.mode(0) == "full":
+            d["e0"] = c_refs[i]
+            i += 1
         if k > 0:
             d["sh"] = c_refs[i]
             i += 1
@@ -843,7 +963,11 @@ def _deep_grouped_fwd(spec, aug, ws, bs, lvl, scratch,
     G = B // g
     GP, BP = _pad8(G), _pad8(B)
     C0 = spec.in_ch
-    HW, HWP = spec.hw, _pad128(spec.hw)
+    S0 = spec.sides[0][0]           # == img unless level 0 is full-mode
+    HW, HWP = S0 * S0, _pad128(S0 * S0)
+    if spec.mode(0) == "full":
+        # entry embedding: image rows -> the padded level-0 working grid
+        aug = _mm(aug, lvl[0]["e0"][:], hi=spec.exact_movement)
     xg_ref = scratch[0]
     # pad rows and slot-tail lanes must be exact zeros every step (the
     # per-step kernels get fresh scratch; one full-array store is cheap
@@ -1028,11 +1152,18 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     else:
         # ---------------- forward through the conv levels
         F0 = spec.filts[0]
-        offs0 = _tap_offsets_mode(F0, spec.img, spec.mode(0))
+        S0 = spec.sides[0][0]       # level-0 working grid side (== img
+        #                             unless level 0 is full-mode)
+        offs0 = _tap_offsets_mode(F0, S0, spec.mode(0))
         tm0 = lvl[0]["tm"][:] if spec.mode(0) == "same" else None
         em0, e9b0, st0x = (lvl[0]["em"][:], lvl[0]["e9b"][:],
                            lvl[0]["stx"][:])
-        lanes0 = spec.hw
+        lanes0 = S0 * S0
+        if spec.mode(0) == "full":
+            # entry embedding: image rows -> the padded working grid
+            # (one movement matmul; rolls then read exact zeros beyond
+            # the image block, making full == valid machinery)
+            aug = _mm(aug, lvl[0]["e0"][:], hi=spec.exact_movement)
         # level-0 patch stack (the flagship's conv1 — see
         # megastep._conv_fwd_bwd): each tap's lane-rolled block is STORED
         # into an 8-aligned slot of the scratch (Mosaic cannot sublane-
