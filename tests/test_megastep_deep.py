@@ -876,6 +876,180 @@ def test_softaux_trainer_end_to_end():
     assert len(d["allwts"][-1]) == 8  # SoftAux packs 8 tensors
 
 
+def auxconcat_net(img, batch, nc, n=1, flat=False, pdrop=0.0, pre=False,
+                  mega="auto"):
+    """[Input -> (Conv -> Pool)*n | Input] -> AuxConcat -> [Hidden(pre) ->]
+    Hidden -> Softmax — the reference's AuxConcatLayer tail pattern
+    (auxiliary.py:63-99)."""
+    layers = [["InputLayer", {"img_sz": img}]]
+    if not flat:
+        for k in range(n):
+            layers += [
+                ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                               "mode": "valid", "actvn": "relu10",
+                               "reg": {"L2": 1e-3}}],
+                ["PoolLayer", {"pool_sz": 2}],
+            ]
+    layers.append(["AuxConcatLayer", {"n_aux": (5, 9),
+                                      "aux_type": "LocationInfo"}])
+    if pre:
+        layers.append(["HiddenLayer", {"n_out": 10, "pdrop": pdrop,
+                                       "actvn": "relu05",
+                                       "reg": {"L2": 1e-3}}])
+    layers += [
+        ["HiddenLayer", {"n_out": 12, "pdrop": pdrop, "actvn": "relu02",
+                         "reg": {"L2": 1e-3}}],
+        ["SoftmaxLayer", {"n_out": nc, "reg": {"L2": 1e-3}}],
+    ]
+    tr_prms = {"SEED": 2718, "BATCH_SZ": batch, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": batch,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2,
+               "MEGAFUSED": mega}
+    return NeuralNet(layers, tr_prms)
+
+
+@pytest.mark.parametrize("flat,pre", [(False, False), (False, True),
+                                      (True, False)])
+def test_auxconcat_identity_trajectory(flat, pre):
+    """AuxConcat tail fused vs per-layer: with the aux tensor's two rows
+    EQUAL the random convex mix is irrelevant (like the softaux pin), so
+    the trajectories must match exactly — conv, conv+pre-hidden, and flat
+    variants. Pins the frozen-encoder constants, the lane-0 mix draw,
+    the dense-slice db shift, and the backward df truncation."""
+    img, batch, nc = 14, 4, 5
+    net = auxconcat_net(img, batch, nc, flat=flat, pre=pre)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.aux_concat == (5, 9)
+    assert spec.has_aux and spec.n_tail_in == spec.n_flat + 9
+
+    nb = 3
+    rng = np.random.RandomState(6)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+    row = rng.rand(nb, batch, 1, 2).astype(np.float32)
+    auxs = np.tile(row, (1, 1, 2, 1))  # rows equal -> mix-independent
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1, aux=jnp.asarray(auxs[i]),
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(net)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = fn(
+        kp, km, jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)), bits, 0.1,
+        aux_steps=jnp.asarray(auxs.reshape(nb, batch, 4)),
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        assert len(lw) == len(lg)
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
+def test_auxconcat_grouped_identity_trajectory(monkeypatch):
+    """The grouped lane-slot layout composes with the AuxConcat tail (the
+    concat rides after the grouped flatten; df truncation precedes the
+    grouped backward)."""
+    monkeypatch.setenv("THEANET_GROUP", "2")
+    img, batch, nc = 14, 4, 5
+    net = auxconcat_net(img, batch, nc)
+    spec = deep_spec_from_net(net)
+    assert spec is not None and spec.group_g == 2 and spec.aux_concat
+
+    nb = 3
+    rng = np.random.RandomState(7)
+    xs = rng.rand(nb, batch, 1, img, img).astype(np.float32)
+    ys = rng.randint(0, nc, (nb, batch)).astype(np.int32)
+    row = rng.rand(nb, batch, 1, 2).astype(np.float32)
+    auxs = np.tile(row, (1, 1, 2, 1))
+
+    params, moms = net.init_params()
+    frame_costs = []
+    for i in range(nb):
+        params, moms, cost, _, _ = net.train_step(
+            params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+            key=net.base_key, lr=0.1, aux=jnp.asarray(auxs[i]),
+        )
+        frame_costs.append(float(cost))
+
+    idx = deep_layer_idx(net)
+    aw = [[np.asarray(w, np.float32) for w in net.allwts0[i]] for i in idx]
+    kp = [jnp.asarray(t) for t in kernel_layout_deep(aw, spec)]
+    km = [jnp.zeros_like(t) for t in kp]
+    fn = make_deep_epoch_fn(spec, nb, interpret=True)
+    bits = epoch_noise_bits(jax.random.PRNGKey(0), spec, nb)
+    kp, km, cm = fn(
+        kp, km, jnp.asarray(xs.reshape(nb, batch, img * img)),
+        jnp.asarray(ys.reshape(nb, batch, 1)), bits, 0.1,
+        aux_steps=jnp.asarray(auxs.reshape(nb, batch, 4)),
+    )
+    np.testing.assert_allclose(np.asarray(cm)[:, 0], frame_costs, atol=3e-5)
+    got = framework_layout_deep([np.asarray(t) for t in kp], spec)
+    want = [params[i] for i in idx]
+    for lw, lg in zip(want, got):
+        for w, g in zip(lw, lg):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=0, atol=1e-4)
+
+
+def test_auxconcat_trainer_end_to_end():
+    """Trainer engages the fused path for AuxConcat nets (aux data
+    supplied) and trains finite epochs with the random mix + dropout
+    active; eval/checkpoint round-trips keep the frozen encoder params."""
+    net = auxconcat_net(14, 4, 5, pre=True, pdrop=0.3, mega=True)
+    rng = np.random.RandomState(8)
+    x = rng.rand(16, 1, 14, 14).astype(np.float32)
+    y = rng.randint(0, 5, 16).astype(np.int32)
+    aux = rng.rand(16, 2, 2).astype(np.float32)
+    tr = Trainer(net, x, y, x[:4], y[:4], train_aux=aux, test_aux=aux[:4])
+    assert tr._mega is not None
+    total, costs, minf = tr.run_epoch()
+    assert np.isfinite(total) and np.isfinite(np.asarray(costs)).all()
+    err, _ = tr.evaluate_full("test")
+    assert 0 <= err <= 100
+    d = tr.checkpoint_dict()
+    assert len(d["allwts"]) == len(net.net_layers)
+    # the frozen LocationInfo encoder rides unchanged through the kernel
+    aci = net.aux_layer_idx
+    for w0, w1 in zip(net.allwts0[aci], d["allwts"][aci]):
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_auxconcat_softaux_combo_stays_scanned():
+    """Two aux consumers in one net trip the reference's own 'Multiple
+    Aux Inputs' assertion (neuralnet.py:100-105) — parity-pinned here so
+    the matcher's combo decline stays unreachable belt-and-braces."""
+    layers = [
+        ["InputLayer", {"img_sz": 10}],
+        ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                       "mode": "valid", "actvn": "relu10",
+                       "reg": {"L2": 1e-3}}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["AuxConcatLayer", {"n_aux": (5, 9), "aux_type": "LocationInfo"}],
+        ["SoftAuxLayer", {"n_out": 4, "n_aux": (5, 9),
+                          "aux_type": "LocationInfo",
+                          "reg": {"L2": 1e-3}}],
+    ]
+    tr_prms = {"SEED": 1, "BATCH_SZ": 4, "NUM_EPOCHS": 1,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": 4,
+               "INIT_LEARNING_RATE": 0.1, "EPOCHS_TO_HALF_RATE": 2}
+    with pytest.raises(AssertionError, match="Multiple Aux Inputs"):
+        NeuralNet(layers, tr_prms)
+
+
 def test_unconsumed_aux_does_not_block_fusion():
     """Datasets may ship aux tensors (synth now does); a net that does not
     take aux must still engage the fused path — the Trainer normalizes

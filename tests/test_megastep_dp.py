@@ -234,6 +234,12 @@ def deep_spec_layers(head="softmax", color=False):
                                         "boost": 1.5,
                                         "reg": {"L2": 1e-3}}])
         return layers
+    if head == "auxcat":
+        # frozen-encoder AuxConcat tail: aux rows and the lane-0 mix draw
+        # shard with the batch like dropout lanes
+        layers.append(["AuxConcatLayer", {"n_aux": (5, 9),
+                                          "aux_type": "LocationInfo",
+                                          "boost": 1.5}])
     layers.append(["HiddenLayer", {"n_out": 32, "pdrop": 0.4,
                                    "reg": {"maxnorm": 2}}])
     if head == "rbf":
@@ -250,7 +256,7 @@ def deep_spec_layers(head="softmax", color=False):
 def make_deep_pair(n_data, head="softmax", color=False, batch_sz=16):
     x, y = make_data(4 * batch_sz)
     aux = (np.random.RandomState(7).rand(4 * batch_sz, 2, 2)
-           .astype(np.float32) if head == "softaux" else None)
+           .astype(np.float32) if head in ("softaux", "auxcat") else None)
     kw = dict(train_aux=aux, test_aux=aux)
     net1 = NeuralNet(deep_spec_layers(head, color), prms(batch_sz))
     tr1 = Trainer(net1, x, y, x, y, **kw)
@@ -270,6 +276,7 @@ def make_deep_pair(n_data, head="softmax", color=False, batch_sz=16):
     ("softmax", True),     # in-kernel color jitter rides the warp bits
     ("rbf", False),        # learned centers: an extra state tensor to pmean
     ("softaux", False),    # aux rows shard with the batch
+    ("auxcat", False),     # AuxConcat tail: frozen-encoder constants + mix
 ])
 def test_dp_deep_matches_single_device_fused(head, color):
     """Every deep-family head must track single-chip fused execution on the

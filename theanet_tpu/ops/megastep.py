@@ -218,8 +218,13 @@ def act_of(actvn):
 def db_lanes(spec):
     """Dropout-bits lane width per step: the final hidden's width plus
     any pre-hidden stack widths (DeepSpec.pre_hidden); each dense layer
-    reads its own lane slice of the per-step dropout block."""
-    return spec.n_hid + sum(ph[0] for ph in getattr(spec, "pre_hidden", ()))
+    reads its own lane slice of the per-step dropout block. AuxConcat
+    nets (DeepSpec.aux_concat) reserve lane 0 for the LocationInfo
+    convex-mix draw (matching the softaux head's lane-0 convention);
+    the dense layers' slices shift to start at lane 1 and the final
+    hidden keeps its trailing-n_hid slice (megastep._hidden_fwd)."""
+    return (spec.n_hid + sum(ph[0] for ph in getattr(spec, "pre_hidden", ()))
+            + (1 if getattr(spec, "aux_concat", ()) else 0))
 
 
 def head_loss_tag(loss):

@@ -167,6 +167,16 @@ class DeepSpec(NamedTuple):
     # carrying uniform 1/pn^2 weights and selmask collapsing to the
     # per-map column selector (n_flat = maps[-1]).
     mean_tail: bool = False
+    # AuxConcatLayer between the flatten and the dense tail (reference
+    # auxiliary.py:63-99): the tail consumes [features || LocationInfo
+    # MLP(aux)]. The aux-encoder parameters are FROZEN at init in the
+    # reference (no reg dict), so they ride as kernel CONSTANTS
+    # (aux_wts_bytes: w1 (2,nah), b1, w2 (nah,nao), b2 packed f32); the
+    # convex-mix draw takes the LAST dropout-bits lane (db_lanes + 1),
+    # leaving the dense layers' slices untouched. ``boost`` is shared
+    # with the softaux head (the patterns are mutually exclusive).
+    aux_concat: tuple = ()
+    aux_wts_bytes: bytes = b""
 
     def cstride(self, k):
         return self.conv_strides[k] if self.conv_strides else 1
@@ -176,7 +186,7 @@ class DeepSpec(NamedTuple):
 
     @property
     def has_aux(self):
-        return self.head == "softaux"
+        return self.head == "softaux" or bool(self.aux_concat)
 
     @property
     def hw(self):
@@ -227,6 +237,12 @@ class DeepSpec(NamedTuple):
         if self.mean_tail:       # MeanLayer: one value per map
             return self.maps[-1]
         return self.maps[-1] * self.sides[-1][2] ** 2
+
+    @property
+    def n_tail_in(self):
+        """Dense-tail input width: the flatten plus the AuxConcat
+        encoder's output lanes (auxiliary.py:93: [features || aux])."""
+        return self.n_flat + (self.aux_concat[-1] if self.aux_concat else 0)
 
 
 def deep_layer_idx(net):
@@ -363,7 +379,7 @@ def deep_spec_from_net(net):
     if i >= len(L):
         return None
 
-    from ..layers import MeanLayer, SoftAuxLayer
+    from ..layers import AuxConcatLayer, MeanLayer, SoftAuxLayer
 
     mean_tail = False
     if n >= 1 and type(L[i]) is MeanLayer:
@@ -374,11 +390,34 @@ def deep_spec_from_net(net):
         if i >= len(L):
             return None
 
+    aux_cat_cfg = {}
+    if type(L[i]) is AuxConcatLayer:
+        # AuxConcat (auxiliary.py:63-99): frozen LocationInfo encoder
+        # rides as constants, its output lane-concatenated to the tail
+        # input inside the kernel (see DeepSpec.aux_concat)
+        ac = L[i]
+        if ac.aux_type != "LocationInfo":
+            return None
+        aux_cat_cfg = dict(
+            aux_concat=tuple(ac.n_aux), boost=float(ac.boost),
+            aux_wts_bytes=b"".join(
+                np.ascontiguousarray(p, np.float32).tobytes()
+                for p in ac.params_init),
+        )
+        i += 1
+        if i >= len(L):
+            return None
+
     if n >= 1 and type(L[i]) is SoftAuxLayer and i == len(L) - 1:
         # SoftAux head directly on the conv features (synth_aux.prms):
         # its built-in linear "hidden" plays the tail's hidden-layer role
         head = L[i]
         if head.loss != "nll" or head.aux_type != "LocationInfo":
+            return None
+        if aux_cat_cfg:
+            # two aux consumers (AuxConcat feeding a SoftAux head) would
+            # clash on the shared boost field and the aux input block;
+            # exotic enough to keep scanned
             return None
         conv_acts = _conv_stack_ok(convs, pools, net)
         if conv_acts is None or not head.reg["rate"]:
@@ -504,7 +543,7 @@ def deep_spec_from_net(net):
         reg_h=reg_of(hid), reg_o=reg_of(head), in_ch=in_ch,
         pre_hidden=tuple(pre_hidden), regs_pre=tuple(regs_pre),
         mean_tail=mean_tail,
-        **head_cfg, **color_cfg,
+        **head_cfg, **color_cfg, **aux_cat_cfg,
     )
     # every level must produce a positive spatial extent
     if any(c <= 0 or po <= 0 for (_, c, po) in spec.sides):
@@ -600,6 +639,9 @@ def _fits_vmem(spec):
         # centers/aux-MLP state is counted above via get_wts; add the
         # (B, NF)/(B, NC) head working set
         work_bytes += 4 * 6 * B * (spec.n_out + spec.n_classes)
+    if spec.aux_concat:
+        # AuxConcat encoder activations + the widened tail input copy
+        work_bytes += 4 * 8 * B * (sum(spec.aux_concat) + 4)
     # flat nets share megastep_mlp's empirically-verified 24 MB budget;
     # conv stacks keep the tighter 22 MB gate (their traced working set
     # is harder to bound)
@@ -736,6 +778,24 @@ def _grouped_constants_deep(spec: DeepSpec):
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
         ).reshape(spec.n_classes, spec.n_out).copy()
+    return _aux_concat_consts(spec, consts)
+
+
+def _aux_concat_consts(spec: DeepSpec, consts):
+    """Append the frozen LocationInfo encoder weights (auxiliary.py:14-57)
+    as kernel constants: AuxConcat layers carry no reg dict in the
+    reference, so their parameters never update and need no state/momentum
+    slots. Payload order in aux_wts_bytes: w1 (2,nah), b1 (nah,), w2
+    (nah,nao), b2 (nao,) — biases ride as rows (Mosaic wants 2-D)."""
+    if not spec.aux_concat:
+        return consts
+    nah, nao = spec.aux_concat
+    aw = np.frombuffer(spec.aux_wts_bytes, np.float32)
+    o1, o2, o3 = 2 * nah, 3 * nah, 3 * nah + nah * nao
+    consts["aux_w1"] = aw[:o1].reshape(2, nah).copy()
+    consts["aux_b1"] = aw[o1:o2].reshape(1, nah).copy()
+    consts["aux_w2"] = aw[o2:o3].reshape(nah, nao).copy()
+    consts["aux_b2"] = aw[o3:].reshape(1, nao).copy()
     return consts
 
 
@@ -824,7 +884,7 @@ def build_constants_deep(spec: DeepSpec):
         consts["centers"] = np.frombuffer(
             spec.centers_bytes, np.float32
         ).reshape(spec.n_classes, spec.n_out).copy()
-    return consts
+    return _aux_concat_consts(spec, consts)
 
 
 def deep_kernel_shapes(spec: DeepSpec):
@@ -842,7 +902,7 @@ def deep_kernel_shapes(spec: DeepSpec):
                     (2, nah), (1, nah), (nah, nao), (1, nao),
                     (nao, spec.n_out), (1, spec.n_out)]
     else:
-        prev_nf = spec.n_flat
+        prev_nf = spec.n_tail_in   # flatten [+ AuxConcat encoder lanes]
         for (nh_j, _, _, _) in spec.pre_hidden:
             kshapes += [(prev_nf, nh_j), (1, nh_j)]
             prev_nf = nh_j
@@ -916,12 +976,14 @@ def _n_deep_consts(spec: DeepSpec):
     return (1 + sum(7 if k == 0 else 8 for k in range(spec.n_levels))
             + e0 + n_sel
             + (1 if (spec.head in ("logit", "rbf")
-                     and not spec.learn_centers) else 0))
+                     and not spec.learn_centers) else 0)
+            + (4 if spec.aux_concat else 0))
 
 
 def _parse_deep_consts(spec: DeepSpec, c_refs):
     """Split the flat constant-ref list (build_constants_deep order) into
-    (ss_ref, per-level dicts, sumsel, selmask, selsum, frozen-centers)."""
+    (ss_ref, per-level dicts, sumsel, selmask, selsum, frozen-centers,
+    aux-encoder refs)."""
     ss_ref = c_refs[0]
     lvl = []                        # per level: dict of const refs
     i = 1
@@ -947,7 +1009,10 @@ def _parse_deep_consts(spec: DeepSpec, c_refs):
     centers_ref = None
     if spec.head in ("logit", "rbf") and not spec.learn_centers:
         centers_ref = c_refs[i]
-    return ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref, centers_ref
+        i += 1
+    aux_wts = tuple(c_refs[i:i + 4]) if spec.aux_concat else None
+    return (ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref, centers_ref,
+            aux_wts)
 
 
 def _deep_grouped_fwd(spec, aug, ws, bs, lvl, scratch,
@@ -1126,7 +1191,7 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     centered = spec.head in ("logit", "rbf")
 
     (ss_ref, lvl, sumsel_ref, selmask_ref, selsum_ref,
-     centers_ref) = _parse_deep_consts(spec, c_refs)
+     centers_ref, aux_wts) = _parse_deep_consts(spec, c_refs)
 
     ws = [params[2 * k] for k in range(n)]           # (Mk, Fk^2*M_{k-1})
     bs = [params[2 * k + 1] for k in range(n)]       # (Mk, 1)
@@ -1263,10 +1328,27 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
                       hi=spec.exact_movement) * selmask
         f = _mm(sumsel_ref[:], p_embed, hi=spec.exact_movement)  # (B, NF)
 
-    # pre-hidden dense stack (leading lane slices of the dropout block;
-    # the final hidden reads the trailing n_hid lanes in _hidden_fwd)
+    if spec.aux_concat:
+        # AuxConcat (auxiliary.py:63-99): the dense tail consumes
+        # [flatten || LocationInfo(aux)]. The encoder is FROZEN at init
+        # (no reg dict in the reference) so its weights ride as constants
+        # and no gradients flow back to it; the random convex row-mix
+        # draws from dropout-bits lane 0 (db_lanes reserves it — the
+        # dense layers' slices start at lane 1, and the final hidden's
+        # trailing-n_hid slice is untouched).
+        w1a, b1a = aux_wts[0][:], aux_wts[1][:]
+        w2a, b2a = aux_wts[2][:], aux_wts[3][:]
+        u = _u01(db_ref[0][:, 0:1])               # (B, 1) convex-mix draw
+        x2 = (aux[:, 0:2] * u + aux[:, 2:4] * (1.0 - u)) * spec.boost
+        h2a = _lrelu(_mm(_lrelu(_mm(x2, w1a) + b1a, 0.50), w2a) + b2a,
+                     0.01)                        # (B, nao)
+        f = jnp.concatenate([f, h2a], axis=1)     # (B, n_tail_in)
+
+    # pre-hidden dense stack (leading lane slices of the dropout block
+    # after the optional AuxConcat mix lane; the final hidden reads the
+    # trailing n_hid lanes in _hidden_fwd)
     pre_saved = []
-    db_off = 0
+    db_off = 1 if spec.aux_concat else 0
     for j, (nh_j, kind_j, slope_j, pd_j) in enumerate(spec.pre_hidden):
         wpj, bpj = pre[j]
         zj = _mm(f, wpj) + bpj                       # (B, nh_j)
@@ -1367,6 +1449,11 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
     dpre.reverse()
 
     # flat nets (n == 0) stop here: nothing learnable below the dense tail
+    if spec.aux_concat and need_df and n > 0:
+        # the trailing encoder lanes' gradient dies at the frozen encoder
+        # (auxiliary.py never registers its params for updates); only the
+        # flatten lanes continue into the conv un-embed
+        df = df[:, :spec.n_flat]
     dws, dbs = [None] * n, [None] * n
     if n > 0 and grouped:
         dws, dbs = _deep_grouped_bwd(spec, gctx, df, ws, lvl,
@@ -1438,14 +1525,14 @@ def _deep_fwd_bwd(spec: DeepSpec, x, y, params, ub_ref, fb_ref, pb_ref,
 
 
 def _kernel_deep(spec: DeepSpec, *refs):
-    softaux = spec.head == "softaux"
+    has_aux = spec.has_aux          # softaux head OR an AuxConcat tail
     n_state = len(deep_kernel_shapes(spec))
     n_consts = _n_deep_consts(spec)
 
     (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
     n_step = 7
     aux_ref = None
-    if softaux:
+    if has_aux:
         aux_ref = refs[7]
         n_step = 8
     par_refs = refs[n_step:n_step + n_state]
@@ -1470,7 +1557,7 @@ def _kernel_deep(spec: DeepSpec, *refs):
     cost, min_tl, grads = _deep_fwd_bwd(
         spec, x_ref[0], y_ref[0], [r[:] for r in out_par],
         ub_ref, fb_ref, pb_ref, db_ref, c_refs,
-        aux=aux_ref[0] if softaux else None, scratch=fam_scratch,
+        aux=aux_ref[0] if has_aux else None, scratch=fam_scratch,
     )
     cm_ref[step % CM_BLOCK, 0] = cost
     cm_ref[step % CM_BLOCK, 1] = min_tl

@@ -409,7 +409,7 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
     def from_key(kparams, kmoms, x, y, key, epoch_no, lr,
                  channel_major=False, shuffle=False, aux_steps=None):
         if has_aux:
-            assert aux_steps is not None, "softaux ring path needs aux rows"
+            assert aux_steps is not None, "aux-input ring path needs aux rows"
         else:
             assert aux_steps is None
             aux_steps = jnp.zeros((0,), jnp.float32)  # unused placeholder

@@ -355,8 +355,8 @@ class Trainer:
                         and self.d_train_aux is None):
                     plan = None
                     decline_reason = (
-                        "the SoftAux head needs aux data (pass aux arrays "
-                        "to the Trainer)"
+                        "aux-input nets (SoftAux head / AuxConcat tail) "
+                        "need aux data (pass aux arrays to the Trainer)"
                     )
             if plan is None and mega_mode == "auto" and data_platform == "tpu":
                 # not an error (the scanned path is the designed fallback),
