@@ -107,8 +107,15 @@ def test_ring_auto_keeps_per_step_path_off_chip(monkeypatch):
     assert tr._mega_epoch.from_key.__module__ == "theanet_tpu.ops.megastep_dp"
 
 
-@pytest.mark.parametrize("n_data", [2, 8])
-def test_ring_matches_single_device_fused_trajectory(n_data):
+@pytest.mark.parametrize("n_data,rs", [(2, "auto"), (8, "auto"),
+                                       (4, "0"), (2, "1")])
+def test_ring_matches_single_device_fused_trajectory(n_data, rs,
+                                                     monkeypatch):
+    """Both exchange modes track single-chip: auto = reduce-scatter +
+    all-gather at n_data >= 3 / pass-along gather at 2; '0' forces the
+    gather at 4 (legacy-path coverage), '1' forces RS+AG at 2 (the 1-hop
+    RS + 1-hop AG edge)."""
+    monkeypatch.setenv("THEANET_RING_RS", rs)
     x, y = make_data(64)
     tr1 = Trainer(NeuralNet(spec(), prms()), x, y, x, y)
     tr2 = Trainer(NeuralNet(spec(), prms()), x, y, x, y,
@@ -173,15 +180,18 @@ def test_ring_flat_net_and_shuffle():
     _assert_tracks(tr1, tr2, n_epochs=1)
 
 
-def test_ring_no_data_races():
+@pytest.mark.parametrize("rs", ["auto", "0"])
+def test_ring_no_data_races(rs, monkeypatch):
     """Run one ring epoch under the interpret mode's race detector: the
     per-hop recv semaphores and cross-step credit must fully order the
     remote writes against local reads (a slot-parity semaphore scheme
     corrupted slots in the development prototype — this is the regression
-    gate for the synchronization design)."""
+    gate for the synchronization design). Covers both exchange modes
+    (auto = RS+AG at n_data=4, '0' = the pass-along gather)."""
     from jax.experimental.pallas import tpu as pltpu
     from theanet_tpu.ops import megastep_ring
 
+    monkeypatch.setenv("THEANET_RING_RS", rs)
     x, y = make_data(32)
     p = prms()
     tr = Trainer(NeuralNet(spec(), p), x, y, x, y,

@@ -39,16 +39,27 @@ degenerates to exactly the single-chip whole-epoch kernel body plus one
 no-op buffer write, which is what makes the ring path benchable on this
 environment's single chip.
 
-Wire cost: pass-along all-gather moves (n_data-1) x the full gradient set
-per step — bandwidth-suboptimal vs reduce-scatter+all-gather's
-2(n_data-1)/n_data, but the gradient set is small at the family's scales
-(~1.5 MB at the flagship) and the reference-parity per-step sync point
-dominates. The per-origin-slot layout is also what canonical-order
-summation needs; a reduce-scatter would re-introduce per-device fp order.
-Tensors are exchanged per state tensor (Mosaic cannot reshape across
-sublane/lane dims in-kernel, so gradients cannot be packed into one flat
-buffer); all tensors' hop-h DMAs are started before any is waited on, so
-the wires overlap.
+Wire cost (VERDICT r4 item 4): for n_data >= 3 the exchange is a ring
+REDUCE-SCATTER + ALL-GATHER — the state tensors are statically
+partitioned into n_data size-balanced owner groups of (tensor, row-band)
+chunks (tensors bigger than a fair share split into 8-aligned row bands
+— the flagship's wh is 1.44 of 1.47 MB, so whole-tensor ownership could
+not balance); each chunk's partial sum walks the ring once (every device
+adds its local gradient), then the owner's finished sum walks back. Per link per step that moves
+~2(n_data-1)/n_data gradient sets vs the pass-along all-gather's
+(n_data-1) — 3.8x less wire at n=8 (table in BASELINE.md). Bit-identity
+across replicas is PRESERVED: each group's sum has one fixed fp order (a
+rotation of 0..n-1 — pairwise adds are commutative, so the order is
+device-invariant) and the all-gather distributes the owner's exact
+bytes; vs single-chip execution the rotation is the same few-ulp
+reassociation as the shard sum itself (1e-4 trajectory pins unchanged).
+n_data == 2 keeps the per-origin-slot pass-along gather (equal wire,
+half the hops), as does THEANET_RING_RS=0; the (8, 128) stats tensor
+keeps the gather in all modes (canonical-order pmean/pmin for the
+watchdog stream). Tensors are exchanged per state tensor (Mosaic cannot
+reshape across sublane/lane dims in-kernel, so gradients cannot be
+packed into one flat buffer); within a hop all DMAs start before any is
+waited on, so the wires overlap.
 
 Testing: the CPU suite runs this under the Pallas TPU interpret mode
 (pltpu.InterpretParams — the generic interpret=True path has no semaphore
@@ -94,9 +105,62 @@ __all__ = ["make_ring_epoch_fn", "ring_supported"]
 _RING_MB = 24
 
 
+def _use_rs(n_data):
+    """Exchange mode policy (THEANET_RING_RS=auto|0|1): reduce-scatter +
+    all-gather for n_data >= 3 (2(n-1)/n gradient sets per link per step
+    vs the pass-along gather's (n-1)); at n_data == 2 the two modes move
+    the SAME wire bytes and the gather has half the hops, so it stays."""
+    import os
+
+    env = os.environ.get("THEANET_RING_RS", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return n_data > 1
+    return n_data >= 3
+
+
+def _owner_groups(kshapes, n_data):
+    """Static owner -> chunk partition for the reduce-scatter phases.
+    Chunks are (tensor_id, row0, rows) row-slices: a tensor bigger than
+    its fair share of the set (the flagship's wh is 1.44 of 1.47 MB — a
+    whole-tensor partition would still drag ~2S over every link) is split
+    into n_data 8-aligned row bands, then all chunks are greedily
+    size-balanced across owners so per-hop link traffic is ~S/n."""
+    total = sum(int(np.prod(s)) for s in kshapes)
+    fair = -(-total // n_data)
+    chunks = []
+    for t, s in enumerate(kshapes):
+        rows = s[0]
+        elems = int(np.prod(s))
+        if elems > fair and rows >= 2 * 8:
+            band = max(8, (-(-rows // n_data) + 7) // 8 * 8)
+            r0 = 0
+            while r0 < rows:
+                rb = min(band, rows - r0)
+                chunks.append((t, r0, rb))
+                r0 += rb
+        else:
+            chunks.append((t, 0, rows))
+    order = sorted(range(len(chunks)),
+                   key=lambda i: -chunks[i][2] * int(np.prod(
+                       kshapes[chunks[i][0]][1:], dtype=np.int64)))
+    groups = [[] for _ in range(n_data)]
+    loads = [0] * n_data
+    for i in order:
+        t, _r0, rb = chunks[i]
+        c = min(range(n_data), key=lambda d: loads[d])
+        groups[c].append(chunks[i])
+        loads[c] += rb * int(np.prod(kshapes[t][1:], dtype=np.int64))
+    return tuple(tuple(g) for g in groups)
+
+
 def _ring_bytes(spec_loc, n_data):
     kshapes, _, _, _, _ = _family(spec_loc)
     grad_elems = sum(int(np.prod(s)) for s in kshapes)
+    if _use_rs(n_data):
+        # acc + stage (2 gradient sets) + the per-origin stats slots
+        return 4 * (2 * grad_elems + n_data * 8 * 128)
     return 4 * n_data * (grad_elems + 8 * 128)
 
 
@@ -114,12 +178,17 @@ def ring_supported(spec, n_data: int, on_tpu: bool) -> bool:
 
 
 def _kernel_ring(spec, fwd_bwd, regs, n_state, n_consts, has_aux, n_data,
-                 n_steps, axis_names, *refs):
-    """Grid=(n_steps,) kernel: fused grad step + ring all-gather of the
-    gradients + canonical-order mean + in-kernel momentum update. refs:
-    step blocks (x, y, ub, fb, pb, db, lr [, aux]), params in, moms in,
-    consts, THEN outputs (params, moms, cm) and scratch (ring buffers,
-    stats buffer, send sems, recv sems, credit sem)."""
+                 n_steps, axis_names, use_rs, groups, *refs):
+    """Grid=(n_steps,) kernel: fused grad step + in-kernel ring gradient
+    exchange + in-kernel momentum update. refs: step blocks (x, y, ub,
+    fb, pb, db, lr [, aux]), params in, moms in, consts, THEN outputs
+    (params, moms, cm) and scratch (exchange buffers, stats buffer, send
+    sems, recv sems, credit sem). ``use_rs`` picks the exchange:
+    reduce-scatter + all-gather (2(n-1)/n gradient sets per step per
+    link) vs the per-origin-slot pass-along all-gather ((n-1) sets);
+    ``groups`` is the static owner -> (tensor, row0, rows) chunk map for
+    the RS phases (_owner_groups row-bands oversized tensors so the
+    partition balances)."""
     (x_ref, y_ref, ub_ref, fb_ref, pb_ref, db_ref, lr_ref) = refs[0:7]
     i = 7
     aux = None
@@ -135,12 +204,19 @@ def _kernel_ring(spec, fwd_bwd, regs, n_state, n_consts, has_aux, n_data,
     out_mom = refs[i + n_state:i + 2 * n_state]
     cm_ref = refs[i + 2 * n_state]
     i += 2 * n_state + 1
-    gbufs = refs[i:i + n_state]       # (n_data, *shape) per state tensor
-    stats_buf = refs[i + n_state]     # (n_data, 8, 128)
-    send_sems = refs[i + n_state + 1]
-    recv_sems = refs[i + n_state + 2]
-    credit_sem = refs[i + n_state + 3]
-    fam_scratch = refs[i + n_state + 4:]   # megastep_dp.family_scratch
+    if use_rs:
+        acc = refs[i:i + n_state]         # per-tensor partial/final sums
+        stage = refs[i + n_state:i + 2 * n_state]   # RS receive staging
+        i += 2 * n_state
+        gbufs = None
+    else:
+        gbufs = refs[i:i + n_state]       # (n_data, *shape) per tensor
+        i += n_state
+    stats_buf = refs[i]                   # (n_data, 8, 128)
+    send_sems = refs[i + 1]
+    recv_sems = refs[i + 2]
+    credit_sem = refs[i + 3]
+    fam_scratch = refs[i + 4:]            # megastep_dp.family_scratch
 
     step = pl.program_id(0)
 
@@ -181,8 +257,6 @@ def _kernel_ring(spec, fwd_bwd, regs, n_state, n_consts, has_aux, n_data,
         def _wait_credit():
             pltpu.semaphore_wait(credit_sem, 1)
 
-        for t, g in enumerate(grads):
-            gbufs[t][my] = g
         # scalars ride lanes of an (8, 128) stats vector: Mosaic has no
         # scalar VMEM stores/loads, so build with masked selects and read
         # back with one-hot-masked reductions
@@ -192,32 +266,137 @@ def _kernel_ring(spec, fwd_bwd, regs, n_state, n_consts, has_aux, n_data,
         m_minf = (r_i == 0) & (l_i == 1)
         stats_buf[my] = jnp.where(m_cost, cost,
                                   jnp.where(m_minf, minf, 0.0))
-        bufs = list(gbufs) + [stats_buf]
-        for hop in range(n_data - 1):
-            src = jax.lax.rem(my - hop + n_data, n_data)
-            copies = []
-            for t, buf in enumerate(bufs):
-                rdma = pltpu.make_async_remote_copy(
-                    src_ref=buf.at[src],
-                    dst_ref=buf.at[src],
-                    send_sem=send_sems.at[t],
-                    recv_sem=recv_sems.at[t, hop],
-                    device_id=right,
-                )
-                rdma.start()
-                copies.append(rdma)
-            for rdma in copies:
-                rdma.wait()
-        # canonical-order sums: identical fp order on every device, so
-        # replicated params stay bit-identical across the mesh
         inv = jnp.float32(1.0 / n_data)
-        summed = []
-        for t in range(n_state):
-            s = gbufs[t][0]
-            for d in range(1, n_data):
-                s = s + gbufs[t][d]
-            summed.append(s * inv)
-        grads = summed
+        nsh = n_data - 1
+
+        def stats_hop(hop):
+            # the tiny (8, 128) stats tensor keeps the per-origin-slot
+            # pass-along gather in BOTH modes (canonical-order pmean/pmin)
+            src = jax.lax.rem(my - hop + n_data, n_data)
+            srd = pltpu.make_async_remote_copy(
+                src_ref=stats_buf.at[src], dst_ref=stats_buf.at[src],
+                send_sem=send_sems.at[n_state],
+                recv_sem=recv_sems.at[n_state, hop],
+                device_id=right,
+            )
+            srd.start()
+            return srd
+
+        if not use_rs:
+            for hop in range(nsh):
+                src = jax.lax.rem(my - hop + n_data, n_data)
+                copies = [stats_hop(hop)]
+                for t in range(n_state):
+                    if hop == 0:
+                        gbufs[t][my] = grads[t]
+                    rdma = pltpu.make_async_remote_copy(
+                        src_ref=gbufs[t].at[src],
+                        dst_ref=gbufs[t].at[src],
+                        send_sem=send_sems.at[t],
+                        recv_sem=recv_sems.at[t, hop],
+                        device_id=right,
+                    )
+                    rdma.start()
+                    copies.append(rdma)
+                for rdma in copies:
+                    rdma.wait()
+            # canonical-order sums: identical fp order on every device, so
+            # replicated params stay bit-identical across the mesh
+            summed = []
+            for t in range(n_state):
+                s = gbufs[t][0]
+                for d in range(1, n_data):
+                    s = s + gbufs[t][d]
+                summed.append(s * inv)
+            grads = summed
+        else:
+            # ---- reduce-scatter + all-gather (VERDICT r4 item 4): per
+            # owner group c (static size-balanced tensor partition) the
+            # partial sum walks c+1 -> c+2 -> ... -> c (each device adds
+            # its local gradient), then the owner's finished sum walks the
+            # ring back. Per link per step: every group crosses each link
+            # once per phase except one -> ~2(n-1)/n gradient sets vs the
+            # all-gather's (n-1). Each group's sum has ONE fixed fp order
+            # (a rotation of 0..n-1 — commutative pairwise adds, so
+            # device-order invariant), and the all-gather distributes the
+            # owner's exact BYTES, so replicated params stay bit-identical
+            # across the mesh; vs single-chip the reassociation is the
+            # same few-ulp effect as the shard-sum itself. Roles are
+            # dynamic (they depend on axis_index), so each (group, hop)
+            # send/recv is a predicated region on a static device id.
+            for t in range(n_state):
+                acc[t][:] = grads[t]
+            for h in range(nsh):
+                srd = stats_hop(h)
+                rds = {}
+                for c in range(n_data):
+                    snd = (c + 1 + h) % n_data
+                    for (t, r0, rb) in groups[c]:
+                        rd = pltpu.make_async_remote_copy(
+                            src_ref=acc[t].at[r0:r0 + rb],
+                            dst_ref=stage[t].at[r0:r0 + rb],
+                            send_sem=send_sems.at[t],
+                            recv_sem=recv_sems.at[t, h],
+                            device_id=right,
+                        )
+                        rds[(t, r0)] = rd
+
+                        @pl.when(my == snd)
+                        def _start(rd=rd):
+                            rd.start()
+
+                for c in range(n_data):
+                    snd = (c + 1 + h) % n_data
+                    rcv = (c + 2 + h) % n_data
+                    for (t, r0, rb) in groups[c]:
+                        rd = rds[(t, r0)]
+
+                        @pl.when(my == snd)
+                        def _sent(rd=rd):
+                            rd.wait_send()
+
+                        @pl.when(my == rcv)
+                        def _add(rd=rd, t=t, r0=r0, rb=rb):
+                            rd.wait_recv()
+                            acc[t][r0:r0 + rb, :] = (
+                                acc[t][r0:r0 + rb, :]
+                                + stage[t][r0:r0 + rb, :])
+
+                srd.wait()
+            for h in range(nsh):
+                rds = {}
+                for c in range(n_data):
+                    snd = (c + h) % n_data      # hop 0: the owner itself
+                    for (t, r0, rb) in groups[c]:
+                        rd = pltpu.make_async_remote_copy(
+                            src_ref=acc[t].at[r0:r0 + rb],
+                            dst_ref=acc[t].at[r0:r0 + rb],
+                            send_sem=send_sems.at[t],
+                            recv_sem=recv_sems.at[t, nsh + h],
+                            device_id=right,
+                        )
+                        rds[(t, r0)] = rd
+
+                        @pl.when(my == snd)
+                        def _start(rd=rd):
+                            rd.start()
+
+                for c in range(n_data):
+                    snd = (c + h) % n_data
+                    rcv = (c + 1 + h) % n_data
+                    for (t, r0, rb) in groups[c]:
+                        rd = rds[(t, r0)]
+
+                        @pl.when(my == snd)
+                        def _sent(rd=rd):
+                            rd.wait_send()
+
+                        @pl.when(my == rcv)
+                        def _recv(rd=rd):
+                            rd.wait_recv()
+
+            grads = [acc[t][:] * inv for t in range(n_state)]
+
         st_sum = stats_buf[0]
         st_min = stats_buf[0]
         for d in range(1, n_data):
@@ -304,11 +483,19 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
         + [pl.BlockSpec((cm_block, 2), lambda i: (i // cm_block, 0),
                         memory_space=pltpu.SMEM)]
     )
+    use_rs = _use_rs(n_data)
+    groups = _owner_groups(kshapes, n_data) if use_rs else None
+    if use_rs:
+        gradbufs = [pltpu.VMEM(s, jnp.float32) for s in kshapes * 2]
+        n_hops = 2 * (n_data - 1)           # RS then AG phases
+    else:
+        gradbufs = [pltpu.VMEM((n_data,) + s, jnp.float32) for s in kshapes]
+        n_hops = n_data - 1
     scratch = (
-        [pltpu.VMEM((n_data,) + s, jnp.float32) for s in kshapes]
+        gradbufs
         + [pltpu.VMEM((n_data, 8, 128), jnp.float32)]
         + [pltpu.SemaphoreType.DMA((n_state + 1,)),
-           pltpu.SemaphoreType.DMA((n_state + 1, max(n_data - 1, 1))),
+           pltpu.SemaphoreType.DMA((n_state + 1, max(n_hops, 1))),
            pltpu.SemaphoreType.REGULAR]
         + family_scratch(spec_loc)
     )
@@ -345,7 +532,8 @@ def make_ring_epoch_fn(spec, n_batches: int, mesh, interpret=None,
 
     call = pl.pallas_call(
         functools.partial(_kernel_ring, spec_loc, fwd_bwd, regs, n_state,
-                          len(const_arrs), has_aux, n_data, nb, axis_names),
+                          len(const_arrs), has_aux, n_data, nb, axis_names,
+                          use_rs, groups),
         grid=(nb,),
         in_specs=step_specs + param_specs + const_specs,
         out_specs=tuple(out_specs),
