@@ -41,7 +41,7 @@ SOFT_REG = {"momentum": 0.95, "rate": 0.5, "maxnorm": 0.8, "L1": 0, "L2": 0}
 INIT_LR = 0.1
 HALF = 2
 STEPS_PER_EPOCH = 5
-EPOCHS = 4
+EPOCHS = 12   # 60-step horizon (VERDICT r4/r5: extend the oracle reach)
 
 CONV_ACT_SLOPE = 0.05  # relu05
 HID_ACT_SLOPE = 0.10   # relu10
@@ -231,7 +231,7 @@ def test_init_bit_exact_vs_oracle():
                                       np.asarray(w, np.float32))
 
 
-def test_20_step_trajectory_matches_oracle():
+def test_60_step_trajectory_matches_oracle():
     net = _build_net()
     params, moms = net.init_params()
     xs, ys = _data()
@@ -254,8 +254,8 @@ def test_20_step_trajectory_matches_oracle():
             )
             step += 1
             # f32 framework vs f64 oracle: drift is rounding-only and grows
-            # slowly; 2e-5 at 20 steps observed ~1e-6
-            assert abs(float(cost) - o_cost) < 2e-5 * max(1.0, abs(o_cost)), (
+            # slowly (observed ~1e-6 at 20 steps, ~6e-6 at 60)
+            assert abs(float(cost) - o_cost) < 5e-5 * max(1.0, abs(o_cost)), (
                 f"cost diverged at step {step}: {float(cost)} vs {o_cost}"
             )
         net.inc_epoch_set_rate()
@@ -263,10 +263,177 @@ def test_20_step_trajectory_matches_oracle():
     got = [np.asarray(w, np.float64) for lyr in params for w in lyr if len(lyr)]
     want = [w for lyr in o_params for w in lyr]
     for g, w in zip(got, want):
-        np.testing.assert_allclose(g, w, atol=5e-5, rtol=0,
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=0,
                                    err_msg="params diverged from the "
                                            "reference-arithmetic oracle")
     got_m = [np.asarray(a, np.float64) for lyr in moms for a in lyr if len(lyr)]
     want_m = [a for lyr in o_moms for a in lyr]
     for g, w in zip(got_m, want_m):
-        np.testing.assert_allclose(g, w, atol=5e-5, rtol=0)
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=0)
+
+
+# ------------------- conv + pool + RBF centered head -------------------------
+#
+# VERDICT r4 item 3 (oracle-horizon half): the head oracles
+# (tests/test_head_oracles.py) pin every head's arithmetic on FLAT nets;
+# this trajectory runs the full conv+pool stack INTO an RBF CenteredOut
+# head with learned centers and a finite junk_dist (reference
+# outlayers.py:153-224) for 40 steps, with momentum/maxnorm biting on
+# every layer — so the conv backward, the head backward, and the update
+# rule are pinned in composition, not just separately.
+
+RBF_NF = 6
+RBF_NC = 4
+RBF_JUNK = 5.0
+RBF_REG = {"L2": 5e-4, "momentum": 0.9, "rate": 1, "maxnorm": 0.8, "L1": 0}
+
+
+def oracle_init_rbf(seed):
+    """Draw order: conv sign-init, hidden dense draw, head dense draw
+    (scaled_tanh: no x4, no bias bump), then centers ~ U(0,1)."""
+    rng = np.random.RandomState(seed)
+    fan_in = 1 * FILT * FILT
+    w1 = (2.0 * rng.randint(2, size=(MAPS, 1, FILT, FILT)) - 1) / np.sqrt(fan_in)
+    w1 = w1.astype(np.float32)
+    b1 = np.full((MAPS,), 0.5, np.float32)
+    pool_out = (IMG - FILT + 1) // 2
+    n_flat = MAPS * pool_out * pool_out
+    s2 = np.sqrt(6.0 / (2 * (n_flat + N_HID)))
+    w2 = (rng.uniform(-1, 1, (n_flat, N_HID)) * s2).astype(np.float32)
+    b2 = np.zeros((N_HID,), np.float32)
+    s3 = np.sqrt(6.0 / (2 * (N_HID + RBF_NF)))
+    w3 = (rng.uniform(-1, 1, (N_HID, RBF_NF)) * s3).astype(np.float32)
+    b3 = np.zeros((RBF_NF,), np.float32)
+    centers = rng.uniform(0, 1, (RBF_NC, RBF_NF)).astype(np.float32)
+    return [
+        [w1.astype(np.float64), b1.astype(np.float64)],
+        [w2.astype(np.float64), b2.astype(np.float64)],
+        [w3.astype(np.float64), b3.astype(np.float64),
+         centers.astype(np.float64)],
+    ]
+
+
+def oracle_step_rbf(params, moms, x, y, lr):
+    """Full conv->pool->hidden->RBF step (loss nll over softmax(-dists)
+    with the junk column, centers trainable)."""
+    (w1, b1), (w2, b2), (w3, b3, C) = params
+    B = x.shape[0]
+
+    z1 = _conv_valid_flipped(x, w1) + b1[None, :, None, None]
+    h1 = _lrelu(z1, CONV_ACT_SLOPE)
+    pooled, r = _maxpool(h1, 2)
+    flat = pooled.reshape(B, -1)
+    z2 = flat @ w2 + b2
+    h2 = _lrelu(z2, HID_ACT_SLOPE)
+    z3 = h2 @ w3 + b3
+    t = np.tanh(z3 * (2.0 / 3.0))
+    v = 1.7 * t                                     # scaled_tanh features
+    d = ((v[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    daug = np.concatenate([d, np.full((B, 1), RBF_JUNK)], axis=1)
+    zc = -daug - (-daug).max(axis=1, keepdims=True)
+    p = np.exp(zc) / np.exp(zc).sum(axis=1, keepdims=True)
+    logp = zc - np.log(np.exp(zc).sum(axis=1, keepdims=True))
+    data_cost = -np.mean(logp[np.arange(B), y])
+    wt_cost = (
+        CONV_REG["L2"] * ((w1 ** 2).sum() + (b1 ** 2).sum())
+        + HID_REG["L1"] * (np.abs(w2).sum() + np.abs(b2).sum())
+        + RBF_REG["L2"] * ((w3 ** 2).sum() + (b3 ** 2).sum()
+                           + (C ** 2).sum())
+    )
+    cost = data_cost + wt_cost
+
+    dd = (np.eye(RBF_NC + 1)[y][:, :RBF_NC] - p[:, :RBF_NC]) / B
+    dv = 2.0 * (v * dd.sum(axis=1, keepdims=True) - dd @ C)
+    dC = 2.0 * (C * dd.sum(axis=0)[:, None] - dd.T @ v) + RBF_REG["L2"] * 2 * C
+    dz3 = dv * 1.7 * (2.0 / 3.0) * (1.0 - t * t)
+    dw3 = h2.T @ dz3 + RBF_REG["L2"] * 2 * w3
+    db3 = dz3.sum(axis=0) + RBF_REG["L2"] * 2 * b3
+    dh2 = dz3 @ w3.T
+    dz2 = dh2 * np.where(z2 > 0, 1.0, HID_ACT_SLOPE)
+    dw2 = flat.T @ dz2 + HID_REG["L1"] * np.sign(w2)
+    db2 = dz2.sum(axis=0) + HID_REG["L1"] * np.sign(b2)
+    dflat = dz2 @ w2.T
+    dpool = dflat.reshape(pooled.shape)
+    dh1 = _maxpool_bwd(r, pooled, dpool)
+    dz1 = dh1 * np.where(z1 > 0, 1.0, CONV_ACT_SLOPE)
+    db1 = dz1.sum(axis=(0, 2, 3)) + CONV_REG["L2"] * 2 * b1
+    dw1 = _corr_xg(x, dz1, FILT)[:, :, ::-1, ::-1] + CONV_REG["L2"] * 2 * w1
+
+    grads = [[dw1, db1], [dw2, db2], [dw3, db3, dC]]
+    regs = [CONV_REG, HID_REG, RBF_REG]
+    new_params, new_moms = [], []
+    for (lp, lm, lg, reg) in zip(params, moms, grads, regs):
+        ps, ms = [], []
+        for pw, a, g in zip(lp, lm, lg):
+            a_new = reg["momentum"] * a + (1 - reg["momentum"]) * g
+            p_new = pw - reg["rate"] * lr * a  # OLD accumulator
+            mn = reg["maxnorm"]
+            if mn:
+                if pw.ndim == 1:
+                    p_new = np.clip(p_new, -mn, mn)
+                elif pw.ndim == 2:
+                    norms = np.sqrt((p_new ** 2).sum(axis=0))
+                    desired = np.clip(norms, 0, mn)
+                    p_new = p_new * ((1e-7 + desired) / (1e-7 + norms))
+                elif pw.ndim == 4:
+                    norms = np.sqrt((p_new ** 2).sum(axis=(1, 2, 3)))
+                    desired = np.clip(norms, 0, mn)
+                    p_new = p_new * ((1e-7 + desired) / (1e-7 + norms))[
+                        :, None, None, None
+                    ]
+            ps.append(p_new)
+            ms.append(a_new)
+        new_params.append(ps)
+        new_moms.append(ms)
+    return new_params, new_moms, cost
+
+
+def test_40_step_conv_rbf_trajectory_matches_oracle():
+    layers = [
+        ["InputLayer", {"img_sz": IMG}],
+        ["ConvLayer", {"num_maps": MAPS, "filter_sz": FILT, "stride": 1,
+                       "mode": "valid", "actvn": "relu05", "reg": CONV_REG}],
+        ["PoolLayer", {"pool_sz": 2}],
+        ["HiddenLayer", {"n_out": N_HID, "pdrop": 0, "actvn": "relu10",
+                         "reg": HID_REG}],
+        ["CenteredOutLayer", {"n_features": RBF_NF, "n_classes": RBF_NC,
+                              "kind": "RBF", "learn_centers": True,
+                              "junk_dist": RBF_JUNK, "reg": RBF_REG}],
+    ]
+    tr_prms = {"SEED": SEED, "BATCH_SZ": BATCH, "NUM_EPOCHS": 8,
+               "EPOCHS_TO_TEST": 1, "TEST_SAMP_SZ": BATCH,
+               "INIT_LEARNING_RATE": INIT_LR, "EPOCHS_TO_HALF_RATE": HALF}
+    net = NeuralNet(layers, tr_prms)
+    params, moms = net.init_params()
+
+    rng = np.random.RandomState(777)
+    xs = rng.rand(STEPS_PER_EPOCH, BATCH, 1, IMG, IMG).astype(np.float32)
+    ys = rng.randint(0, RBF_NC, (STEPS_PER_EPOCH, BATCH)).astype(np.int32)
+
+    o_params = oracle_init_rbf(SEED)
+    o_moms = [[np.zeros_like(p) for p in lp] for lp in o_params]
+
+    step = 0
+    for epoch in range(8):
+        lr = net.get_rate()
+        for i in range(STEPS_PER_EPOCH):
+            params, moms, cost, _, _ = net.train_step(
+                params, moms, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+                key=net.base_key, lr=lr
+            )
+            o_params, o_moms, o_cost = oracle_step_rbf(
+                o_params, o_moms, xs[i].astype(np.float64), ys[i], lr
+            )
+            step += 1
+            assert abs(float(cost) - o_cost) < 5e-5 * max(1.0, abs(o_cost)), (
+                f"cost diverged at step {step}: {float(cost)} vs {o_cost}"
+            )
+        net.inc_epoch_set_rate()
+
+    got = [np.asarray(w, np.float64) for lyr in params for w in lyr if len(lyr)]
+    want = [w for lyr in o_params for w in lyr]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=0,
+                                   err_msg="conv+RBF params diverged from "
+                                           "the reference-arithmetic oracle")
