@@ -39,45 +39,65 @@ sys.path.insert(0, ".")
 CM = 256  # cost rows per output block, like megastep.CM_BLOCK
 
 
-def make_probe(shapes_dtypes, n_steps):
+def make_probe(shapes_dtypes, n_steps, out_mode="vmem", steps_per_iter=1):
     """Grid kernel: per iteration, read every input block, store one
-    f32 row-sum (consuming all refs so nothing is DCE'd)."""
+    f32 row-sum (consuming all refs so nothing is DCE'd). ``out_mode``
+    'vmem' = the historical (CM, 128) VMEM row store; 'smem' = the real
+    epoch kernels' (CM, 2) SMEM scalar pair. ``steps_per_iter`` U > 1
+    shrinks the grid to n_steps/U with (U,)+shape input blocks, U row
+    sums per iteration — isolates how much of the floor is PER-GRID-
+    ITERATION machinery vs per-step bytes."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    U = steps_per_iter
 
     def kernel(*refs):
         ins, cm_ref = refs[:-1], refs[-1]
         it = pl.program_id(0)
-        acc = jnp.float32(0.0)
-        for r in ins:
-            v = r[0, :] if r.shape[0] == 1 else r[0:1, :]
-            if v.dtype == jnp.uint32:   # Mosaic: no u32->f32 cast
-                v = v.view(jnp.int32)   # (bitcast, then int cast)
-            acc = acc + jnp.sum(v.astype(jnp.float32))
-        # Mosaic cannot store scalars to VMEM — store a broadcast row
-        cm_ref[pl.ds(it % CM, 1), :] = acc * jnp.ones((1, 128),
-                                                      jnp.float32)
+        for u in range(U):
+            acc = jnp.float32(0.0)
+            for r in ins:
+                v = r[u, 0:1, :] if U > 1 else (
+                    r[0, :] if r.shape[0] == 1 else r[0:1, :])
+                if v.dtype == jnp.uint32:   # Mosaic: no u32->f32 cast
+                    v = v.view(jnp.int32)   # (bitcast, then int cast)
+                acc = acc + jnp.sum(v.astype(jnp.float32))
+            if out_mode == "smem":
+                cm_ref[(it * U + u) % CM, 0] = acc
+                cm_ref[(it * U + u) % CM, 1] = acc
+            else:
+                # Mosaic cannot store scalars to VMEM — broadcast a row
+                cm_ref[pl.ds((it * U + u) % CM, 1), :] = acc * jnp.ones(
+                    (1, 128), jnp.float32)
 
     in_specs = [
-        pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s))
+        pl.BlockSpec((U,) + s, lambda i: (i,) + (0,) * len(s))
         for s, _ in shapes_dtypes
     ]
-    out_spec = pl.BlockSpec((CM, 128), lambda i: (i // CM, 0))
-    n_blocks = -(-n_steps // CM)
+    n_iters = n_steps // U
+    if out_mode == "smem":
+        out_spec = pl.BlockSpec((CM, 2), lambda i: ((i * U) // CM, 0),
+                                memory_space=pltpu.SMEM)
+        n_blocks = -(-n_steps // CM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks * CM, 2), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((CM, 128), lambda i: ((i * U) // CM, 0))
+        n_blocks = -(-n_steps // CM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks * CM, 128), jnp.float32)
 
-    import os
     interp = jax.default_backend() != "tpu"
 
     @jax.jit
     def run(*arrs):
         return pl.pallas_call(
             kernel,
-            grid=(n_steps,),
+            grid=(n_iters,),
             in_specs=in_specs,
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n_blocks * CM, 128),
-                                           jnp.float32),
+            out_shape=out_shape,
             interpret=interp,
         )(*arrs)
 
@@ -90,6 +110,15 @@ def main():
     ap.add_argument("--chain", type=int, default=5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default="mirror,widefb,packed,xonly,tiny")
+    ap.add_argument("--out", default="vmem", choices=["vmem", "smem"],
+                    help="per-step result store: historical (CM,128) VMEM "
+                         "rows, or the real epoch kernels' (CM,2) SMEM "
+                         "scalar pair")
+    ap.add_argument("--grid-u", type=int, default=1,
+                    help="steps per grid iteration (U): shrinks the grid "
+                         "to batches/U with (U,)+shape input blocks — "
+                         "separates per-iteration grid machinery from "
+                         "per-step bytes")
     args = ap.parse_args()
 
     from theanet_tpu import compile_cache
@@ -120,7 +149,8 @@ def main():
                     rng.randint(0, 1 << 16, (nb,) + s).astype(dt))
                 for s, dt in sd]
         bytes_step = sum(int(np.prod(s)) * 4 for s, _ in sd)
-        run = make_probe(sd, nb)
+        run = make_probe(sd, nb, out_mode=args.out,
+                         steps_per_iter=args.grid_u)
         t0 = time.time()
         out = run(*arrs)
         np.asarray(out).ravel()[0]
