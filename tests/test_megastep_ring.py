@@ -155,6 +155,38 @@ def test_ring_deep_family_learn_centers():
     _assert_tracks(tr1, tr2)
 
 
+def test_ring_aux_input_family():
+    """Aux-input nets through the ring (RS+AG mode at n_data=4): the
+    AuxConcat frozen-encoder tail — aux rows shard with the batch, the
+    lane-0 convex-mix draw rides the sharded dropout bits, and the
+    encoder constants replicate."""
+    def mk():
+        return NeuralNet(
+            [
+                ["ElasticLayer", {"img_sz": 12, "translation": 1,
+                                  "magnitude": 4, "sigma": 3}],
+                ["ConvLayer", {"num_maps": 4, "filter_sz": 3, "stride": 1,
+                               "actvn": "relu10"}],
+                ["PoolLayer", {"pool_sz": 2}],
+                ["AuxConcatLayer", {"n_aux": (5, 9),
+                                    "aux_type": "LocationInfo"}],
+                ["HiddenLayer", {"n_out": 24, "pdrop": 0.4}],
+                ["SoftmaxLayer", {"n_out": 10}],
+            ],
+            prms(),
+        )
+
+    x, y = make_data(64)
+    aux = np.random.RandomState(3).rand(64, 2, 2).astype(np.float32)
+    kw = dict(train_aux=aux, test_aux=aux[:16])
+    tr1 = Trainer(mk(), x, y, x[:16], y[:16], **kw)
+    tr2 = Trainer(mk(), x, y, x[:16], y[:16],
+                  mesh=make_mesh(n_data=4, n_model=1), **kw)
+    assert tr2._mega_epoch.from_key.__module__ == \
+        "theanet_tpu.ops.megastep_ring"
+    _assert_tracks(tr1, tr2, n_epochs=1)
+
+
 def test_ring_flat_net_and_shuffle():
     """Zero-conv-level (flat dense) spec through the ring, with SHUFFLE's
     in-jit epoch permutation composed on both sides."""

@@ -99,13 +99,25 @@ def main():
         tr_ref = Trainer(flagship_net(bsz), x, y, x[:40], y[:40])
         ref_costs = [tr_ref.run_epoch()[1] for _ in range(args.epochs)]
 
-        # analytic wire bytes/step/device for the ring path
+        # analytic wire bytes/step/device for the ring path: RS+AG for
+        # n_data >= 3 (worst-link: each phase carries every owner chunk
+        # group except one), pass-along gather otherwise
+        from theanet_tpu.ops.megastep_ring import _owner_groups, _use_rs
+
         spec = megastep.spec_from_net(flagship_net(bsz))
         spec_g = megastep_dp._untiled_global(spec)
         spec_loc = spec_g._replace(batch=spec_g.batch // n_data)
         kshapes, _, _, _, _ = megastep_dp._family(spec_loc)
-        grad_bytes = 4 * (sum(int(np.prod(s)) for s in kshapes) + 8 * 128)
-        ring_wire = (n_data - 1) * grad_bytes
+        stat_bytes = 4 * 8 * 128
+        grad_bytes = 4 * sum(int(np.prod(s)) for s in kshapes) + stat_bytes
+        if _use_rs(n_data):
+            groups = _owner_groups(kshapes, n_data)
+            gsz = [4 * sum(rb * int(np.prod(kshapes[t][1:]))
+                           for (t, _r, rb) in g) for g in groups]
+            ring_wire = (2 * (grad_bytes - stat_bytes - min(gsz))
+                         + (n_data - 1) * stat_bytes)
+        else:
+            ring_wire = (n_data - 1) * grad_bytes
 
         for tag, ring_env in (("ring", "1"), ("per-step", "0")):
             os.environ["THEANET_DP_RING"] = ring_env
@@ -136,8 +148,9 @@ def main():
             finally:
                 del os.environ["THEANET_DP_RING"]
 
-    print("\nwire/step/dev: ring = (n-1) x grad-set (pass-along all-gather,"
-          " canonical-order sums keep replicas bit-identical);")
+    print("\nwire/step/dev: ring = reduce-scatter + all-gather worst link "
+          "(~2(n-1)/n x grad-set) for n_data >= 3, pass-along gather "
+          "((n-1) x) at 2; replicas stay bit-identical in both modes;")
     print("per-step = XLA all-reduce of the same grad set (~2(n-1)/n x)."
           " Interpret-mode seconds are emulation time, NOT chip time.")
 
