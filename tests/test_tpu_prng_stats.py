@@ -395,6 +395,35 @@ def test_megastep_softaux_hardware_matches_interpret():
     _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
 
 
+def test_megastep_auxconcat_hardware_matches_interpret():
+    """AuxConcat frozen-encoder tail (constants-only encoder, in-kernel
+    lane concat of [flatten || encoder out], lane-0 mix draw, df
+    truncation) through Mosaic vs interpret on the same bits."""
+    from theanet_tpu.ops import megastep_deep as MD
+    from theanet_tpu.ops.megastep import LayerReg
+
+    rng = np.random.RandomState(11)
+    nah, nao = 5, 9
+    aux_wts = b"".join(
+        np.ascontiguousarray(a, np.float32).tobytes()
+        for a in (rng.randn(2, nah) * 0.5, rng.randn(nah),
+                  rng.randn(nah, nao) * 0.5, rng.randn(nao))
+    )
+    reg = LayerReg(L1=0.0, L2=1e-3, momentum=0.95, rate=1.0, maxnorm=0.0)
+    spec = MD.DeepSpec(
+        batch=8, img=12, filts=(3,), pools=(2,), ibs=(False,),
+        maps=(2,), slopes=(0.1,),
+        n_hid=12, n_out=4, slope_h=0.01, pdrop=0.4,
+        translation=2, zoom=1.05, magnitude=6, sigma=3, pflip=0.02,
+        angle=3, invert=True, nearest=True,
+        regs=(reg,), reg_h=reg, reg_o=reg,
+        aux_concat=(nah, nao), aux_wts_bytes=aux_wts, boost=1.5,
+    )
+    kshapes = [(2, 9), (2, 1), (spec.n_tail_in, 12), (1, 12),
+               (12, 4), (1, 4)]
+    _mega_consistency(MD.make_deep_epoch_fn, spec, kshapes)
+
+
 def test_megastep_mlp_hardware_matches_interpret():
     from theanet_tpu.ops import megastep_mlp as MM
     from theanet_tpu.ops.megastep import LayerReg

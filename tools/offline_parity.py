@@ -53,17 +53,30 @@ def write_prms(seed, epochs, megafused, dst):
         f.write(repr(spec))
 
 
-def run_one(seed, epochs, megafused, workdir, label, dataset):
+def run_one(seed, epochs, megafused, workdir, label, dataset,
+            timeout_s=5400):
     prms = os.path.join(workdir, f"run_{label}_{seed}.prms")
     write_prms(seed, epochs, megafused, prms)
     env = dict(os.environ)
     env["THEANET_ALLOW_SYNTH_FALLBACK"] = "1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "train.py"), dataset, prms],
-        cwd=workdir, env=env, text=True,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-    )
+    proc = None
+    for attempt in (1, 2):
+        # the remote-compile tunnel occasionally wedges a compile (same
+        # guard bench.py's _measure_subprocess carries); kill + one retry
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "train.py"), dataset,
+                 prms],
+                cwd=workdir, env=env, text=True, timeout=timeout_s,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            break
+        except subprocess.TimeoutExpired:
+            print(f"  {label} seed {seed}: attempt {attempt} timed out "
+                  f"after {timeout_s}s (tunnel wedge?)", flush=True)
+            if attempt == 2:
+                raise
     rows = parse_epoch_table(proc.stdout)
     if proc.returncode != 0 or not rows:
         print(proc.stdout[-3000:])
