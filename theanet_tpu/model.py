@@ -364,12 +364,19 @@ class NeuralNet:
         params, moms = apply_updates(self.net_layers, params, moms, grads, lr)
         return params, moms, cost_val, hs["features"], hs["logprob"]
 
-    def eval_step(self, params, x, y, *, aux=None, preds_feats=False):
+    def eval_step(self, params, x, y, *, aux=None, preds_feats=False,
+                  key=None):
         """Eval statistics (sym_err_rate, second_stat) — reference
         sym_and_oth_err_rate (outlayers.py:69-80). With ``preds_feats``
         the head's (features, y_preds) are appended, mirroring
-        get_test_model(preds_feats=True) (neuralnet.py:272-273)."""
-        hs = self.forward(params, x, key=self.base_key, train=False, aux=aux)
+        get_test_model(preds_feats=True) (neuralnet.py:272-273).
+        ``key`` lets jitted callers thread base_key as an ARGUMENT —
+        closing over it would embed the seed-derived key as an HLO
+        literal, making compile-cache keys (and the ~10-min tunnel
+        compiles they guard) seed-dependent."""
+        if key is None:
+            key = self.base_key
+        hs = self.forward(params, x, key=key, train=False, aux=aux)
         stats = self.head.sym_and_oth_err_rate(hs, y)
         if preds_feats:
             return stats + self.head.features_and_predictions(hs)

@@ -152,12 +152,18 @@ class Trainer:
 
         bsz = self.batch_sz
         nb = self.n_train_batches
-        base_key = net.base_key
+
+        # base_key is threaded into every jitted closure as an ARGUMENT
+        # (the trailing ``bk``): closing over it would embed the
+        # seed-derived key as an HLO literal, so the scanned epoch/eval
+        # programs' compile-cache keys — and the ~10-min tunnel compiles
+        # they guard — would miss on every new SEED (measured: the
+        # offline-parity protocol paid one full scanned compile PER SEED)
 
         def slice_batch(arr, ibatch):
             return jax.lax.dynamic_slice_in_dim(arr, ibatch * bsz, bsz, axis=0)
 
-        def train_batch(params, moms, ibatch, step, lr):
+        def train_batch(params, moms, ibatch, step, lr, bk):
             x = constrain(slice_batch(self.d_train_x, ibatch))
             y = constrain(slice_batch(self.d_train_y, ibatch))
             aux = (
@@ -165,12 +171,12 @@ class Trainer:
                 if self.d_train_aux is not None
                 else None
             )
-            key = jax.random.fold_in(base_key, step)
+            key = jax.random.fold_in(bk, step)
             return net.train_step(params, moms, x, y, key=key, lr=lr, aux=aux)
 
         self._train_batch = jax.jit(train_batch, donate_argnums=(0, 1))
 
-        def train_indices(params, moms, idx, step, lr):
+        def train_indices(params, moms, idx, step, lr, bk):
             # Index-vector batches — the reference's take_index_list variant
             # (neuralnet.py:228-234): train on an arbitrary set of sample ids.
             x = constrain(self.d_train_x[idx])
@@ -180,17 +186,17 @@ class Trainer:
                 if self.d_train_aux is not None
                 else None
             )
-            key = jax.random.fold_in(base_key, step)
+            key = jax.random.fold_in(bk, step)
             return net.train_step(params, moms, x, y, key=key, lr=lr, aux=aux)
 
         self._train_indices = jax.jit(train_indices, donate_argnums=(0, 1))
 
-        def train_raw(params, moms, x, y, aux, step, lr):
+        def train_raw(params, moms, x, y, aux, step, lr, bk):
             # Streamed batches (host pipeline feed): data arrives as device
             # arrays instead of dataset slices. Streamed steps live in their
             # own key space (offset 2^30) so they never collide with the
             # scanned-epoch step indices.
-            key = jax.random.fold_in(base_key, step + (1 << 30))
+            key = jax.random.fold_in(bk, step + (1 << 30))
             aux = constrain(aux) if aux is not None else None
             return net.train_step(
                 params, moms, constrain(x), constrain(y), key=key, lr=lr,
@@ -205,10 +211,10 @@ class Trainer:
         # permutation is drawn on-device per epoch; batches become gathers.
         self.shuffle = bool(net.tr_prms.get("SHUFFLE", False))
 
-        def train_epoch(params, moms, epoch_no, lr):
+        def train_epoch(params, moms, epoch_no, lr, bk):
             if self.shuffle:
                 perm = jax.random.permutation(
-                    jax.random.fold_in(base_key, epoch_no + (1 << 29)),
+                    jax.random.fold_in(bk, epoch_no + (1 << 29)),
                     nb * bsz,
                 )
 
@@ -224,13 +230,13 @@ class Trainer:
                         if self.d_train_aux is not None
                         else None
                     )
-                    key = jax.random.fold_in(base_key, step)
+                    key = jax.random.fold_in(bk, step)
                     params, moms, cost, feats, _ = net.train_step(
                         params, moms, x, y, key=key, lr=lr, aux=aux
                     )
                 else:
                     params, moms, cost, feats, _ = train_batch(
-                        params, moms, ibatch, step, lr
+                        params, moms, ibatch, step, lr, bk
                     )
                     y = slice_batch(self.d_train_y, ibatch)
                 true_f = feats[jnp.arange(bsz), y]
@@ -243,12 +249,12 @@ class Trainer:
 
         self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
 
-        def eval_window(params, x_all, y_all, aux_all, idx, preds_feats):
+        def eval_window(params, x_all, y_all, aux_all, idx, preds_feats, bk):
             x = constrain(x_all[idx])
             y = constrain(y_all[idx])
             aux = constrain(aux_all[idx]) if aux_all is not None else None
             return net.eval_step(params, x, y, aux=aux,
-                                 preds_feats=preds_feats)
+                                 preds_feats=preds_feats, key=bk)
 
         self._eval_window = jax.jit(eval_window, static_argnums=(5,))
 
@@ -543,7 +549,8 @@ class Trainer:
             return self._run_epoch_mega(lr)
         epoch_no = self.net.get_epoch()
         self.params, self.moms, costs, min_true_f = self._train_epoch(
-            self.params, self.moms, jnp.int32(epoch_no), jnp.float32(lr)
+            self.params, self.moms, jnp.int32(epoch_no), jnp.float32(lr),
+            self.net.base_key,
         )
         costs = np.asarray(costs)
         return float(costs.sum()), costs, np.asarray(min_true_f)
@@ -571,7 +578,7 @@ class Trainer:
                 lr = self.net.get_rate()
                 self.params, self.moms, costs, min_true_f = self._train_epoch(
                     self.params, self.moms, jnp.int32(epoch_no),
-                    jnp.float32(lr)
+                    jnp.float32(lr), self.net.base_key,
                 )
                 outs.append((costs, min_true_f))
                 self.net.inc_epoch_set_rate()
@@ -633,6 +640,7 @@ class Trainer:
                 self.params, self.moms,
                 jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32),
                 aux, jnp.int32(self._stream_step), jnp.float32(lr),
+                self.net.base_key,
             )
             self._stream_step += 1
             costs.append(cost)
@@ -653,7 +661,8 @@ class Trainer:
         lr = self.net.get_rate() if lr is None else lr
         idx = jnp.asarray(np.asarray(idx, np.int32))
         self.params, self.moms, cost, feats, logp = self._train_indices(
-            self.params, self.moms, idx, jnp.int32(step), jnp.float32(lr)
+            self.params, self.moms, idx, jnp.int32(step), jnp.float32(lr),
+            self.net.base_key,
         )
         return float(cost), np.asarray(feats), np.asarray(logp)
 
@@ -705,7 +714,8 @@ class Trainer:
         self._mega_sync_frame(mutating=True)
         lr = self.net.get_rate() if lr is None else lr
         self.params, self.moms, cost, feats, logp = self._train_batch(
-            self.params, self.moms, jnp.int32(ibatch), jnp.int32(step), jnp.float32(lr)
+            self.params, self.moms, jnp.int32(ibatch), jnp.int32(step),
+            jnp.float32(lr), self.net.base_key,
         )
         return float(cost), np.asarray(feats), np.asarray(logp)
 
@@ -748,12 +758,12 @@ class Trainer:
         if which == "test":
             out = self._eval_window(
                 self.params, self.d_test_x, self.d_test_y, self.d_test_aux,
-                idx, preds_feats,
+                idx, preds_feats, self.net.base_key,
             )
         else:
             out = self._eval_window(
                 self.params, self.d_train_x, self.d_train_y, self.d_train_aux,
-                idx, preds_feats,
+                idx, preds_feats, self.net.base_key,
             )
         stats = (100.0 * float(out[0]), 100.0 * float(out[1]))
         if preds_feats:
