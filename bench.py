@@ -158,8 +158,9 @@ def measure(device, batch_sz, n_batches, reps):
                 )
             else:
                 lowered = tr._train_epoch.lower(
-                    tr.params, tr.moms, jnp.int32(0), jnp.float32(0.1),
-                    net.base_key,
+                    tr.params, tr.moms,
+                    tr.d_train_x, tr.d_train_y, tr.d_train_aux,
+                    jnp.int32(0), jnp.float32(0.1), net.base_key,
                 )
             entry_ops, step_ops = census(lowered.compile().as_text())
             if tr._mega is not None:

@@ -153,22 +153,27 @@ class Trainer:
         bsz = self.batch_sz
         nb = self.n_train_batches
 
-        # base_key is threaded into every jitted closure as an ARGUMENT
-        # (the trailing ``bk``): closing over it would embed the
-        # seed-derived key as an HLO literal, so the scanned epoch/eval
-        # programs' compile-cache keys — and the ~10-min tunnel compiles
-        # they guard — would miss on every new SEED (measured: the
-        # offline-parity protocol paid one full scanned compile PER SEED)
+        # base_key AND the device-resident dataset are threaded into every
+        # jitted closure as ARGUMENTS (the ``bk`` / ``tx, ty, taux``
+        # parameters): closing over them would embed the seed-derived key
+        # and the WHOLE training set as HLO literals. The key literal made
+        # the scanned programs' compile-cache keys miss on every new SEED
+        # (measured: the offline-parity protocol paid one full scanned
+        # tunnel compile PER SEED); the dataset literal made each scanned
+        # train_epoch executable carry the 188 MB train set (measured:
+        # 670 MB serialized executables, and cache keys that miss on every
+        # new dataset of identical shape). Values are unchanged either
+        # way, so trajectories are bit-identical.
 
         def slice_batch(arr, ibatch):
             return jax.lax.dynamic_slice_in_dim(arr, ibatch * bsz, bsz, axis=0)
 
-        def train_batch(params, moms, ibatch, step, lr, bk):
-            x = constrain(slice_batch(self.d_train_x, ibatch))
-            y = constrain(slice_batch(self.d_train_y, ibatch))
+        def train_batch(params, moms, tx, ty, taux, ibatch, step, lr, bk):
+            x = constrain(slice_batch(tx, ibatch))
+            y = constrain(slice_batch(ty, ibatch))
             aux = (
-                constrain(slice_batch(self.d_train_aux, ibatch))
-                if self.d_train_aux is not None
+                constrain(slice_batch(taux, ibatch))
+                if taux is not None
                 else None
             )
             key = jax.random.fold_in(bk, step)
@@ -176,14 +181,14 @@ class Trainer:
 
         self._train_batch = jax.jit(train_batch, donate_argnums=(0, 1))
 
-        def train_indices(params, moms, idx, step, lr, bk):
+        def train_indices(params, moms, tx, ty, taux, idx, step, lr, bk):
             # Index-vector batches — the reference's take_index_list variant
             # (neuralnet.py:228-234): train on an arbitrary set of sample ids.
-            x = constrain(self.d_train_x[idx])
-            y = constrain(self.d_train_y[idx])
+            x = constrain(tx[idx])
+            y = constrain(ty[idx])
             aux = (
-                constrain(self.d_train_aux[idx])
-                if self.d_train_aux is not None
+                constrain(taux[idx])
+                if taux is not None
                 else None
             )
             key = jax.random.fold_in(bk, step)
@@ -211,7 +216,7 @@ class Trainer:
         # permutation is drawn on-device per epoch; batches become gathers.
         self.shuffle = bool(net.tr_prms.get("SHUFFLE", False))
 
-        def train_epoch(params, moms, epoch_no, lr, bk):
+        def train_epoch(params, moms, tx, ty, taux, epoch_no, lr, bk):
             if self.shuffle:
                 perm = jax.random.permutation(
                     jax.random.fold_in(bk, epoch_no + (1 << 29)),
@@ -223,11 +228,11 @@ class Trainer:
                 step = epoch_no * nb + ibatch
                 if self.shuffle:
                     idx = jax.lax.dynamic_slice_in_dim(perm, ibatch * bsz, bsz)
-                    x = constrain(self.d_train_x[idx])
-                    y = constrain(self.d_train_y[idx])
+                    x = constrain(tx[idx])
+                    y = constrain(ty[idx])
                     aux = (
-                        constrain(self.d_train_aux[idx])
-                        if self.d_train_aux is not None
+                        constrain(taux[idx])
+                        if taux is not None
                         else None
                     )
                     key = jax.random.fold_in(bk, step)
@@ -236,9 +241,9 @@ class Trainer:
                     )
                 else:
                     params, moms, cost, feats, _ = train_batch(
-                        params, moms, ibatch, step, lr, bk
+                        params, moms, tx, ty, taux, ibatch, step, lr, bk
                     )
-                    y = slice_batch(self.d_train_y, ibatch)
+                    y = slice_batch(ty, ibatch)
                 true_f = feats[jnp.arange(bsz), y]
                 return (params, moms), (cost, jnp.min(true_f))
 
@@ -549,8 +554,9 @@ class Trainer:
             return self._run_epoch_mega(lr)
         epoch_no = self.net.get_epoch()
         self.params, self.moms, costs, min_true_f = self._train_epoch(
-            self.params, self.moms, jnp.int32(epoch_no), jnp.float32(lr),
-            self.net.base_key,
+            self.params, self.moms,
+            self.d_train_x, self.d_train_y, self.d_train_aux,
+            jnp.int32(epoch_no), jnp.float32(lr), self.net.base_key,
         )
         costs = np.asarray(costs)
         return float(costs.sum()), costs, np.asarray(min_true_f)
@@ -577,8 +583,9 @@ class Trainer:
                 epoch_no = self.net.get_epoch()
                 lr = self.net.get_rate()
                 self.params, self.moms, costs, min_true_f = self._train_epoch(
-                    self.params, self.moms, jnp.int32(epoch_no),
-                    jnp.float32(lr), self.net.base_key,
+                    self.params, self.moms,
+                    self.d_train_x, self.d_train_y, self.d_train_aux,
+                    jnp.int32(epoch_no), jnp.float32(lr), self.net.base_key,
                 )
                 outs.append((costs, min_true_f))
                 self.net.inc_epoch_set_rate()
@@ -661,8 +668,9 @@ class Trainer:
         lr = self.net.get_rate() if lr is None else lr
         idx = jnp.asarray(np.asarray(idx, np.int32))
         self.params, self.moms, cost, feats, logp = self._train_indices(
-            self.params, self.moms, idx, jnp.int32(step), jnp.float32(lr),
-            self.net.base_key,
+            self.params, self.moms,
+            self.d_train_x, self.d_train_y, self.d_train_aux,
+            idx, jnp.int32(step), jnp.float32(lr), self.net.base_key,
         )
         return float(cost), np.asarray(feats), np.asarray(logp)
 
@@ -714,8 +722,10 @@ class Trainer:
         self._mega_sync_frame(mutating=True)
         lr = self.net.get_rate() if lr is None else lr
         self.params, self.moms, cost, feats, logp = self._train_batch(
-            self.params, self.moms, jnp.int32(ibatch), jnp.int32(step),
-            jnp.float32(lr), self.net.base_key,
+            self.params, self.moms,
+            self.d_train_x, self.d_train_y, self.d_train_aux,
+            jnp.int32(ibatch), jnp.int32(step), jnp.float32(lr),
+            self.net.base_key,
         )
         return float(cost), np.asarray(feats), np.asarray(logp)
 

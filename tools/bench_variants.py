@@ -97,7 +97,8 @@ def run_variant(tag, batch_sz, n_batches, reps):
     tr = Trainer(net, x, y, x[:5 * batch_sz], y[:5 * batch_sz])
 
     lowered = tr._train_epoch.lower(
-        tr.params, tr.moms, jnp.int32(0), jnp.float32(0.1), net.base_key
+        tr.params, tr.moms, tr.d_train_x, tr.d_train_y, tr.d_train_aux,
+        jnp.int32(0), jnp.float32(0.1), net.base_key
     )
     t0 = time.time()
     compiled = lowered.compile()
