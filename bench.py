@@ -114,6 +114,14 @@ def measure(device, batch_sz, n_batches, reps):
         tr = Trainer(net, x, y, x[: 5 * batch_sz], y[: 5 * batch_sz])
         log(f"[{device.platform}] fused epoch kernel (MEGAFUSED): "
             f"{'ON' if tr._mega is not None else 'off'}")
+        # the Trainer's dataset upload is ASYNC — sync it before starting
+        # the clock so "compile+first epoch" measures compile, not the
+        # 188 MB host->device transfer (which on the tunnel costs ~25 s
+        # and used to land inside this window)
+        t0 = time.time()
+        np.asarray(tr.d_train_x[0, 0, 0, :1])
+        log(f"[{device.platform}] dataset upload sync: "
+            f"{time.time() - t0:.1f}s")
         t0 = time.time()
         tr.run_epoch()  # compile + warmup
         log(f"[{device.platform}] compile+first epoch: {time.time()-t0:.1f}s")
